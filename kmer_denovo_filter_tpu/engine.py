@@ -1,0 +1,208 @@
+"""High-level device k-mer engine used by both pipelines.
+
+Replaces the Jellyfish subprocess machinery of the reference
+(core/jellyfish_wrappers.py, kmer_utils.py:124–245) with three
+device-resident primitives built on
+:mod:`kmer_denovo_filter_tpu.ops.device`:
+
+* :class:`KmerIndex` — a sorted, device-resident canonical k-mer table
+  (the ``.jf`` index analog); supports batched membership probes.
+* :class:`StreamCounter` — canonical k-mer counting over streamed read
+  batches (``jellyfish count -C`` analog), sort-based per batch with a
+  host-side merge of compacted per-batch uniques (the analog of the
+  reference's chunk merge, jellyfish_wrappers.py:335–366).
+* :class:`FilteredCounter` — filtered counting against a fixed index
+  (``jellyfish count -C --if`` analog, jellyfish_wrappers.py:167–176):
+  a per-table-row tally accumulated on device via binary-search probes.
+
+Batch shapes are padded (reads to a fixed batch size, lengths to a
+multiple of 32) so XLA compiles a small number of kernels.
+"""
+
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kmer_denovo_filter_tpu.ops import device as dev
+from kmer_denovo_filter_tpu.ops import encode as enc
+
+logger = logging.getLogger(__name__)
+
+_SENTINEL32 = np.uint32(0xFFFFFFFF)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def pad_read_batch(codes, lengths, batch_reads=None, length_multiple=32):
+    """Pad a (B, L) code batch to engine-friendly static shapes."""
+    b, length = codes.shape
+    tb = batch_reads if batch_reads else b
+    tl = max(_round_up(length, length_multiple), length_multiple)
+    out = np.full((tb, tl), 4, dtype=np.uint8)
+    out[:b, :length] = codes
+    lens = np.zeros(tb, dtype=np.int32)
+    lens[:b] = lengths
+    return out, lens
+
+
+class KmerIndex:
+    """Sorted device-resident canonical k-mer table with optional counts."""
+
+    def __init__(self, keys_np, k, counts_np=None):
+        """*keys_np*: (M, W) uint32 sorted unique canonical keys."""
+        self.k = k
+        self.w = enc.words_per_kmer(k)
+        self.n = keys_np.shape[0]
+        padded = dev.pad_pow2_rows(
+            np.ascontiguousarray(keys_np, dtype=np.uint32), _SENTINEL32)
+        self.m_pad = padded.shape[0]
+        self.table = jnp.asarray(padded)
+        self.keys_np = keys_np
+        self.counts_np = counts_np
+
+    @classmethod
+    def from_strings(cls, kmers, k):
+        """Build from canonical k-mer strings (order-independent)."""
+        keys = enc.kmers_to_keys(list(kmers), k)
+        uniq, _ = enc.unique_with_counts(keys)
+        return cls(uniq, k)
+
+    @classmethod
+    def from_keys_counts(cls, keys_np, counts_np, k):
+        return cls(keys_np, k, counts_np)
+
+    def to_strings(self):
+        return enc.keys_to_kmers(self.keys_np, self.k)
+
+    def membership(self, query_keys_np):
+        """bool array: which query rows are present in the table."""
+        if query_keys_np.shape[0] == 0:
+            return np.zeros(0, dtype=bool)
+        q = jnp.asarray(np.ascontiguousarray(query_keys_np, np.uint32))
+        idx, found = dev.lookup_sorted(self.table, q, self.w)
+        found = np.array(found)
+        # sentinel queries would match sentinel padding — mask them
+        sent = (query_keys_np == _SENTINEL32).all(axis=1)
+        found[sent] = False
+        return found
+
+    def counts_of(self, query_keys_np):
+        """int64 counts per query row (0 when absent / no counts)."""
+        if self.counts_np is None:
+            raise ValueError("index has no counts")
+        idx, found = dev.lookup_sorted(
+            self.table,
+            jnp.asarray(np.ascontiguousarray(query_keys_np, np.uint32)),
+            self.w)
+        idx = np.clip(np.asarray(idx), 0, self.n - 1)
+        found = np.asarray(found)
+        sent = (query_keys_np == _SENTINEL32).all(axis=1)
+        out = np.where(found & ~sent, self.counts_np[idx], 0)
+        return out
+
+
+class StreamCounter:
+    """Canonical k-mer counting over streamed (codes, lengths) batches."""
+
+    def __init__(self, k):
+        self.k = k
+        self.w = enc.words_per_kmer(k)
+        self._chunks = []  # list of (unique_keys np, counts np)
+        self.total_windows = 0
+
+    def feed(self, codes, lengths):
+        codes_p, lens_p = pad_read_batch(codes, lengths)
+        keys, valid = dev.extract_canonical_windows(
+            jnp.asarray(codes_p), jnp.asarray(lens_p), self.k)
+        b, s, w = keys.shape
+        flat = keys.reshape(b * s, w)
+        skeys, starts, counts = dev.sort_count(flat, w)
+        skeys = np.asarray(skeys)
+        starts = np.asarray(starts)
+        counts = np.asarray(counts)
+        mask = starts & ~(skeys == _SENTINEL32).all(axis=1)
+        self._chunks.append((skeys[mask], counts[mask].astype(np.int64)))
+        self.total_windows += int(np.asarray(valid).sum())
+
+    def feed_sequence(self, seq):
+        """Count k-mers of one long sequence (reference contigs).
+
+        Chunked with k-1 overlap so no window is lost.
+        """
+        codes = enc.ASCII_TO_CODE[
+            np.frombuffer(seq.upper().encode("ascii"), dtype=np.uint8)]
+        chunk = 1 << 20
+        k = self.k
+        n = len(codes)
+        if n < k:
+            return
+        step = chunk - (k - 1)
+        for off in range(0, max(n - k + 1, 1), step):
+            part = codes[off:off + chunk]
+            self.feed(part[None, :], np.array([len(part)], dtype=np.int32))
+
+    def result(self):
+        """Final (sorted unique keys, counts) across all batches."""
+        if not self._chunks:
+            return (np.zeros((0, self.w), dtype=np.uint32),
+                    np.zeros(0, dtype=np.int64))
+        all_keys = np.concatenate([c[0] for c in self._chunks], axis=0)
+        all_counts = np.concatenate([c[1] for c in self._chunks], axis=0)
+        return enc.unique_with_counts(all_keys, weights=all_counts)
+
+    def to_index(self):
+        keys, counts = self.result()
+        return KmerIndex.from_keys_counts(keys, counts, self.k)
+
+
+class FilteredCounter:
+    """Count stream k-mers restricted to a fixed index (``--if`` analog)."""
+
+    def __init__(self, index):
+        self.index = index
+        self.acc = jnp.zeros(index.m_pad, dtype=jnp.int32)
+
+    def feed(self, codes, lengths):
+        codes_p, lens_p = pad_read_batch(codes, lengths)
+        keys, _valid = dev.extract_canonical_windows(
+            jnp.asarray(codes_p), jnp.asarray(lens_p), self.index.k)
+        b, s, w = keys.shape
+        flat = keys.reshape(b * s, w)
+        self.acc = dev.probe_accumulate(
+            self.index.table, self.acc, flat, w, self.index.m_pad)
+
+    def result(self):
+        """int64 counts aligned with the index's sorted keys."""
+        acc = np.asarray(self.acc)[:self.index.n]
+        return acc.astype(np.int64)
+
+
+def scan_reads_for_hits(index, codes, lengths):
+    """Window hit mask of a read batch against *index*.
+
+    The anchoring-scan primitive (replaces the per-read Aho-Corasick /
+    jellyfish-query loop of reference core/bam_scanner.py:340–507).
+
+    Returns a (B, S) bool numpy array: window *s* of read *b* is a
+    canonical k-mer present in the index.
+    """
+    codes_p, lens_p = pad_read_batch(codes, lengths)
+    keys, valid = dev.extract_canonical_windows(
+        jnp.asarray(codes_p), jnp.asarray(lens_p), index.k)
+    b, s, w = keys.shape
+    flat = keys.reshape(b * s, w)
+    _, found = dev.lookup_sorted(index.table, flat, w)
+    found = np.asarray(found).reshape(b, s) & np.asarray(valid)
+    return found[:codes.shape[0], :codes.shape[1] - index.k + 1]
+
+
+def count_reads(read_batches, k):
+    """Count canonical k-mers across an iterator of (codes, lengths)."""
+    sc = StreamCounter(k)
+    for codes, lengths in read_batches:
+        sc.feed(codes, lengths)
+    return sc

@@ -1,0 +1,654 @@
+"""BAM reader/writer with a pysam-like record API and a packed fast path.
+
+Replaces the reference's pysam.AlignmentFile usage (reference
+core/bam_scanner.py:18, vcf/pipeline.py:635, discovery/pipeline.py:726)
+and the ``samtools fasta -F 0xD00`` streaming path (reference
+core/jellyfish_wrappers.py:158–165) with a native implementation:
+
+* :class:`AlignedRead` — lazily-decoded record exposing the subset of
+  the pysam ``AlignedSegment`` API the pipelines use (aligned pairs,
+  reference positions, CIGAR, tags, flags).
+* :class:`BamReader` — streaming iteration, region ``fetch`` via an
+  in-memory per-contig interval index (no BAI required for reading),
+  and :meth:`iter_packed` which yields 2-bit-packed numpy read batches
+  for the TPU k-mer engine without materialising sequence strings.
+* :class:`BamWriter` — coordinate-sort + BAI binning index writer
+  (equivalent of ``pysam.sort`` + ``pysam.index``,
+  reference vcf/pipeline.py:1355–1356).
+"""
+
+import struct
+
+import numpy as np
+
+from kmer_denovo_filter_tpu.htsio.bgzf import BgzfReader, BgzfWriter
+
+FLAG_PAIRED = 0x1
+FLAG_PROPER_PAIR = 0x2
+FLAG_UNMAP = 0x4
+FLAG_MUNMAP = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MREVERSE = 0x20
+FLAG_READ1 = 0x40
+FLAG_READ2 = 0x80
+FLAG_SECONDARY = 0x100
+FLAG_QCFAIL = 0x200
+FLAG_DUP = 0x400
+FLAG_SUPPLEMENTARY = 0x800
+
+_SEQ_NT16 = "=ACMGRSVTWYHKDBN"
+_CIGAR_OPS = "MIDNSHP=X"
+# nibble code -> 2-bit base code (A=0 C=1 G=2 T=3), 4 = ambiguous/N
+_NT16_TO_2BIT = np.full(16, 4, dtype=np.uint8)
+_NT16_TO_2BIT[1] = 0  # A
+_NT16_TO_2BIT[2] = 1  # C
+_NT16_TO_2BIT[4] = 2  # G
+_NT16_TO_2BIT[8] = 3  # T
+
+# ops that consume reference: M D N = X  → indices 0,2,3,7,8
+_REF_CONSUME = frozenset((0, 2, 3, 7, 8))
+# ops that consume query: M I S = X → 0,1,4,7,8
+_QRY_CONSUME = frozenset((0, 1, 4, 7, 8))
+
+
+class AlignedRead:
+    """One BAM alignment record (lazily decoded from the raw buffer)."""
+
+    __slots__ = (
+        "_raw", "tid", "pos", "mapping_quality", "flag",
+        "next_tid", "next_pos", "tlen",
+        "_l_read_name", "_n_cigar", "_l_seq",
+        "_refs", "_qname", "_cigar", "_seq", "_qual", "_tags",
+        "_ref_end",
+    )
+
+    def __init__(self, raw, refs):
+        self._raw = raw
+        self._refs = refs
+        (self.tid, self.pos, self._l_read_name, self.mapping_quality,
+         _bin, self._n_cigar, self.flag, self._l_seq,
+         self.next_tid, self.next_pos, self.tlen) = struct.unpack_from(
+            "<iiBBHHHiiii", raw, 0)
+        self._qname = None
+        self._cigar = None
+        self._seq = None
+        self._qual = None
+        self._tags = None
+        self._ref_end = None
+
+    # ── identity / flags ───────────────────────────────────────────
+    @property
+    def query_name(self):
+        if self._qname is None:
+            off = 32
+            self._qname = self._raw[off:off + self._l_read_name - 1].decode()
+        return self._qname
+
+    @property
+    def is_unmapped(self):
+        return bool(self.flag & FLAG_UNMAP)
+
+    @property
+    def is_secondary(self):
+        return bool(self.flag & FLAG_SECONDARY)
+
+    @property
+    def is_supplementary(self):
+        return bool(self.flag & FLAG_SUPPLEMENTARY)
+
+    @property
+    def is_duplicate(self):
+        return bool(self.flag & FLAG_DUP)
+
+    @property
+    def is_paired(self):
+        return bool(self.flag & FLAG_PAIRED)
+
+    @property
+    def is_proper_pair(self):
+        return bool(self.flag & FLAG_PROPER_PAIR)
+
+    @property
+    def is_reverse(self):
+        return bool(self.flag & FLAG_REVERSE)
+
+    @property
+    def mate_is_unmapped(self):
+        return bool(self.flag & FLAG_MUNMAP)
+
+    # ── coordinates ────────────────────────────────────────────────
+    @property
+    def reference_id(self):
+        return self.tid
+
+    @property
+    def reference_name(self):
+        if self.tid < 0:
+            return None
+        return self._refs[self.tid][0]
+
+    @property
+    def reference_start(self):
+        return self.pos
+
+    @property
+    def cigartuples(self):
+        if self._n_cigar == 0:
+            return None
+        if self._cigar is None:
+            off = 32 + self._l_read_name
+            vals = struct.unpack_from(f"<{self._n_cigar}I", self._raw, off)
+            self._cigar = [(v & 0xF, v >> 4) for v in vals]
+        return self._cigar
+
+    @property
+    def reference_end(self):
+        """0-based exclusive end of the alignment on the reference."""
+        if self.is_unmapped:
+            return None
+        if self._ref_end is None:
+            span = 0
+            ct = self.cigartuples
+            if ct:
+                for op, length in ct:
+                    if op in _REF_CONSUME:
+                        span += length
+            self._ref_end = self.pos + span
+        return self._ref_end
+
+    @property
+    def query_length(self):
+        return self._l_seq
+
+    @property
+    def query_sequence(self):
+        if self._l_seq == 0:
+            return None
+        if self._seq is None:
+            off = 32 + self._l_read_name + 4 * self._n_cigar
+            nbytes = (self._l_seq + 1) // 2
+            packed = self._raw[off:off + nbytes]
+            chars = []
+            for b in packed:
+                chars.append(_SEQ_NT16[b >> 4])
+                chars.append(_SEQ_NT16[b & 0xF])
+            self._seq = "".join(chars[:self._l_seq])
+        return self._seq
+
+    @property
+    def query_qualities(self):
+        if self._l_seq == 0:
+            return None
+        if self._qual is None:
+            off = (32 + self._l_read_name + 4 * self._n_cigar
+                   + (self._l_seq + 1) // 2)
+            q = self._raw[off:off + self._l_seq]
+            if q and q[0] == 0xFF:
+                self._qual = None
+                return None
+            self._qual = list(q)
+        return self._qual
+
+    def seq_codes(self):
+        """Return the read as a 2-bit numpy code array (4 = N)."""
+        off = 32 + self._l_read_name + 4 * self._n_cigar
+        nbytes = (self._l_seq + 1) // 2
+        packed = np.frombuffer(self._raw, dtype=np.uint8,
+                               count=nbytes, offset=off)
+        nibbles = np.empty(nbytes * 2, dtype=np.uint8)
+        nibbles[0::2] = packed >> 4
+        nibbles[1::2] = packed & 0xF
+        return _NT16_TO_2BIT[nibbles[:self._l_seq]]
+
+    # ── tags ───────────────────────────────────────────────────────
+    def _parse_tags(self):
+        if self._tags is not None:
+            return self._tags
+        off = (32 + self._l_read_name + 4 * self._n_cigar
+               + (self._l_seq + 1) // 2 + self._l_seq)
+        tags = {}
+        raw = self._raw
+        n = len(raw)
+        while off + 3 <= n:
+            tag = raw[off:off + 2].decode("ascii", "replace")
+            typ = chr(raw[off + 2])
+            off += 3
+            if typ == "A":
+                tags[tag] = chr(raw[off]); off += 1
+            elif typ == "c":
+                tags[tag] = struct.unpack_from("<b", raw, off)[0]; off += 1
+            elif typ == "C":
+                tags[tag] = raw[off]; off += 1
+            elif typ == "s":
+                tags[tag] = struct.unpack_from("<h", raw, off)[0]; off += 2
+            elif typ == "S":
+                tags[tag] = struct.unpack_from("<H", raw, off)[0]; off += 2
+            elif typ == "i":
+                tags[tag] = struct.unpack_from("<i", raw, off)[0]; off += 4
+            elif typ == "I":
+                tags[tag] = struct.unpack_from("<I", raw, off)[0]; off += 4
+            elif typ == "f":
+                tags[tag] = struct.unpack_from("<f", raw, off)[0]; off += 4
+            elif typ in ("Z", "H"):
+                end = raw.index(b"\x00", off)
+                tags[tag] = raw[off:end].decode("ascii", "replace")
+                off = end + 1
+            elif typ == "B":
+                sub = chr(raw[off]); cnt = struct.unpack_from(
+                    "<I", raw, off + 1)[0]
+                off += 5
+                fmt = {"c": "b", "C": "B", "s": "h", "S": "H",
+                       "i": "i", "I": "I", "f": "f"}[sub]
+                size = struct.calcsize(fmt)
+                tags[tag] = list(struct.unpack_from(
+                    f"<{cnt}{fmt}", raw, off))
+                off += cnt * size
+            else:
+                break  # unknown tag type — stop parsing
+        self._tags = tags
+        return tags
+
+    def has_tag(self, tag):
+        return tag in self._parse_tags()
+
+    def get_tag(self, tag):
+        return self._parse_tags()[tag]
+
+    def set_tag(self, tag, value, value_type=None):
+        """Append/replace a tag (re-encodes the record's tag block)."""
+        tags = dict(self._parse_tags())
+        tags[tag] = value
+        if value_type is None:
+            value_type = "i" if isinstance(value, int) else "Z"
+        # Rebuild raw buffer with the updated tag block.
+        fixed_end = (32 + self._l_read_name + 4 * self._n_cigar
+                     + (self._l_seq + 1) // 2 + self._l_seq)
+        blob = bytearray(self._raw[:fixed_end])
+        for t, v in tags.items():
+            if t == tag:
+                vt = value_type
+            else:
+                vt = "i" if isinstance(v, int) else (
+                    "f" if isinstance(v, float) else "Z")
+            blob += t.encode()
+            if vt == "i":
+                blob += b"i" + struct.pack("<i", v)
+            elif vt == "f":
+                blob += b"f" + struct.pack("<f", v)
+            elif vt == "A":
+                blob += b"A" + v.encode()[:1]
+            else:
+                blob += b"Z" + str(v).encode() + b"\x00"
+        self._raw = bytes(blob)
+        self._tags = tags
+
+    # ── aligned-pairs helpers (pysam-compatible semantics) ─────────
+    def get_aligned_pairs(self, matches_only=False):
+        """(query_pos, ref_pos) pairs from the CIGAR, like pysam.
+
+        Soft-clipped query bases appear with ``ref_pos=None``; deleted /
+        skipped reference bases appear with ``query_pos=None``
+        (matching pysam's ``matches_only=False`` output).  Hard clips
+        and padding are not reported.
+        """
+        ct = self.cigartuples
+        if not ct:
+            return []
+        pairs = []
+        q = 0
+        r = self.pos
+        for op, length in ct:
+            if op in (0, 7, 8):  # M, =, X
+                for i in range(length):
+                    pairs.append((q + i, r + i))
+                q += length
+                r += length
+            elif op == 1 or op == 4:  # I, S
+                if not matches_only:
+                    for i in range(length):
+                        pairs.append((q + i, None))
+                q += length
+            elif op == 2 or op == 3:  # D, N
+                if not matches_only:
+                    for i in range(length):
+                        pairs.append((None, r + i))
+                r += length
+            # H (5), P (6): consume nothing reported
+        return pairs
+
+    def get_reference_positions(self, full_length=False):
+        """Reference positions per query base, like pysam.
+
+        With ``full_length=True`` returns one entry per query base with
+        ``None`` for soft-clipped/inserted bases; otherwise only the
+        aligned positions.
+        """
+        ct = self.cigartuples
+        if not ct:
+            return [None] * self._l_seq if full_length else []
+        out = []
+        r = self.pos
+        for op, length in ct:
+            if op in (0, 7, 8):
+                out.extend(range(r, r + length))
+                r += length
+            elif op == 1 or op == 4:
+                if full_length:
+                    out.extend([None] * length)
+            elif op == 2 or op == 3:
+                r += length
+        return out
+
+    def to_raw(self, tid_override=None):
+        """Serialised record body (without the block_size prefix)."""
+        if tid_override is None:
+            return self._raw
+        raw = bytearray(self._raw)
+        struct.pack_into("<i", raw, 0, tid_override)
+        return bytes(raw)
+
+
+def encode_read(query_name, flag, tid, pos, mapq, cigartuples, seq, quals,
+                next_tid=-1, next_pos=-1, tlen=0, tags=b""):
+    """Build a raw BAM record body from field values (for writers/tests)."""
+    name_b = query_name.encode() + b"\x00"
+    ct = cigartuples or []
+    cigar_b = b"".join(struct.pack("<I", (length << 4) | op)
+                       for op, length in ct)
+    l_seq = len(seq) if seq else 0
+    seq_b = bytearray((l_seq + 1) // 2)
+    code = {c: i for i, c in enumerate(_SEQ_NT16)}
+    for i, ch in enumerate(seq or ""):
+        v = code.get(ch.upper(), 15)
+        if i % 2 == 0:
+            seq_b[i // 2] |= v << 4
+        else:
+            seq_b[i // 2] |= v
+    if quals is None:
+        qual_b = b"\xff" * l_seq
+    else:
+        qual_b = bytes(quals)
+    fixed = struct.pack(
+        "<iiBBHHHiiii", tid, pos, len(name_b), mapq,
+        reg2bin(pos, pos + 1) if pos >= 0 else 4680, len(ct), flag,
+        l_seq, next_tid, next_pos, tlen)
+    return fixed + name_b + cigar_b + bytes(seq_b) + qual_b + tags
+
+
+class BamReader:
+    """Whole-file BAM reader with an in-memory interval index.
+
+    Replaces random access via BAI with a one-pass load + per-contig
+    sorted index: ``fetch(chrom, start, end)`` runs a binary search on
+    read starts with a prefix-max of ends (exact overlap semantics).
+    This matches the access pattern of both pipelines, which either
+    stream the whole file or fetch a bounded set of loci.
+    """
+
+    def __init__(self, path, reference_filename=None):
+        del reference_filename  # CRAM unsupported in round 1 (gated upstream)
+        self.path = path
+        with BgzfReader(path) as fh:
+            magic = fh.read_exact(4)
+            if magic != b"BAM\x01":
+                raise ValueError(f"not a BAM file: {path}")
+            l_text = struct.unpack("<i", fh.read_exact(4))[0]
+            self.header_text = fh.read_exact(l_text).decode(
+                "utf-8", "replace")
+            n_ref = struct.unpack("<i", fh.read_exact(4))[0]
+            refs = []
+            for _ in range(n_ref):
+                l_name = struct.unpack("<i", fh.read_exact(4))[0]
+                name = fh.read_exact(l_name)[:-1].decode()
+                l_ref = struct.unpack("<i", fh.read_exact(4))[0]
+                refs.append((name, l_ref))
+            self.refs = refs
+            self._records = []
+            while True:
+                szb = fh.read(4)
+                if len(szb) < 4:
+                    break
+                (block_size,) = struct.unpack("<i", szb)
+                raw = fh.read_exact(block_size)
+                self._records.append(AlignedRead(raw, refs))
+        self._tid_index = None
+
+    # ── pysam-ish surface ──────────────────────────────────────────
+    @property
+    def references(self):
+        return [r[0] for r in self.refs]
+
+    @property
+    def lengths(self):
+        return [r[1] for r in self.refs]
+
+    @property
+    def nreferences(self):
+        return len(self.refs)
+
+    def get_tid(self, name):
+        for i, (n, _) in enumerate(self.refs):
+            if n == name:
+                return i
+        return -1
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass
+
+    def _build_index(self):
+        if self._tid_index is not None:
+            return
+        idx = {}
+        for rec in self._records:
+            if rec.tid >= 0:
+                idx.setdefault(rec.tid, []).append(rec)
+        for tid, recs in idx.items():
+            recs.sort(key=lambda r: r.pos)
+        self._tid_index = idx
+        # prefix max of reference_end for overlap binary search
+        self._prefix_max_end = {}
+        for tid, recs in idx.items():
+            ends = []
+            cur = 0
+            for r in recs:
+                e = r.reference_end if not r.is_unmapped else r.pos + 1
+                cur = max(cur, e if e is not None else r.pos + 1)
+                ends.append(cur)
+            self._prefix_max_end[tid] = ends
+
+    def fetch(self, contig=None, start=None, end=None, until_eof=False):
+        """Iterate reads.
+
+        * no args → all records with a placed position (tid >= 0), in
+          file (coordinate) order — pysam ``fetch()`` semantics.
+        * ``contig="*"`` → unplaced unmapped records.
+        * ``contig, start, end`` → reads overlapping [start, end).
+        * ``until_eof=True`` → every record in file order.
+        """
+        if until_eof:
+            yield from self._records
+            return
+        if contig is None:
+            for rec in self._records:
+                if rec.tid >= 0:
+                    yield rec
+            return
+        if contig == "*":
+            any_unplaced = False
+            for rec in self._records:
+                if rec.tid < 0:
+                    any_unplaced = True
+                    yield rec
+            if not any_unplaced and not self._records:
+                return
+            return
+        tid = self.get_tid(contig)
+        if tid < 0:
+            raise ValueError(f"unknown contig: {contig}")
+        self._build_index()
+        recs = self._tid_index.get(tid, [])
+        if start is None:
+            yield from recs
+            return
+        if end is None:
+            end = self.refs[tid][1]
+        import bisect
+        pmax = self._prefix_max_end[tid]
+        # leftmost record index whose prefix-max-end > start
+        lo = bisect.bisect_right(pmax, start)
+        for i in range(lo, len(recs)):
+            rec = recs[i]
+            if rec.pos >= end:
+                break
+            e = rec.reference_end if not rec.is_unmapped else rec.pos + 1
+            if e is None:
+                e = rec.pos + 1
+            if e > start:
+                yield rec
+
+    # ── packed fast path for the TPU engine ────────────────────────
+    def iter_packed(self, exclude_flags=0, batch_reads=8192, records=None):
+        """Yield (codes, lengths) numpy batches of 2-bit read codes.
+
+        ``codes`` is (B, Lmax) uint8 with 4 for N / padding, ``lengths``
+        is (B,) int32.  Replaces the reference's
+        ``samtools fasta -F 0xD00 | jellyfish count`` producer side —
+        canonical counting is strand-invariant so no reverse-complement
+        restore is needed.
+        """
+        batch = []
+        src = self._records if records is None else records
+        for rec in src:
+            if rec.flag & exclude_flags:
+                continue
+            if rec._l_seq == 0:
+                continue
+            batch.append(rec.seq_codes())
+            if len(batch) >= batch_reads:
+                yield _pad_batch(batch)
+                batch = []
+        if batch:
+            yield _pad_batch(batch)
+
+
+def _pad_batch(code_list):
+    lengths = np.array([len(c) for c in code_list], dtype=np.int32)
+    lmax = int(lengths.max())
+    out = np.full((len(code_list), lmax), 4, dtype=np.uint8)
+    for i, c in enumerate(code_list):
+        out[i, :len(c)] = c
+    return out, lengths
+
+
+# ── BAI index support ──────────────────────────────────────────────
+
+
+def reg2bin(beg, end):
+    """Compute the BAI bin for [beg, end) (SAM spec §5.3)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+class BamWriter:
+    """BAM writer; records are buffered so ``sort_and_index`` can run."""
+
+    def __init__(self, path, header_text, refs):
+        self.path = path
+        self.header_text = header_text
+        self.refs = refs
+        self._bodies = []  # (tid, pos, raw_body)
+
+    def write(self, read):
+        self._bodies.append((read.tid, read.pos, read.to_raw()))
+
+    def write_raw(self, tid, pos, raw):
+        self._bodies.append((tid, pos, raw))
+
+    def close(self, sort=False, index=False):
+        if sort:
+            # samtools coordinate order: by tid then pos, tid -1 last
+            self._bodies.sort(
+                key=lambda t: (t[0] if t[0] >= 0 else 1 << 30, t[1]))
+        voffsets = []
+        with BgzfWriter(self.path) as out:
+            hdr = self.header_text.encode()
+            out.write(b"BAM\x01" + struct.pack("<i", len(hdr)) + hdr)
+            out.write(struct.pack("<i", len(self.refs)))
+            for name, length in self.refs:
+                nb = name.encode() + b"\x00"
+                out.write(struct.pack("<i", len(nb)) + nb
+                          + struct.pack("<i", length))
+            for tid, pos, raw in self._bodies:
+                vstart = out.tell_virtual()
+                out.write(struct.pack("<i", len(raw)) + raw)
+                vend = out.tell_virtual()
+                voffsets.append((tid, pos, raw, vstart, vend))
+        if index:
+            self._write_bai(voffsets)
+
+    def _write_bai(self, voffsets):
+        n_ref = len(self.refs)
+        bins_per_ref = [dict() for _ in range(n_ref)]
+        linear_per_ref = [dict() for _ in range(n_ref)]
+        n_unplaced = 0
+        for tid, pos, raw, vstart, vend in voffsets:
+            if tid < 0:
+                n_unplaced += 1
+                continue
+            # parse n_cigar + flags to get the reference span
+            (_, _, _, _, _, n_cigar, flag, _) = struct.unpack_from(
+                "<iiBBHHHi", raw, 0)
+            l_read_name = raw[8]
+            span = 0
+            if n_cigar:
+                vals = struct.unpack_from(
+                    f"<{n_cigar}I", raw, 32 + l_read_name)
+                for v in vals:
+                    if (v & 0xF) in _REF_CONSUME:
+                        span += v >> 4
+            end = pos + max(span, 1)
+            b = reg2bin(pos, end)
+            chunks = bins_per_ref[tid].setdefault(b, [])
+            if chunks and chunks[-1][1] == vstart:
+                chunks[-1] = (chunks[-1][0], vend)
+            else:
+                chunks.append((vstart, vend))
+            for win in range(pos >> 14, ((end - 1) >> 14) + 1):
+                lin = linear_per_ref[tid]
+                if win not in lin or vstart < lin[win]:
+                    lin[win] = vstart
+        with open(self.path + ".bai", "wb") as fh:
+            fh.write(b"BAI\x01" + struct.pack("<i", n_ref))
+            for tid in range(n_ref):
+                bins = bins_per_ref[tid]
+                fh.write(struct.pack("<i", len(bins)))
+                for b in sorted(bins):
+                    chunks = bins[b]
+                    fh.write(struct.pack("<Ii", b, len(chunks)))
+                    for s, e in chunks:
+                        fh.write(struct.pack("<QQ", s, e))
+                lin = linear_per_ref[tid]
+                n_intv = (max(lin) + 1) if lin else 0
+                fh.write(struct.pack("<i", n_intv))
+                prev = 0
+                for i in range(n_intv):
+                    v = lin.get(i, prev)
+                    prev = v
+                    fh.write(struct.pack("<Q", v))
+            fh.write(struct.pack("<Q", n_unplaced))
