@@ -1,0 +1,1397 @@
+"""Discovery pipeline: VCF-free whole-genome proband-unique k-mer scan.
+
+TPU-native re-design of reference discovery/pipeline.py (2592 LoC).
+Same module structure and byte-identical text outputs; the compute
+core is different:
+
+* Modules 0–2 (ref index, child count+filter, ref subtract, parent
+  filters) run as device set-pipeline ops — sort-based counting,
+  binary-search membership, filtered probe-tallies — replacing four
+  whole-BAM ``samtools | jellyfish`` subprocess passes
+  (reference discovery/pipeline.py:69–612).
+* Module 3 anchoring replaces the ProcessPoolExecutor-per-contig +
+  jellyfish-query-batch machinery (reference discovery/pipeline.py:
+  615–1153, core/bam_scanner.py:340–507) with batched device window
+  probes; the sparse informative hits are post-processed on host
+  (clustering, SV metadata, coverage) exactly as the reference does.
+"""
+
+import bisect
+import collections
+import json
+import logging
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+from kmer_denovo_filter_tpu import engine as eng
+from kmer_denovo_filter_tpu.htsio.bam import BamReader, BamWriter
+from kmer_denovo_filter_tpu.htsio.fasta import read_fasta
+from kmer_denovo_filter_tpu.htsio.jellyfish import (
+    JellyfishParseError,
+    load_sorted_jf,
+)
+from kmer_denovo_filter_tpu.kmer import canonicalize
+from kmer_denovo_filter_tpu.memory_utils import (
+    get_available_memory_gb,
+    log_device_memory,
+    log_dir_size,
+    log_disk_usage,
+    log_memory,
+)
+from kmer_denovo_filter_tpu.ops import encode as enc
+from kmer_denovo_filter_tpu.utils import (
+    format_elapsed,
+    format_file_size,
+    is_tmpfs,
+    resolve_tmp_dir,
+    validate_inputs,
+)
+
+logger = logging.getLogger(__name__)
+
+# Flags excluded from counting scans (samtools fasta -F 0xD00 analog):
+# secondary | duplicate | supplementary.
+_COUNT_EXCLUDE_FLAGS = 0xD00
+# Flags excluded from the anchoring scan (reference scans secondary- and
+# duplicate-free but keeps supplementary, core/bam_scanner.py:405–410).
+_ANCHOR_EXCLUDE_FLAGS = 0x500
+
+_ANCHOR_BATCH_READS = 4096
+
+
+# ── Module 0: reference k-mer index ────────────────────────────────
+
+
+def ensure_ref_index(ref_fasta, kmer_size, ref_jf=None):
+    """Load or build the reference canonical k-mer set.
+
+    Drop-in acceptance of jellyfish ``binary/sorted`` ``.jf`` files and
+    of this tool's own ``.kdx.npz`` cache; otherwise counts the
+    reference FASTA on device and caches the result next to it
+    (the analog of reference core/jellyfish_wrappers.py:286–332 reuse).
+
+    Returns a :class:`kmer_denovo_filter_tpu.engine.KmerIndex`.
+    """
+    if ref_jf and os.path.isfile(ref_jf):
+        if ref_jf.endswith(".npz"):
+            data = np.load(ref_jf)
+            logger.info("Reference k-mer cache found: %s", ref_jf)
+            return eng.KmerIndex.from_keys_counts(
+                data["keys"], data["counts"], kmer_size)
+        try:
+            keys, counts, k = load_sorted_jf(ref_jf, expect_k=kmer_size)
+            order = enc.lexsort_keys(keys)
+            logger.info("Reference Jellyfish index loaded: %s (%d k-mers)",
+                        ref_jf, keys.shape[0])
+            return eng.KmerIndex.from_keys_counts(
+                keys[order], counts[order], kmer_size)
+        except JellyfishParseError as e:
+            logger.warning(
+                "Cannot parse %s (%s); rebuilding reference set from "
+                "FASTA", ref_jf, e)
+
+    cache = f"{ref_fasta}.k{kmer_size}.kdx.npz"
+    if os.path.isfile(cache):
+        data = np.load(cache)
+        logger.info("Reference k-mer cache found: %s", cache)
+        return eng.KmerIndex.from_keys_counts(
+            data["keys"], data["counts"], kmer_size)
+
+    logger.info("Building reference k-mer set: %s (k=%d)",
+                ref_fasta, kmer_size)
+    build_start = time.monotonic()
+    sc = eng.StreamCounter(kmer_size)
+    for name, seq in read_fasta(ref_fasta).items():
+        sc.feed_sequence(seq)
+    keys, counts = sc.result()
+    try:
+        np.savez(cache, keys=keys, counts=counts)
+        logger.info("Reference k-mer cache written: %s", cache)
+    except OSError:
+        pass
+    logger.info("Reference set built in %s (%d k-mers)",
+                format_elapsed(time.monotonic() - build_start),
+                keys.shape[0])
+    return eng.KmerIndex.from_keys_counts(keys, counts, kmer_size)
+
+
+# ── Module 1: child counting & reference subtraction ───────────────
+
+
+def _extract_child_kmers_discovery(child_bam, kmer_size, min_child_count):
+    """Count all child k-mers on device; keep count >= min_child_count.
+
+    Returns ``(candidate_keys, n_candidates)`` — the device analog of
+    ``jellyfish count -C`` + ``dump -L min_child_count``
+    (reference discovery/pipeline.py:69–268).
+    """
+    extract_start = time.monotonic()
+    logger.info("Extracting child k-mers from BAM (k=%d, device engine)…",
+                kmer_size)
+    bam = BamReader(child_bam)
+    sc = eng.StreamCounter(kmer_size)
+    n_reads = 0
+    for codes, lengths in bam.iter_packed(
+            exclude_flags=_COUNT_EXCLUDE_FLAGS):
+        sc.feed(codes, lengths)
+        n_reads += codes.shape[0]
+    keys, counts = sc.result()
+    logger.info(
+        "Child k-mer counting complete (%s, %d reads, %d distinct k-mers)",
+        format_elapsed(time.monotonic() - extract_start), n_reads,
+        keys.shape[0])
+    log_memory("after child k-mer counting")
+    log_device_memory("after child k-mer counting")
+
+    keep = counts >= min_child_count
+    candidates = keys[keep]
+    logger.info("Child candidate k-mers (count >= %d): %d",
+                min_child_count, candidates.shape[0])
+    return candidates, candidates.shape[0]
+
+
+def _subtract_reference_kmers(ref_index, candidate_keys):
+    """Keep candidate keys absent from the reference set."""
+    member = ref_index.membership(candidate_keys)
+    non_ref = candidate_keys[~member]
+    logger.info("Non-reference child k-mers after subtraction: %d",
+                non_ref.shape[0])
+    return non_ref, non_ref.shape[0]
+
+
+# ── Module 2: parent filtering ─────────────────────────────────────
+
+
+def _count_parent_device(parent_bam, filter_index, label):
+    """Filtered parent count (``--if`` analog) on device.
+
+    Returns int64 counts aligned with *filter_index* keys.
+    """
+    scan_start = time.monotonic()
+    logger.info("%s: scanning BAM (%s): %s", label,
+                format_file_size(parent_bam), parent_bam)
+    logger.info("  device filtered count (k=%d, filter_kmers=%d)",
+                filter_index.k, filter_index.n)
+    fc = eng.FilteredCounter(filter_index)
+    bam = BamReader(parent_bam)
+    n_reads = 0
+    for codes, lengths in bam.iter_packed(
+            exclude_flags=_COUNT_EXCLUDE_FLAGS):
+        fc.feed(codes, lengths)
+        n_reads += codes.shape[0]
+    counts = fc.result()
+    logger.info("  %s counting complete (%s, %d reads)",
+                label, format_elapsed(time.monotonic() - scan_start),
+                n_reads)
+    return counts
+
+
+def _filter_parents_discovery(mother_bam, father_bam, non_ref_keys,
+                              kmer_size, parent_max_count=0):
+    """Module 2: remove k-mers seen >parent_max_count in either parent.
+
+    Sequential mother-then-father filtering with the reduced survivor
+    set, mirroring reference discovery/pipeline.py:462–612.
+
+    Returns ``(n_proband_unique, proband_keys or None)``.
+    """
+    n_input = non_ref_keys.shape[0]
+    if n_input == 0:
+        return 0, None
+    logger.info("Filtering %d non-reference k-mers against parents…",
+                n_input)
+    log_memory("before parent filtering")
+
+    mother_index = eng.KmerIndex(non_ref_keys, kmer_size)
+    mother_counts = _count_parent_device(mother_bam, mother_index, "Mother")
+    survive = mother_counts <= parent_max_count
+    after_mother = non_ref_keys[survive]
+    n_surviving = after_mother.shape[0]
+    logger.info(
+        "Mother: %d / %d non-ref k-mers found (count > %d), %d surviving",
+        n_input - n_surviving, n_input, parent_max_count, n_surviving)
+    log_memory("after mother filtering")
+    if n_surviving == 0:
+        return 0, None
+
+    father_index = eng.KmerIndex(after_mother, kmer_size)
+    father_counts = _count_parent_device(father_bam, father_index, "Father")
+    survive = father_counts <= parent_max_count
+    proband = after_mother[survive]
+    n_proband = proband.shape[0]
+    logger.info(
+        "Father: %d / %d surviving k-mers found (count > %d), "
+        "%d proband-unique",
+        n_surviving - n_proband, n_surviving, parent_max_count, n_proband)
+    logger.info("Proband-unique k-mers (absent from both parents): %d / %d",
+                n_proband, n_input)
+    log_memory("after parent filtering")
+    return n_proband, proband
+
+
+# ── Module 3: anchoring & clustering ───────────────────────────────
+
+
+def _extract_softclips(cigartuples):
+    """Left/right soft-clip lengths (reference core/bam_scanner.py:54–94).
+
+    Hard clips may flank soft clips; a CIGAR whose only non-hard-clip
+    op is a soft clip counts it once (left).
+    """
+    if not cigartuples:
+        return (0, 0)
+    left = 0
+    for op, length in cigartuples:
+        if op == 4:
+            left = length
+            break
+        if op == 5:
+            continue
+        break
+    right = 0
+    for op, length in reversed(cigartuples):
+        if op == 4:
+            right = length
+            break
+        if op == 5:
+            continue
+        break
+    non_hard = [t for t in cigartuples if t[0] != 5]
+    if len(non_hard) == 1 and non_hard[0][0] == 4:
+        right = 0
+    return (left, right)
+
+
+def _collect_kmer_ref_positions(read, kmer_hit_indices, kmer_size):
+    """Map k-mer hit query windows to reference position coverage."""
+    cov = collections.Counter()
+    query_to_ref = dict(read.get_aligned_pairs(matches_only=True))
+    for start_idx in kmer_hit_indices:
+        for qpos in range(start_idx, start_idx + kmer_size):
+            rpos = query_to_ref.get(qpos)
+            if rpos is not None:
+                cov[rpos] += 1
+    return cov
+
+
+def _infer_sv_type(region_a, region_b):
+    """INTRA for same-chromosome links, BND for translocations."""
+    return "BND" if region_a[0] != region_b[0] else "INTRA"
+
+
+def _process_informative_read(read, unique_in_read, kmer_hit_indices,
+                              kmer_size, reads_seen, read_hits,
+                              read_sv_meta, kmer_coverage, read_coverage):
+    """Record an informative read (reference core/bam_scanner.py:284–337).
+
+    Returns 1 when the read is unmapped-informative, else 0.
+    """
+    dedup_key = (read.query_name, read.is_supplementary)
+    if dedup_key in reads_seen:
+        return 0
+    reads_seen.add(dedup_key)
+    if read.is_unmapped:
+        return 1
+
+    read_hits.append((
+        read.reference_name, read.reference_start, read.reference_end,
+        read.query_name, unique_in_read, read.is_supplementary))
+    chrom = read.reference_name
+    cov = _collect_kmer_ref_positions(read, kmer_hit_indices, kmer_size)
+    kmer_coverage[chrom] += cov
+    for pos in cov:
+        read_coverage[chrom][pos] += 1
+
+    max_clip = 0
+    if read.cigartuples:
+        for op, length in read.cigartuples:
+            if op == 4 and length > max_clip:
+                max_clip = length
+    read_sv_meta[dedup_key] = {
+        "has_sa": read.has_tag("SA"),
+        "sa_str": read.get_tag("SA") if (
+            read.has_tag("SA") and not read.is_supplementary) else None,
+        "is_paired": read.is_paired,
+        "is_proper_pair": read.is_proper_pair,
+        "mate_is_unmapped": (read.mate_is_unmapped if read.is_paired
+                             else False),
+        "max_clip": max_clip,
+    }
+    return 0
+
+
+def _scan_child_reads(child_bam_reader, proband_index, kmer_size,
+                      min_dk_per_read, state):
+    """Anchoring scan: batched device probe of every scannable child read.
+
+    *state* is the mutable tuple (read_hits, reads_seen, read_sv_meta,
+    kmer_coverage, read_coverage); returns
+    (unmapped_informative, total_reads_scanned).
+    """
+    (read_hits, reads_seen, read_sv_meta,
+     kmer_coverage, read_coverage) = state
+    unmapped_informative = 0
+    total_scanned = 0
+    batch = []
+
+    def _flush(batch):
+        nonlocal unmapped_informative
+        if not batch:
+            return
+        codes_list = [r.seq_codes() for r in batch]
+        lengths = np.array([len(c) for c in codes_list], dtype=np.int32)
+        lmax = int(lengths.max())
+        codes = np.full((len(batch), max(lmax, kmer_size)), 4,
+                        dtype=np.uint8)
+        for i, c in enumerate(codes_list):
+            codes[i, :len(c)] = c
+        found = eng.scan_reads_for_hits(proband_index, codes, lengths)
+        hit_rows = np.nonzero(found.any(axis=1))[0]
+        for i in hit_rows:
+            read = batch[i]
+            seq = read.query_sequence.upper()
+            positions = np.nonzero(found[i])[0]
+            unique_in_read = set()
+            kmer_hit_indices = set()
+            for p in positions:
+                unique_in_read.add(canonicalize(seq[p:p + kmer_size]))
+                kmer_hit_indices.add(int(p))
+            if len(unique_in_read) < min_dk_per_read:
+                continue
+            unmapped_informative += _process_informative_read(
+                read, unique_in_read, kmer_hit_indices, kmer_size,
+                reads_seen, read_hits, read_sv_meta, kmer_coverage,
+                read_coverage)
+
+    for read in child_bam_reader.fetch(until_eof=True):
+        if read.flag & _ANCHOR_EXCLUDE_FLAGS:
+            continue
+        if read._l_seq == 0:
+            continue
+        total_scanned += 1
+        if read._l_seq >= kmer_size:
+            batch.append(read)
+        if len(batch) >= _ANCHOR_BATCH_READS:
+            _flush(batch)
+            batch = []
+    _flush(batch)
+    return unmapped_informative, total_scanned
+
+
+def _anchor_and_cluster(child_bam_reader, proband_index, kmer_size,
+                        merge_distance=500, min_distinct_kmers_per_read=1,
+                        n_proband_unique=None):
+    """Module 3: anchoring scan + single-pass region clustering.
+
+    Mirrors reference discovery/pipeline.py:615–1153 with the device
+    probe replacing both scanning backends.
+    """
+    anchor_start = time.monotonic()
+    logger.info(
+        "  Device anchoring scan: %d proband-unique k-mers, "
+        "min %d distinct k-mers/read",
+        n_proband_unique or proband_index.n, min_distinct_kmers_per_read)
+
+    read_hits = []
+    reads_seen = set()
+    read_sv_meta = {}
+    kmer_coverage = collections.defaultdict(collections.Counter)
+    read_coverage = collections.defaultdict(collections.Counter)
+    state = (read_hits, reads_seen, read_sv_meta, kmer_coverage,
+             read_coverage)
+    unmapped_informative, total_reads_scanned = _scan_child_reads(
+        child_bam_reader, proband_index, kmer_size,
+        min_distinct_kmers_per_read, state)
+
+    log_memory("after anchoring complete")
+    total_informative = len(read_hits) + unmapped_informative
+    logger.info(
+        "Anchoring complete: %d informative reads (%d mapped, %d unmapped) "
+        "from %d scanned (%s)",
+        total_informative, len(read_hits), unmapped_informative,
+        total_reads_scanned, format_elapsed(time.monotonic() - anchor_start))
+
+    if not read_hits:
+        return ([], {}, total_informative, {}, unmapped_informative,
+                read_sv_meta, kmer_coverage, read_coverage)
+
+    read_hits.sort(key=lambda x: (x[0], x[1]))
+
+    regions = []
+    region_reads = {}
+    region_kmers = {}
+    cur_chrom = read_hits[0][0]
+    cur_start = read_hits[0][1]
+    cur_end = read_hits[0][2]
+    cur_names = {read_hits[0][3]}
+    cur_kmers = set(read_hits[0][4])
+    for chrom, start, end, name, unique_in_read, _is_supp in read_hits[1:]:
+        if chrom == cur_chrom and start <= cur_end + merge_distance:
+            cur_end = max(cur_end, end)
+            cur_names.add(name)
+            cur_kmers.update(unique_in_read)
+        else:
+            key = (cur_chrom, cur_start, cur_end)
+            regions.append(key)
+            region_reads[key] = cur_names
+            region_kmers[key] = cur_kmers
+            cur_chrom, cur_start, cur_end = chrom, start, end
+            cur_names = {name}
+            cur_kmers = set(unique_in_read)
+    key = (cur_chrom, cur_start, cur_end)
+    regions.append(key)
+    region_reads[key] = cur_names
+    region_kmers[key] = cur_kmers
+
+    logger.info("Clustered %d mapped informative reads into %d regions",
+                len(read_hits), len(regions))
+    return (regions, region_reads, total_informative, region_kmers,
+            unmapped_informative, read_sv_meta, kmer_coverage,
+            read_coverage)
+
+
+# ── Output writers (byte-identical to the reference formats) ───────
+
+
+def _write_bed(regions, region_reads, region_kmers, bed_path,
+               region_annotations=None, filters=None):
+    """Region BED with counts + SV columns (ref discovery/pipeline.py:1156)."""
+    with open(bed_path, "w") as fh:
+        if filters:
+            parts = " ".join(f"{k}={v}" for k, v in sorted(filters.items()))
+            fh.write(f"#filters: {parts}\n")
+        fh.write(
+            "#chrom\tstart\tend\treads\tunique_kmers"
+            "\tsplit_reads\tdiscordant_pairs"
+            "\tmax_clip_len\tunmapped_mates\tclass\n")
+        for chrom, start, end in regions:
+            key = (chrom, start, end)
+            n_reads = len(region_reads.get(key, set()))
+            n_kmers = len(region_kmers.get(key, set()))
+            ann = (region_annotations or {}).get(key, {})
+            fh.write(
+                f"{chrom}\t{start}\t{end}\t{n_reads}\t{n_kmers}"
+                f"\t{ann.get('split_reads', 0)}"
+                f"\t{ann.get('discordant_pairs', 0)}"
+                f"\t{ann.get('max_clip_len', 0)}"
+                f"\t{ann.get('unmapped_mates', 0)}"
+                f"\t{ann.get('class', 'SMALL')}\n")
+    logger.info("BED file written: %s (%d regions)", bed_path, len(regions))
+
+
+def _write_bedgraph(kmer_coverage, bedgraph_path, read_coverage=None,
+                    min_reads=3):
+    """Run-length-merged k-mer coverage bedGraph (ref :1197–1278)."""
+    total_intervals = 0
+    total_filtered = 0
+    with open(bedgraph_path, "w") as fh:
+        fh.write(
+            f"#track type=bedGraph "
+            f"description=\"De novo k-mer coverage (unique k-mer base "
+            f"overlaps per position, min_reads>={min_reads})\"\n")
+        for chrom in sorted(kmer_coverage):
+            positions = kmer_coverage[chrom]
+            if not positions:
+                continue
+            rc = read_coverage.get(chrom, {}) if read_coverage else None
+            run_start = run_val = run_end = None
+            for pos in sorted(positions):
+                if rc is not None and rc.get(pos, 0) < min_reads:
+                    total_filtered += 1
+                    if run_start is not None:
+                        fh.write(f"{chrom}\t{run_start}\t{run_end}"
+                                 f"\t{run_val}\n")
+                        total_intervals += 1
+                        run_start = None
+                    continue
+                val = positions[pos]
+                if run_start is None:
+                    run_start, run_val, run_end = pos, val, pos + 1
+                elif pos == run_end and val == run_val:
+                    run_end = pos + 1
+                else:
+                    fh.write(f"{chrom}\t{run_start}\t{run_end}\t{run_val}\n")
+                    total_intervals += 1
+                    run_start, run_val, run_end = pos, val, pos + 1
+            if run_start is not None:
+                fh.write(f"{chrom}\t{run_start}\t{run_end}\t{run_val}\n")
+                total_intervals += 1
+    if total_filtered:
+        logger.info(
+            "bedGraph file written: %s (%d intervals, %d positions "
+            "filtered by min_reads=%d)",
+            bedgraph_path, total_intervals, total_filtered, min_reads)
+    else:
+        logger.info("bedGraph file written: %s (%d intervals)",
+                    bedgraph_path, total_intervals)
+
+
+def _write_read_coverage_bed(kmer_coverage, read_coverage, bed_path,
+                             min_reads=3):
+    """Per-position read support BED (ref :1281–1348)."""
+    total_intervals = 0
+    with open(bed_path, "w") as fh:
+        fh.write(
+            f"#track description=\"De novo k-mer read support "
+            f"(min_reads>={min_reads})\"\n"
+            f"#chrom\tstart\tend\tread_count\tavg_kmers_per_read\n")
+        for chrom in sorted(read_coverage):
+            rc = read_coverage[chrom]
+            kc = kmer_coverage.get(chrom, {})
+            filtered = {}
+            for pos, n_reads in rc.items():
+                if n_reads >= min_reads:
+                    filtered[pos] = (n_reads,
+                                     round(kc.get(pos, 0) / n_reads, 1))
+            if not filtered:
+                continue
+            sorted_pos = sorted(filtered)
+            run_start = sorted_pos[0]
+            run_val = filtered[run_start]
+            run_end = run_start + 1
+            for pos in sorted_pos[1:]:
+                val = filtered[pos]
+                if pos == run_end and val == run_val:
+                    run_end = pos + 1
+                else:
+                    fh.write(f"{chrom}\t{run_start}\t{run_end}"
+                             f"\t{run_val[0]}\t{run_val[1]}\n")
+                    total_intervals += 1
+                    run_start, run_val, run_end = pos, val, pos + 1
+            fh.write(f"{chrom}\t{run_start}\t{run_end}"
+                     f"\t{run_val[0]}\t{run_val[1]}\n")
+            total_intervals += 1
+    logger.info("Read coverage BED written: %s (%d intervals)",
+                bed_path, total_intervals)
+
+
+def _annotate_and_link_from_metadata(regions, region_reads, read_sv_meta):
+    """SV annotation + SA-tag breakpoint linking (ref :1351–1489)."""
+    read_to_regions = {}
+    for region_key in regions:
+        for qname in region_reads.get(region_key, set()):
+            read_to_regions.setdefault(qname, set()).add(region_key)
+
+    annotations = {
+        r: {"split_reads": 0, "discordant_pairs": 0,
+            "max_clip_len": 0, "unmapped_mates": 0}
+        for r in regions
+    }
+    if not read_to_regions:
+        return annotations, []
+
+    split_read_counted = set()
+    for dedup_key, meta in read_sv_meta.items():
+        qname = dedup_key[0]
+        if qname not in read_to_regions:
+            continue
+        for region_key in read_to_regions[qname]:
+            ann = annotations[region_key]
+            if meta["has_sa"]:
+                sr_key = (qname, region_key)
+                if sr_key not in split_read_counted:
+                    ann["split_reads"] += 1
+                    split_read_counted.add(sr_key)
+            if meta["is_paired"]:
+                if meta["mate_is_unmapped"]:
+                    ann["unmapped_mates"] += 1
+                elif not meta["is_proper_pair"]:
+                    ann["discordant_pairs"] += 1
+            if meta["max_clip"] > ann["max_clip_len"]:
+                ann["max_clip_len"] = meta["max_clip"]
+
+    region_by_chrom = {}
+    for r in regions:
+        region_by_chrom.setdefault(r[0], []).append(r)
+    chrom_starts = {}
+    chrom_regions_sorted = {}
+    for chrom, rlist in region_by_chrom.items():
+        rlist.sort(key=lambda x: x[1])
+        chrom_starts[chrom] = [r[1] for r in rlist]
+        chrom_regions_sorted[chrom] = rlist
+
+    sa_bridges = {}
+    for dedup_key, meta in read_sv_meta.items():
+        qname = dedup_key[0]
+        sa_str = meta.get("sa_str")
+        if not sa_str or qname not in read_to_regions:
+            continue
+        primary_regions = read_to_regions[qname]
+        for sa_entry in sa_str.rstrip(";").split(";"):
+            parts = sa_entry.split(",")
+            if len(parts) < 3:
+                continue
+            sa_chrom = parts[0]
+            try:
+                sa_pos = int(parts[1]) - 1
+            except ValueError:
+                continue
+            if sa_chrom not in chrom_starts:
+                continue
+            starts = chrom_starts[sa_chrom]
+            sorted_regions = chrom_regions_sorted[sa_chrom]
+            idx = bisect.bisect_right(starts, sa_pos) - 1
+            if idx >= 0:
+                t_chrom, t_start, t_end = sorted_regions[idx]
+                if t_start <= sa_pos < t_end:
+                    target = (t_chrom, t_start, t_end)
+                    for p_region in primary_regions:
+                        if p_region != target:
+                            key = tuple(sorted([p_region, target]))
+                            sa_bridges.setdefault(key, set()).add(qname)
+
+    for qname, rset in read_to_regions.items():
+        if len(rset) >= 2:
+            rlist = sorted(rset)
+            for i in range(len(rlist)):
+                for j in range(i + 1, len(rlist)):
+                    sa_bridges.setdefault(
+                        (rlist[i], rlist[j]), set()).add(qname)
+
+    links = []
+    for region_a, region_b in sorted(sa_bridges):
+        links.append({
+            "region_a": region_a,
+            "region_b": region_b,
+            "supporting_reads": sa_bridges[(region_a, region_b)],
+            "sv_type_hint": _infer_sv_type(region_a, region_b),
+        })
+    return annotations, links
+
+
+def _write_bedpe(links, bedpe_path):
+    """Linked SV breakpoint BEDPE (ref :1492–1514)."""
+    with open(bedpe_path, "w") as fh:
+        fh.write("#chrom1\tstart1\tend1\tchrom2\tstart2\tend2"
+                 "\tsv_id\tsupporting_reads\tsv_type\n")
+        for idx, link in enumerate(links, 1):
+            ra = link["region_a"]
+            rb = link["region_b"]
+            fh.write(f"{ra[0]}\t{ra[1]}\t{ra[2]}"
+                     f"\t{rb[0]}\t{rb[1]}\t{rb[2]}"
+                     f"\tSV_{idx}\t{len(link['supporting_reads'])}"
+                     f"\t{link['sv_type_hint']}\n")
+    logger.info("BEDPE file written: %s (%d links)", bedpe_path, len(links))
+
+
+def _classify_regions(regions, region_annotations, sv_links):
+    """SV / AMBIGUOUS / SMALL classification (ref :1517–1546)."""
+    linked = set()
+    for link in sv_links:
+        linked.add(link["region_a"])
+        linked.add(link["region_b"])
+    for region_key in regions:
+        ann = region_annotations.get(region_key, {})
+        split_reads = ann.get("split_reads", 0)
+        discordant = ann.get("discordant_pairs", 0)
+        unmapped_mates = ann.get("unmapped_mates", 0)
+        if (split_reads >= 2 or discordant >= 2 or unmapped_mates >= 2
+                or region_key in linked):
+            ann["class"] = "SV"
+        elif split_reads == 0 and discordant == 0 and unmapped_mates == 0:
+            ann["class"] = "SMALL"
+        else:
+            ann["class"] = "AMBIGUOUS"
+        region_annotations[region_key] = ann
+
+
+def _parse_candidate_summary(summary_path, dka_dkt_min=0.25, dka_min=10):
+    """High-quality candidates from a VCF-mode summary (ref :1549–1606)."""
+    candidates = []
+    in_table = False
+    with open(summary_path) as fh:
+        for line in fh:
+            line = line.rstrip()
+            if line.strip().startswith("Variant") and "DKU" in line:
+                in_table = True
+                continue
+            if in_table and line.strip().startswith("-------"):
+                continue
+            if in_table and line.strip() == "":
+                break
+            if in_table and line.strip().startswith("="):
+                break
+            if in_table:
+                parts = line.split()
+                if len(parts) < 12:
+                    continue
+                variant = parts[0]
+                ref_alt = parts[1]
+                dka = int(parts[4])
+                dka_dkt = float(parts[6])
+                call = parts[-1]
+                chrom, pos_str = variant.rsplit(":", 1)
+                ref, alt = ref_alt.split(">")
+                if dka_dkt > dka_dkt_min and dka > dka_min:
+                    candidates.append({
+                        "chrom": chrom, "pos": int(pos_str),
+                        "ref": ref, "alt": alt,
+                        "dka": dka, "dka_dkt": dka_dkt, "call": call,
+                    })
+    return candidates
+
+
+def _compare_candidates_to_regions(candidates, regions):
+    """Mark candidates captured by discovery regions (ref :1609–1634)."""
+    results = []
+    for cand in candidates:
+        captured = False
+        match_region = None
+        for chrom, start, end in regions:
+            if cand["chrom"] == chrom and start < cand["pos"] <= end:
+                captured = True
+                match_region = f"{chrom}:{start + 1}-{end}"
+                break
+        results.append({**cand, "captured": captured,
+                        "region": match_region})
+    return results
+
+
+#: Curated de novo mutation regions from Sulovari et al. 2023
+#: (PMID: 36894594, PMC10006329); (chrom, pos, size_bp_or_None, type).
+SULOVARI_DNM_REGIONS = [
+    ("chr17", 53340465, 107, "deletion"),
+    ("chr14", 23280711, None, "microsatellite_expansion"),
+    ("chr3", 85552367, 64, "sv_like"),
+    ("chr5", 97089276, 43, "sv_like"),
+    ("chr8", 125785998, 43, "sv_like"),
+    ("chr18", 62805217, 34, "sv_like"),
+    ("chr7", 142786222, 10607, "deletion"),
+]
+
+
+def _evaluate_dnm_regions(discovery_regions, region_detail,
+                          dnm_regions=None):
+    """Curated DNM locus detection evaluation (ref :1653–1783)."""
+    if dnm_regions is None:
+        dnm_regions = SULOVARI_DNM_REGIONS
+    detail_by_key = {
+        (rd["chrom"], rd["start"], rd["end"]): rd for rd in region_detail
+    }
+    results = []
+    for chrom, pos, size, event_type in dnm_regions:
+        dnm_start = pos
+        dnm_end = pos + (size if size else 1)
+        matches = [dr for dr in discovery_regions
+                   if dr[0] == chrom and dr[1] < dnm_end
+                   and dnm_start < dr[2]]
+        detected = len(matches) > 0
+
+        total_reads = total_kmers = max_clip = 0
+        total_unmapped = total_discordant = total_split = 0
+        region_labels = []
+        sv_classes = []
+        span_start, span_end = dnm_start, dnm_end
+        for m_key in matches:
+            rd = detail_by_key.get(m_key, {})
+            total_reads += rd.get("reads", 0)
+            total_kmers += rd.get("unique_kmers", 0)
+            max_clip = max(max_clip, rd.get("max_clip_len", 0))
+            total_unmapped += rd.get("unmapped_mates", 0)
+            total_discordant += rd.get("discordant_pairs", 0)
+            total_split += rd.get("split_reads", 0)
+            sv_classes.append(rd.get("class", "SMALL"))
+            region_labels.append(f"{m_key[0]}:{m_key[1] + 1}-{m_key[2]}")
+            span_start = min(span_start, m_key[1])
+            span_end = max(span_end, m_key[2])
+
+        span_bp = max(span_end - span_start, 1)
+        kmer_signal = total_kmers / span_bp if detected else 0.0
+        class_priority = {"SV": 3, "AMBIGUOUS": 2, "SMALL": 1}
+        sv_class = (max(sv_classes, key=lambda c: class_priority.get(c, 0))
+                    if sv_classes else "NONE")
+        results.append({
+            "locus": f"{chrom}:{pos}",
+            "event_type": event_type,
+            "event_size": size,
+            "detected": detected,
+            "discovery_regions": region_labels,
+            "total_reads": total_reads,
+            "total_unique_kmers": total_kmers,
+            "max_clip_len": max_clip,
+            "unmapped_mates": total_unmapped,
+            "discordant_pairs": total_discordant,
+            "split_reads": total_split,
+            "sv_class": sv_class,
+            "kmer_signal": round(kmer_signal, 4),
+            "assessment": "DETECTED" if detected else "NOT_DETECTED",
+        })
+    return results
+
+
+def _write_discovery_summary(summary_path, regions, region_reads,
+                             region_kmers, metrics,
+                             candidate_comparison=None,
+                             region_annotations=None,
+                             dnm_evaluation=None):
+    """Byte-identical discovery summary (ref :1786–1976)."""
+    n_regions = metrics["candidate_regions"]
+    n_reads_total = metrics["informative_reads"]
+    n_unmapped = metrics.get("unmapped_informative_reads", 0)
+    n_unique_kmers = metrics["proband_unique_kmers"]
+    n_candidates = metrics["child_candidate_kmers"]
+    n_non_ref = metrics["non_ref_kmers"]
+
+    lines = []
+    lines.append("=" * 60)
+    lines.append("  kmer-denovo  —  Discovery Mode Summary")
+    lines.append("=" * 60)
+    lines.append("")
+    lines.append("K-mer Filtering")
+    lines.append("-" * 40)
+    lines.append(f"  Child candidate k-mers:      {n_candidates:>8}")
+    lines.append(f"  Non-reference k-mers:        {n_non_ref:>8}")
+    lines.append(f"  Proband-unique k-mers:       {n_unique_kmers:>8}")
+    lines.append("")
+    lines.append("Region Counts")
+    lines.append("-" * 40)
+    lines.append(f"  Candidate regions:           {n_regions:>8}")
+    lines.append(f"  Total informative reads:     {n_reads_total:>8}")
+    if n_unmapped > 0:
+        lines.append(f"    (unmapped informative):     {n_unmapped:>8}")
+    lines.append("")
+
+    if regions:
+        reads_per_region = [len(region_reads.get(r, set()))
+                            for r in regions]
+        kmers_per_region = [len(region_kmers.get(r, set()))
+                            for r in regions]
+        sizes = [end - start for _, start, end in regions]
+        lines.append("Region Statistics")
+        lines.append("-" * 40)
+        lines.append(
+            f"  Reads/region   mean: {sum(reads_per_region) / len(reads_per_region):>6.1f}"
+            f"   median: {statistics.median(reads_per_region):>4}"
+            f"   max: {max(reads_per_region):>4}")
+        lines.append(
+            f"  K-mers/region  mean: {sum(kmers_per_region) / len(kmers_per_region):>6.1f}"
+            f"   median: {statistics.median(kmers_per_region):>4}"
+            f"   max: {max(kmers_per_region):>4}")
+        lines.append(
+            f"  Region size    mean: {sum(sizes) / len(sizes):>6.0f} bp"
+            f"   median: {statistics.median(sizes):>4} bp"
+            f"   max: {max(sizes):>4} bp")
+        lines.append("")
+
+    if regions:
+        lines.append("Per-Region Results")
+        lines.append("-" * 120)
+        lines.append(
+            f"  {'Region':<35s} {'Size':>8s} {'Reads':>6s}"
+            f" {'Unique K-mers':>14s}"
+            f" {'Split':>6s} {'Disc':>5s} {'MaxClip':>8s}"
+            f" {'UnmapMate':>10s} {'Class':>10s}")
+        lines.append(
+            f"  {'------':<35s} {'----':>8s} {'-----':>6s}"
+            f" {'-------------':>14s}"
+            f" {'-----':>6s} {'----':>5s} {'-------':>8s}"
+            f" {'---------':>10s} {'-----':>10s}")
+        for chrom, start, end in regions:
+            key = (chrom, start, end)
+            n_reads = len(region_reads.get(key, set()))
+            n_kmers = len(region_kmers.get(key, set()))
+            ann = (region_annotations or {}).get(key, {})
+            label = f"{chrom}:{start + 1}-{end}"
+            lines.append(
+                f"  {label:<35s} {end - start:>7d}bp {n_reads:>6d}"
+                f" {n_kmers:>14d}"
+                f" {ann.get('split_reads', 0):>6d}"
+                f" {ann.get('discordant_pairs', 0):>5d}"
+                f" {ann.get('max_clip_len', 0):>8d}"
+                f" {ann.get('unmapped_mates', 0):>10d}"
+                f" {ann.get('class', 'SMALL'):>10s}")
+
+    if candidate_comparison:
+        n_total = len(candidate_comparison)
+        n_captured = sum(1 for c in candidate_comparison if c["captured"])
+        pct = (n_captured / n_total * 100) if n_total else 0.0
+        lines.append("Candidate Comparison (DKA_DKT > 0.25, DKA > 10)")
+        lines.append("-" * 80)
+        lines.append(f"  High-quality candidates:     {n_total:>8}")
+        lines.append(f"  Captured by discovery:       {n_captured:>8}"
+                     f" / {n_total} ({pct:.1f}%)")
+        lines.append("")
+        lines.append(f"  {'Candidate':<30s}  {'DKA':>4s}  {'DKA_DKT':>8s}"
+                     f"  {'Region':>35s}")
+        lines.append(f"  {'---------':<30s}  {'---':>4s}  {'-------':>8s}"
+                     f"  {'------':>35s}")
+        for c in candidate_comparison:
+            var_label = f"{c['chrom']}:{c['pos']} {c['ref']}>{c['alt']}"
+            region_label = c["region"] if c["captured"] else "NOT CAPTURED"
+            lines.append(
+                f"  {var_label:<30s}  {c['dka']:>4d}  {c['dka_dkt']:>8.4f}"
+                f"  {region_label:>35s}")
+        lines.append("")
+
+    if dnm_evaluation:
+        n_total = len(dnm_evaluation)
+        n_detected = sum(1 for e in dnm_evaluation if e["detected"])
+        pct = (n_detected / n_total * 100) if n_total else 0.0
+        lines.append("Curated DNM Region Evaluation (Sulovari et al. 2023)")
+        lines.append("-" * 80)
+        lines.append(f"  Curated DNM loci:            {n_total:>8}")
+        lines.append(f"  Detected by discovery:       {n_detected:>8}"
+                     f" / {n_total} ({pct:.1f}%)")
+        lines.append("")
+        lines.append(
+            f"  {'Locus':<20s} {'Event':>25s} {'Size':>8s}"
+            f" {'Reads':>6s} {'Kmers':>6s} {'Signal':>7s}"
+            f" {'MaxClip':>8s} {'Class':>10s} {'Status':>14s}")
+        lines.append(
+            f"  {'-----':<20s} {'-----':>25s} {'----':>8s}"
+            f" {'-----':>6s} {'-----':>6s} {'------':>7s}"
+            f" {'-------':>8s} {'-----':>10s} {'------':>14s}")
+        for e in dnm_evaluation:
+            size_str = f"{e['event_size']}bp" if e["event_size"] else "–"
+            lines.append(
+                f"  {e['locus']:<20s}"
+                f" {e['event_type']:>25s}"
+                f" {size_str:>8s}"
+                f" {e['total_reads']:>6d}"
+                f" {e['total_unique_kmers']:>6d}"
+                f" {e['kmer_signal']:>7.4f}"
+                f" {e['max_clip_len']:>8d}"
+                f" {e['sv_class']:>10s}"
+                f" {e['assessment']:>14s}")
+        lines.append("")
+
+    lines.append("=" * 60)
+    lines.append("")
+    text = "\n".join(lines)
+    with open(summary_path, "w") as fh:
+        fh.write(text)
+    return text
+
+
+def _write_informative_reads_discovery(child_bam_reader, proband_index,
+                                       kmer_size, output_bam):
+    """dk:i:1-tagged informative reads BAM (ref :1979–2079).
+
+    The reference iterates ``bam.fetch()`` (mapped + placed-unmapped
+    reads, excluding the unplaced-unmapped block); replicated here.
+    """
+    log_memory("before informative reads scan")
+    writer = BamWriter(output_bam, child_bam_reader.header_text,
+                       child_bam_reader.refs)
+    written = set()
+    batch = []
+
+    def _flush(batch):
+        if not batch:
+            return
+        codes_list = [r.seq_codes() for r in batch]
+        lengths = np.array([len(c) for c in codes_list], dtype=np.int32)
+        lmax = int(lengths.max())
+        codes = np.full((len(batch), max(lmax, kmer_size)), 4,
+                        dtype=np.uint8)
+        for i, c in enumerate(codes_list):
+            codes[i, :len(c)] = c
+        found = eng.scan_reads_for_hits(proband_index, codes, lengths)
+        for i in np.nonzero(found.any(axis=1))[0]:
+            read = batch[i]
+            dedup_key = (read.query_name, read.is_supplementary)
+            if dedup_key in written:
+                continue
+            read.set_tag("dk", 1, value_type="i")
+            writer.write(read)
+            written.add(dedup_key)
+
+    for read in child_bam_reader.fetch():
+        if read.is_secondary or read.is_duplicate:
+            continue
+        if read._l_seq < kmer_size:
+            continue
+        batch.append(read)
+        if len(batch) >= _ANCHOR_BATCH_READS:
+            _flush(batch)
+            batch = []
+    _flush(batch)
+    writer.close(sort=True, index=True)
+    logger.info("Informative reads BAM written: %s (%d reads)",
+                output_bam, len(written))
+
+
+def _write_empty_discovery_outputs(bed_path, metrics_path, summary_path,
+                                   metrics, bedpe_path=None):
+    """Valid empty outputs for early-exit cases (ref :2082–2090)."""
+    _write_bed([], {}, {}, bed_path)
+    if bedpe_path:
+        _write_bedpe([], bedpe_path)
+    with open(metrics_path, "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    _write_discovery_summary(summary_path, [], {}, {}, metrics)
+
+
+# ── Pipeline driver ────────────────────────────────────────────────
+
+
+def run_discovery_pipeline(args):
+    """Run the VCF-free discovery pipeline (reference :2093–2592)."""
+    pipeline_start = time.monotonic()
+    logging.basicConfig(
+        level=logging.DEBUG if args.debug_kmers else logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s")
+
+    validate_inputs(args)
+
+    out_prefix = args.out_prefix
+    bed_path = f"{out_prefix}.bed"
+    info_bam_path = f"{out_prefix}.informative.bam"
+    metrics_path = f"{out_prefix}.metrics.json"
+    summary_path = f"{out_prefix}.summary.txt"
+    bedpe_path = getattr(args, "sv_bedpe", None) or f"{out_prefix}.sv.bedpe"
+    bedgraph_path = f"{out_prefix}.kmer_coverage.bedgraph"
+    read_cov_bed_path = f"{out_prefix}.read_coverage.bed"
+    min_bedgraph_reads = getattr(args, "min_bedgraph_reads", 3)
+    min_dk_per_read = getattr(args, "min_distinct_kmers_per_read", None)
+    if min_dk_per_read is None:
+        min_dk_per_read = max(1, args.kmer_size // 4)
+    memory_limit_gb = getattr(args, "memory", None)
+
+    logger.info("=" * 60)
+    logger.info("  kmer-denovo  —  discovery pipeline starting")
+    logger.info("=" * 60)
+    logger.info("  Child BAM/CRAM:    %s (%s)", args.child,
+                format_file_size(args.child))
+    logger.info("  Mother BAM/CRAM:   %s (%s)", args.mother,
+                format_file_size(args.mother))
+    logger.info("  Father BAM/CRAM:   %s (%s)", args.father,
+                format_file_size(args.father))
+    logger.info("  Reference FASTA:   %s", args.ref_fasta or "(not set)")
+    logger.info("  Reference JF:      %s",
+                getattr(args, "ref_jf", None) or "(auto)")
+    logger.info("  Output prefix:     %s", out_prefix)
+    logger.info("  k-mer size:        %d", args.kmer_size)
+    logger.info("  Min child count:   %d", args.min_child_count)
+    logger.info("  Min base quality:  %d", args.min_baseq)
+    logger.info("  Min distinct kmers/read: %d", min_dk_per_read)
+    logger.info("  Threads:           %d", args.threads)
+    logger.info("  Memory limit:      %s",
+                f"{memory_limit_gb:.1f} GB" if memory_limit_gb is not None
+                else "(auto-detect)")
+    logger.info("  Tmp dir:           %s",
+                getattr(args, "tmp_dir", None) or "(auto)")
+    total_mem_gb, avail_mem_gb = get_available_memory_gb()
+    if total_mem_gb is not None:
+        logger.info("  System memory:     %.1f GB total, %s available",
+                    total_mem_gb,
+                    f"{avail_mem_gb:.1f} GB" if avail_mem_gb is not None
+                    else "(unknown)")
+    logger.info("=" * 60)
+    log_memory("pipeline start")
+
+    out_dir = os.path.dirname(os.path.abspath(out_prefix)) or "."
+    tmp_root = resolve_tmp_dir(args.tmp_dir, out_dir)
+    logger.info("  Temp directory root: %s", tmp_root)
+    if is_tmpfs(tmp_root):
+        logger.warning(
+            "  ⚠ Temp directory %s appears to be on tmpfs (RAM-backed)! "
+            "Consider using --tmp-dir to point to a disk-backed "
+            "filesystem.", tmp_root)
+    log_disk_usage(tmp_root, "tmpdir filesystem")
+
+    # ── Module 0: Reference k-mer index ────────────────────────────
+    step_start = time.monotonic()
+    logger.info("[Module 0] Ensuring reference k-mer index")
+    ref_index = ensure_ref_index(
+        args.ref_fasta, args.kmer_size, getattr(args, "ref_jf", None))
+    logger.info("[Module 0] Reference index ready (%s)",
+                format_elapsed(time.monotonic() - step_start))
+    log_memory("after Module 0")
+
+    # ── Module 1: Child k-merization & reference subtraction ───────
+    step_start = time.monotonic()
+    logger.info("[Module 1] Child k-mer extraction & reference subtraction")
+    candidate_keys, n_candidates = _extract_child_kmers_discovery(
+        args.child, args.kmer_size, args.min_child_count)
+
+    if n_candidates == 0:
+        logger.warning(
+            "No child candidate k-mers found; writing empty outputs")
+        empty_metrics = {
+            "mode": "discovery",
+            "child_candidate_kmers": 0,
+            "non_ref_kmers": 0,
+            "proband_unique_kmers": 0,
+            "informative_reads": 0,
+            "unmapped_informative_reads": 0,
+            "candidate_regions": 0,
+        }
+        _write_empty_discovery_outputs(
+            bed_path, metrics_path, summary_path, empty_metrics,
+            bedpe_path=bedpe_path)
+        logger.info("Pipeline finished in %s",
+                    format_elapsed(time.monotonic() - pipeline_start))
+        return
+
+    non_ref_keys, n_non_ref = _subtract_reference_kmers(
+        ref_index, candidate_keys)
+    logger.info("[Module 1] Complete (%s)",
+                format_elapsed(time.monotonic() - step_start))
+    log_memory("after Module 1")
+
+    if n_non_ref == 0:
+        logger.warning(
+            "All child k-mers are in the reference; writing empty outputs")
+        empty_metrics = {
+            "mode": "discovery",
+            "child_candidate_kmers": n_candidates,
+            "non_ref_kmers": 0,
+            "proband_unique_kmers": 0,
+            "informative_reads": 0,
+            "unmapped_informative_reads": 0,
+            "candidate_regions": 0,
+        }
+        _write_empty_discovery_outputs(
+            bed_path, metrics_path, summary_path, empty_metrics,
+            bedpe_path=bedpe_path)
+        logger.info("Pipeline finished in %s",
+                    format_elapsed(time.monotonic() - pipeline_start))
+        return
+
+    # ── Module 2: Parent filtering ─────────────────────────────────
+    step_start = time.monotonic()
+    logger.info("[Module 2] Parent filtering")
+    n_proband_unique, proband_keys = _filter_parents_discovery(
+        args.mother, args.father, non_ref_keys, args.kmer_size,
+        parent_max_count=args.parent_max_count)
+    logger.info("[Module 2] Complete (%s)",
+                format_elapsed(time.monotonic() - step_start))
+    log_memory("after Module 2")
+
+    if n_proband_unique == 0:
+        logger.warning(
+            "No proband-unique k-mers after parent filtering; "
+            "writing empty outputs")
+        empty_metrics = {
+            "mode": "discovery",
+            "child_candidate_kmers": n_candidates,
+            "non_ref_kmers": n_non_ref,
+            "proband_unique_kmers": 0,
+            "informative_reads": 0,
+            "unmapped_informative_reads": 0,
+            "candidate_regions": 0,
+        }
+        _write_empty_discovery_outputs(
+            bed_path, metrics_path, summary_path, empty_metrics,
+            bedpe_path=bedpe_path)
+        logger.info("Pipeline finished in %s",
+                    format_elapsed(time.monotonic() - pipeline_start))
+        return
+
+    # ── Module 2b: proband-unique device index ─────────────────────
+    step_start = time.monotonic()
+    logger.info("[Module 2b] Building device index of %d proband-unique "
+                "k-mers", n_proband_unique)
+    proband_index = eng.KmerIndex(proband_keys, args.kmer_size)
+    logger.info("[Module 2b] Complete (%s)",
+                format_elapsed(time.monotonic() - step_start))
+
+    # ── Module 3: Anchoring & region clustering ────────────────────
+    step_start = time.monotonic()
+    logger.info("[Module 3] Anchoring %d proband-unique k-mers to child "
+                "reads (device probe)", n_proband_unique)
+    log_memory("before Module 3")
+    child_bam_reader = BamReader(args.child,
+                                 reference_filename=args.ref_fasta)
+    (regions, region_reads, total_informative, region_kmers,
+     unmapped_informative, read_sv_meta, kmer_coverage,
+     read_coverage) = _anchor_and_cluster(
+        child_bam_reader, proband_index, args.kmer_size,
+        merge_distance=args.cluster_distance,
+        min_distinct_kmers_per_read=min_dk_per_read,
+        n_proband_unique=n_proband_unique)
+    logger.info("[Module 3] Complete (%s)",
+                format_elapsed(time.monotonic() - step_start))
+    log_memory("after Module 3")
+
+    # ── Module 4: informative BAM ──────────────────────────────────
+    logger.info("[Module 4] Writing informative reads BAM: %s",
+                info_bam_path)
+    _write_informative_reads_discovery(
+        child_bam_reader, proband_index, args.kmer_size, info_bam_path)
+
+    try:
+        if not getattr(args, "tmp_dir", None) and os.path.isdir(tmp_root):
+            os.rmdir(tmp_root)
+    except OSError:
+        pass
+
+    # ── Region filtering ───────────────────────────────────────────
+    min_reads = args.min_supporting_reads
+    min_kmers = args.min_distinct_kmers
+    if min_reads > 1 or min_kmers > 1:
+        pre_filter = len(regions)
+        filtered_regions = []
+        for region_key in regions:
+            n_reads = len(region_reads.get(region_key, set()))
+            n_kmers = len(region_kmers.get(region_key, set()))
+            if n_reads >= min_reads and n_kmers >= min_kmers:
+                filtered_regions.append(region_key)
+            else:
+                region_reads.pop(region_key, None)
+                region_kmers.pop(region_key, None)
+        regions = filtered_regions
+        logger.info(
+            "Region filtering: %d → %d regions "
+            "(min-supporting-reads=%d, min-distinct-kmers=%d)",
+            pre_filter, len(regions), min_reads, min_kmers)
+
+    # ── Module 4: outputs ──────────────────────────────────────────
+    step_start = time.monotonic()
+    logger.info("[Module 4] Writing output files")
+    logger.info("[Module 4] Annotating regions and linking breakpoints")
+    region_annotations, sv_links = _annotate_and_link_from_metadata(
+        regions, region_reads, read_sv_meta)
+    _classify_regions(regions, region_annotations, sv_links)
+
+    bed_filters = {
+        "min_distinct_kmers_per_read": min_dk_per_read,
+        "min_supporting_reads": min_reads,
+        "min_distinct_kmers": min_kmers,
+    }
+    _write_bed(regions, region_reads, region_kmers, bed_path,
+               region_annotations=region_annotations, filters=bed_filters)
+    _write_bedgraph(kmer_coverage, bedgraph_path,
+                    read_coverage=read_coverage,
+                    min_reads=min_bedgraph_reads)
+    _write_read_coverage_bed(kmer_coverage, read_coverage,
+                             read_cov_bed_path,
+                             min_reads=min_bedgraph_reads)
+
+    logger.info(
+        "  Coverage data: kmer_coverage=%d chroms, read_coverage=%d chroms",
+        len(kmer_coverage), len(read_coverage))
+    total_positions = sum(len(v) for v in kmer_coverage.values())
+    logger.info("  Total tracked positions: %d", total_positions)
+    del kmer_coverage
+    del read_coverage
+    log_memory("after freeing coverage data")
+
+    _write_bedpe(sv_links, bedpe_path)
+
+    candidate_comparison = None
+    candidate_summary = getattr(args, "candidate_summary", None)
+    if candidate_summary and os.path.isfile(candidate_summary):
+        logger.info("[Module 4] Comparing to candidate summary: %s",
+                    candidate_summary)
+        hq_candidates = _parse_candidate_summary(candidate_summary)
+        candidate_comparison = _compare_candidates_to_regions(
+            hq_candidates, regions)
+        n_captured = sum(1 for c in candidate_comparison if c["captured"])
+        logger.info("[Module 4] High-quality candidates: %d, captured: %d",
+                    len(candidate_comparison), n_captured)
+
+    metrics = {
+        "mode": "discovery",
+        "child_candidate_kmers": n_candidates,
+        "non_ref_kmers": n_non_ref,
+        "proband_unique_kmers": n_proband_unique,
+        "informative_reads": total_informative,
+        "unmapped_informative_reads": unmapped_informative,
+        "candidate_regions": len(regions),
+        "filters": {
+            "min_distinct_kmers_per_read": min_dk_per_read,
+            "min_supporting_reads": min_reads,
+            "min_distinct_kmers": min_kmers,
+            "min_bedgraph_reads": min_bedgraph_reads,
+        },
+        "regions": [
+            {
+                "chrom": chrom,
+                "start": start,
+                "end": end,
+                "size": end - start,
+                "reads": len(region_reads.get((chrom, start, end), set())),
+                "unique_kmers": len(
+                    region_kmers.get((chrom, start, end), set())),
+                "split_reads": region_annotations.get(
+                    (chrom, start, end), {}).get("split_reads", 0),
+                "discordant_pairs": region_annotations.get(
+                    (chrom, start, end), {}).get("discordant_pairs", 0),
+                "max_clip_len": region_annotations.get(
+                    (chrom, start, end), {}).get("max_clip_len", 0),
+                "unmapped_mates": region_annotations.get(
+                    (chrom, start, end), {}).get("unmapped_mates", 0),
+                "class": region_annotations.get(
+                    (chrom, start, end), {}).get("class", "SMALL"),
+            }
+            for chrom, start, end in regions
+        ],
+    }
+    if candidate_comparison is not None:
+        n_total = len(candidate_comparison)
+        n_captured = sum(1 for c in candidate_comparison if c["captured"])
+        metrics["candidate_comparison"] = {
+            "hq_candidates": n_total,
+            "captured": n_captured,
+            "capture_rate": (n_captured / n_total) if n_total else 0.0,
+            "candidates": [
+                {
+                    "variant": (f"{c['chrom']}:{c['pos']}"
+                                f" {c['ref']}>{c['alt']}"),
+                    "dka": c["dka"],
+                    "dka_dkt": c["dka_dkt"],
+                    "captured": c["captured"],
+                    "region": c["region"],
+                }
+                for c in candidate_comparison
+            ],
+        }
+
+    dnm_evaluation = _evaluate_dnm_regions(regions, metrics["regions"])
+    n_dnm_detected = sum(1 for e in dnm_evaluation if e["detected"])
+    logger.info("[Module 4] Curated DNM evaluation: %d / %d detected",
+                n_dnm_detected, len(dnm_evaluation))
+    metrics["dnm_evaluation"] = {
+        "total_loci": len(dnm_evaluation),
+        "detected": n_dnm_detected,
+        "detection_rate": (n_dnm_detected / len(dnm_evaluation))
+        if dnm_evaluation else 0.0,
+        "loci": dnm_evaluation,
+    }
+
+    with open(metrics_path, "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    logger.info("[Module 4] Metrics written to: %s", metrics_path)
+
+    logger.info("[Module 4] Writing summary: %s", summary_path)
+    _write_discovery_summary(
+        summary_path, regions, region_reads, region_kmers, metrics,
+        candidate_comparison=candidate_comparison,
+        region_annotations=region_annotations,
+        dnm_evaluation=dnm_evaluation)
+    logger.info("[Module 4] Output complete (%s)",
+                format_elapsed(time.monotonic() - step_start))
+
+    report_path = getattr(args, "report", None)
+    if report_path:
+        logger.info("[Report] Generating interactive HTML report: %s",
+                    report_path)
+        from kmer_denovo_filter_tpu.report import generate_report
+        generate_report(output_path=report_path,
+                        discovery_metrics_path=metrics_path,
+                        discovery_summary_path=summary_path)
+
+    logger.info("")
+    logger.info("=" * 60)
+    logger.info("  Discovery pipeline complete!")
+    logger.info("=" * 60)
+    logger.info("  Candidate regions: %s", bed_path)
+    logger.info("  K-mer coverage:    %s", bedgraph_path)
+    logger.info("  Read coverage:     %s", read_cov_bed_path)
+    logger.info("  Informative BAM:   %s", info_bam_path)
+    logger.info("  SV breakpoints:    %s", bedpe_path)
+    logger.info("  Metrics:           %s", metrics_path)
+    logger.info("  Summary:           %s", summary_path)
+    logger.info("")
+    logger.info("  Next step: pass %s to a genotyper such as", bed_path)
+    logger.info("  GATK HaplotypeCaller (--intervals) or DeepVariant for")
+    logger.info("  robust VCF generation.")
+    logger.info("=" * 60)
+    logger.info("Pipeline finished successfully in %s",
+                format_elapsed(time.monotonic() - pipeline_start))

@@ -24,7 +24,9 @@ BGZF_EOF = (
     b"\x1b\x00\x03\x00\x00\x00\x00\x00\x00\x00\x00\x00"
 )
 
-_MAX_BLOCK = 65536  # 64 KiB uncompressed payload cap per block
+# Uncompressed payload cap per block: 0xFF00 (htslib's choice) leaves
+# room for worst-case deflate expansion within the 16-bit BSIZE field.
+_MAX_BLOCK = 0xFF00
 
 
 def is_bgzf(path):

@@ -1,0 +1,160 @@
+"""Device k-mer engine vs host oracle: bit-exact equivalence tests."""
+
+import random
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from kmer_denovo_filter_tpu import engine as eng
+from kmer_denovo_filter_tpu import kmer as K
+from kmer_denovo_filter_tpu.ops import encode as enc
+
+
+def random_reads(n, k, with_n=True, seed=0):
+    rng = random.Random(seed)
+    alphabet = "ACGTACGTACGTACGTN" if with_n else "ACGT"
+    reads = []
+    for _ in range(n):
+        length = rng.randint(k, k + 80)
+        reads.append("".join(rng.choice(alphabet) for _ in range(length)))
+    return reads
+
+
+def pack_reads(reads):
+    codes = [enc.ASCII_TO_CODE[np.frombuffer(s.encode(), dtype=np.uint8)]
+             for s in reads]
+    lmax = max(len(c) for c in codes)
+    batch = np.full((len(codes), lmax), 4, np.uint8)
+    for i, c in enumerate(codes):
+        batch[i, :len(c)] = c
+    lens = np.array([len(c) for c in codes], np.int32)
+    return batch, lens
+
+
+def oracle_counts(reads, k):
+    oc = Counter()
+    for s in reads:
+        cap, _ = K.extract_read_kmers(s, k)
+        for c in cap.values():
+            oc[c] += 1
+    return oc
+
+
+@pytest.mark.parametrize("k", [5, 15, 31, 33, 63, 101])
+def test_stream_counter_matches_oracle(k):
+    reads = random_reads(40, k, seed=k)
+    oc = oracle_counts(reads, k)
+    sc = eng.StreamCounter(k)
+    batch, lens = pack_reads(reads)
+    # split across two feeds to exercise the chunk merge
+    sc.feed(batch[:17], lens[:17])
+    sc.feed(batch[17:], lens[17:])
+    keys, counts = sc.result()
+    got = dict(zip(enc.keys_to_kmers(keys, k), counts.tolist()))
+    assert got == dict(oc)
+
+
+def test_key_roundtrip():
+    for k in (5, 31, 33, 63):
+        kmers = sorted({K.canonicalize(s)
+                        for s in random_reads(50, k, with_n=False, seed=k)
+                        for s in [s[:k]]})
+        keys = enc.kmers_to_keys(kmers, k)
+        assert enc.keys_to_kmers(keys, k) == kmers
+
+
+def test_key_order_matches_string_order():
+    k = 31
+    kmers = [K.canonicalize(s[:k])
+             for s in random_reads(300, k, with_n=False, seed=3)]
+    kmers = sorted(set(kmers))
+    keys = enc.kmers_to_keys(kmers, k)
+    order = enc.lexsort_keys(keys)
+    assert list(order) == sorted(range(len(kmers)),
+                                 key=lambda i: kmers[i])
+
+
+def test_index_counts_and_membership():
+    k = 31
+    reads = random_reads(60, k, seed=11)
+    oc = oracle_counts(reads, k)
+    sc = eng.StreamCounter(k)
+    batch, lens = pack_reads(reads)
+    sc.feed(batch, lens)
+    idx = sc.to_index()
+    some = sorted(oc)[:200]
+    qk = enc.kmers_to_keys(some, k)
+    got = idx.counts_of(qk)
+    assert [int(g) for g in got] == [oc[s] for s in some]
+    member = idx.membership(qk)
+    assert member.all()
+    # absent canonical k-mer
+    absent = K.canonicalize("ACGT" * 8)[:k]
+    absent = K.canonicalize("A" * 15 + "CGTGCATGCATGCATG")
+    if absent not in oc:
+        assert not idx.membership(enc.kmers_to_keys([absent], k)).any()
+
+
+def test_filtered_counter_matches_oracle():
+    k = 31
+    rng = random.Random(5)
+    stream = random_reads(80, k, with_n=False, seed=21)
+    filter_reads = stream[:10] + random_reads(20, k, with_n=False, seed=22)
+    filter_set = set()
+    for s in filter_reads:
+        cap, _ = K.extract_read_kmers(s, k)
+        filter_set.update(cap.values())
+    fidx = eng.KmerIndex.from_strings(filter_set, k)
+    fc = eng.FilteredCounter(fidx)
+    batch, lens = pack_reads(stream)
+    fc.feed(batch, lens)
+    res = fc.result()
+    oc = Counter()
+    for s in stream:
+        cap, _ = K.extract_read_kmers(s, k)
+        for c in cap.values():
+            if c in filter_set:
+                oc[c] += 1
+    got = {s: int(c) for s, c in zip(fidx.to_strings(), res) if c > 0}
+    assert got == dict(oc)
+
+
+def test_scan_reads_for_hits_positions():
+    k = 15
+    reads = random_reads(50, k, seed=31)
+    target = set()
+    for s in reads[:5]:
+        cap, _ = K.extract_read_kmers(s, k)
+        target.update(list(cap.values())[:3])
+    idx = eng.KmerIndex.from_strings(target, k)
+    batch, lens = pack_reads(reads)
+    found = eng.scan_reads_for_hits(idx, batch, lens)
+    for i, s in enumerate(reads):
+        cap, _ = K.extract_read_kmers(s, k)
+        expected = {p for p, c in cap.items() if c in target}
+        assert set(np.nonzero(found[i])[0].tolist()) == expected
+
+
+def test_empty_filter_index():
+    k = 15
+    idx = eng.KmerIndex.from_strings(set(), k)
+    reads = random_reads(5, k, seed=41)
+    batch, lens = pack_reads(reads)
+    found = eng.scan_reads_for_hits(idx, batch, lens)
+    assert not found.any()
+
+
+def test_sequence_counting_chunks():
+    # feed_sequence must produce identical counts to whole-sequence
+    k = 31
+    seq = "".join(random.Random(9).choice("ACGT") for _ in range(5000))
+    sc = eng.StreamCounter(k)
+    sc.feed_sequence(seq)
+    keys, counts = sc.result()
+    oc = Counter()
+    cap, _ = K.extract_read_kmers(seq, k)
+    for c in cap.values():
+        oc[c] += 1
+    got = dict(zip(enc.keys_to_kmers(keys, k), counts.tolist()))
+    assert got == dict(oc)

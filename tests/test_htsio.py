@@ -1,0 +1,240 @@
+"""I/O stack tests: BGZF, BAM round-trips, FASTA, tabix, jellyfish."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from kmer_denovo_filter_tpu.htsio.bam import (
+    AlignedRead,
+    BamReader,
+    BamWriter,
+    encode_read,
+    reg2bin,
+)
+from kmer_denovo_filter_tpu.htsio.bgzf import (
+    BgzfReader,
+    BgzfWriter,
+    is_bgzf,
+)
+from kmer_denovo_filter_tpu.htsio.fasta import read_fasta, write_fai
+from kmer_denovo_filter_tpu.htsio.tabix import tabix_index
+from tests.helpers import create_bam, create_ref_fasta
+
+
+class TestBgzf:
+    def test_roundtrip(self, tmp_path):
+        path = str(tmp_path / "x.gz")
+        data = os.urandom(300000) + b"tail"
+        with BgzfWriter(path) as w:
+            w.write(data)
+        assert is_bgzf(path)
+        with BgzfReader(path) as r:
+            assert r.read() == data
+        # gzip-compatible (BGZF is valid multi-member gzip)
+        assert gzip.open(path, "rb").read() == data
+
+    def test_virtual_offsets(self, tmp_path):
+        path = str(tmp_path / "x.gz")
+        lines = [f"line {i} {'x' * (i % 97)}\n".encode()
+                 for i in range(5000)]
+        offsets = []
+        with BgzfWriter(path) as w:
+            for line in lines:
+                offsets.append(w.tell_virtual())
+                w.write(line)
+        with BgzfReader(path) as r:
+            for i in (0, 1, 1234, 4999):
+                r.seek_virtual(offsets[i])
+                assert r.read(len(lines[i])) == lines[i]
+
+    def test_iter_lines_voffsets(self, tmp_path):
+        path = str(tmp_path / "x.gz")
+        lines = [f"row{i}\t{'y' * (i % 53)}\n".encode()
+                 for i in range(3000)]
+        with BgzfWriter(path) as w:
+            for line in lines:
+                w.write(line)
+        got = []
+        with BgzfReader(path) as r:
+            for vstart, line, vend in r.iter_lines_voffsets():
+                got.append((vstart, line))
+        assert [l for _, l in got] == lines
+        # every vstart must seek back to the same line
+        with BgzfReader(path) as r:
+            for vstart, line in got[::271]:
+                r.seek_virtual(vstart)
+                assert r.read(len(line)) == line
+
+
+class TestBamRoundtrip:
+    def test_write_read(self, tmp_path):
+        path = str(tmp_path / "t.bam")
+        reads = [
+            ("r1", 5, "ACGTACGTAC"),
+            ("r2", 2, "TTTTACGTACGTT"),
+            ("r3", 50, "ACGT"),
+        ]
+        create_bam(path, "chr1", reads)
+        assert os.path.exists(path + ".bai")
+        bam = BamReader(path)
+        assert bam.references == ["chr1"]
+        recs = list(bam.fetch(until_eof=True))
+        assert [r.query_name for r in recs] == ["r2", "r1", "r3"]  # sorted
+        by_name = {r.query_name: r for r in recs}
+        assert by_name["r1"].query_sequence == "ACGTACGTAC"
+        assert by_name["r1"].reference_start == 5
+        assert by_name["r1"].reference_end == 15
+        assert by_name["r1"].query_qualities == [40] * 10
+
+    def test_fetch_overlap_semantics(self, tmp_path):
+        path = str(tmp_path / "t.bam")
+        create_bam(path, "chr1", [
+            ("a", 0, "ACGTACGTAC"),   # [0, 10)
+            ("b", 10, "ACGTACGTAC"),  # [10, 20)
+            ("c", 15, "ACGTACGTAC"),  # [15, 25)
+        ])
+        bam = BamReader(path)
+        assert {r.query_name for r in bam.fetch("chr1", 9, 10)} == {"a"}
+        assert {r.query_name for r in bam.fetch("chr1", 10, 11)} == {"b"}
+        assert {r.query_name for r in bam.fetch("chr1", 14, 16)} == {"b", "c"}
+        assert {r.query_name for r in bam.fetch("chr1", 30, 40)} == set()
+
+    def test_tags_roundtrip(self, tmp_path):
+        raw = encode_read("r1", 0, 0, 10, 60, [(0, 4)], "ACGT",
+                          [30, 30, 30, 30],
+                          tags=b"SAZchr2,100,+,4M,60,0;\x00NMi"
+                               + (5).to_bytes(4, "little"))
+        read = AlignedRead(raw, [("chr1", 1000)])
+        assert read.has_tag("SA")
+        assert read.get_tag("SA") == "chr2,100,+,4M,60,0;"
+        assert read.get_tag("NM") == 5
+        read.set_tag("DV", "chr1:5:A:T", value_type="Z")
+        assert read.get_tag("DV") == "chr1:5:A:T"
+        assert read.get_tag("SA") == "chr2,100,+,4M,60,0;"
+
+    def test_seq_codes(self, tmp_path):
+        raw = encode_read("r", 0, 0, 0, 60, [(0, 5)], "ACGTN",
+                          [40] * 5)
+        read = AlignedRead(raw, [("chr1", 100)])
+        assert read.seq_codes().tolist() == [0, 1, 2, 3, 4]
+
+    def test_aligned_pairs(self):
+        raw = encode_read("r", 0, 0, 10, 60,
+                          [(4, 2), (0, 3), (1, 2), (0, 2), (2, 2), (0, 1)],
+                          "SSMMMIIMMM", None)
+        read = AlignedRead(raw, [("chr1", 1000)])
+        pairs = read.get_aligned_pairs(matches_only=False)
+        assert pairs == [
+            (0, None), (1, None),            # soft clips
+            (2, 10), (3, 11), (4, 12),       # 3M
+            (5, None), (6, None),            # 2I
+            (7, 13), (8, 14),                # 2M
+            (None, 15), (None, 16),          # 2D
+            (9, 17),                         # 1M
+        ]
+        assert read.get_aligned_pairs(matches_only=True) == [
+            (2, 10), (3, 11), (4, 12), (7, 13), (8, 14), (9, 17)]
+        full = read.get_reference_positions(full_length=True)
+        assert full == [None, None, 10, 11, 12, None, None, 13, 14, 17]
+        assert read.reference_end == 18
+
+
+class TestGiabBam:
+    @pytest.mark.skipif(
+        not os.path.exists("/root/reference/tests/data/giab/HG002_child.bam"),
+        reason="GIAB data unavailable")
+    def test_parse_real_bam(self):
+        bam = BamReader("/root/reference/tests/data/giab/HG002_child.bam")
+        assert bam.nreferences == 2580
+        assert len(bam._records) == 11097
+        rec = bam._records[0]
+        assert len(rec.query_sequence) == rec.query_length
+
+
+class TestFasta:
+    def test_read_and_fai(self, tmp_path):
+        path = str(tmp_path / "r.fa")
+        create_ref_fasta(path, "chrT", 120)
+        seqs = read_fasta(path)
+        assert list(seqs) == ["chrT"]
+        assert len(seqs["chrT"]) == 120
+        fai = open(path + ".fai").read().split("\t")
+        assert fai[0] == "chrT"
+        assert int(fai[1]) == 120
+
+
+class TestTabix:
+    def test_vcf_index_written(self, tmp_path):
+        from tests.helpers import create_vcf
+        path = str(tmp_path / "t.vcf.gz")
+        create_vcf(path, "chr1", [(10, "A", "T"), (50, "C", "G")])
+        assert os.path.exists(path + ".tbi")
+        assert is_bgzf(path + ".tbi")
+
+    def test_reg2bin(self):
+        assert reg2bin(0, 1) == 4681
+        assert reg2bin(0, 1 << 14) == 4681
+        assert reg2bin(0, (1 << 14) + 1) == 585
+
+
+class TestJellyfishReader:
+    @pytest.mark.skipif(
+        not os.path.exists(
+            "/root/reference/tests/data/giab/mini_ref.fa.k31.jf"),
+        reason="GIAB data unavailable")
+    def test_matches_fasta_oracle(self):
+        from collections import Counter
+
+        from kmer_denovo_filter_tpu import kmer as K
+        from kmer_denovo_filter_tpu.htsio.jellyfish import load_sorted_jf
+        from kmer_denovo_filter_tpu.ops import encode as enc
+
+        keys, counts, k = load_sorted_jf(
+            "/root/reference/tests/data/giab/mini_ref.fa.k31.jf")
+        assert k == 31
+        seqs = read_fasta("/root/reference/tests/data/giab/mini_ref.fa")
+        oc = Counter()
+        for seq in seqs.values():
+            cap, _ = K.extract_read_kmers(seq, 31)
+            for c in cap.values():
+                oc[c] += 1
+        got = dict(zip(enc.keys_to_kmers(keys, k), counts.tolist()))
+        assert got == dict(oc)
+
+
+class TestAnnotatedVcfByteParity:
+    @pytest.mark.skipif(
+        not os.path.exists(
+            "/root/reference/tests/example_output/annotated.vcf.gz"),
+        reason="reference goldens unavailable")
+    def test_regenerates_golden_bytes(self, tmp_path):
+        """Feeding golden annotation values must reproduce the golden
+        VCF byte-for-byte (validates the text-transform writer)."""
+        from kmer_denovo_filter_tpu.htsio.vcf import write_annotated_vcf
+
+        gold_path = "/root/reference/tests/example_output/annotated.vcf.gz"
+        gold = gzip.open(gold_path, "rb").read()
+        glines = gold.decode().rstrip("\n").split("\n")
+        gdata = [l for l in glines if not l.startswith("#")]
+        keys = ["dku", "dkt", "dka", "dku_dkt", "dka_dkt", "max_pkc",
+                "avg_pkc", "min_pkc", "max_pkc_alt", "avg_pkc_alt",
+                "min_pkc_alt"]
+        ann = {}
+        for line in gdata:
+            f = line.split("\t")
+            vals = f[9].split(":")[-11:]
+            conv = [float(v) if "_dkt" in k or "avg" in k else int(v)
+                    for k, v in zip(keys, vals)]
+            alts = f[4].split(",")
+            gt = f[9].split(":")[0]
+            ai = sorted({int(x) for x in gt.replace("|", "/").split("/")
+                         if x not in (".", "") and int(x) > 0})
+            alt = alts[ai[0] - 1] if ai else alts[0]
+            ann[f"{f[0]}:{int(f[1]) - 1}:{f[3]}:{alt}"] = dict(
+                zip(keys, conv))
+        out = write_annotated_vcf(
+            "/root/reference/tests/data/giab/candidates.vcf.gz",
+            str(tmp_path / "annot.vcf.gz"), ann, "HG002")
+        assert gzip.open(out, "rb").read() == gold

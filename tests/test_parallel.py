@@ -1,0 +1,107 @@
+"""Sharded engine tests on the 8-device virtual CPU mesh."""
+
+import random
+from collections import Counter
+
+import numpy as np
+import pytest
+
+import jax
+
+from kmer_denovo_filter_tpu import kmer as K
+from kmer_denovo_filter_tpu.ops import encode as enc
+from kmer_denovo_filter_tpu.parallel import (
+    ShardedKmerIndex,
+    make_mesh,
+    sharded_count,
+)
+from tests.test_engine import oracle_counts, pack_reads, random_reads
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple devices")
+
+
+@needs_mesh
+def test_sharded_membership_matches_oracle():
+    k = 31
+    mesh = make_mesh()
+    table_reads = random_reads(30, k, with_n=False, seed=1)
+    table_set = set()
+    for s in table_reads:
+        cap, _ = K.extract_read_kmers(s, k)
+        table_set.update(cap.values())
+    keys = enc.kmers_to_keys(sorted(table_set), k)
+    idx = ShardedKmerIndex(keys, k, mesh)
+
+    query_reads = random_reads(20, k, with_n=False, seed=2) + table_reads[:3]
+    queries = []
+    for s in query_reads:
+        cap, _ = K.extract_read_kmers(s, k)
+        queries.extend(cap.values())
+    qk = enc.kmers_to_keys(queries, k)
+    got = idx.membership(qk)
+    expected = [q in table_set for q in queries]
+    assert got.tolist() == expected
+
+
+@needs_mesh
+def test_sharded_tally_matches_filtered_count():
+    k = 31
+    mesh = make_mesh()
+    stream = random_reads(40, k, with_n=False, seed=3)
+    filter_reads = stream[:5] + random_reads(10, k, with_n=False, seed=4)
+    filter_set = set()
+    for s in filter_reads:
+        cap, _ = K.extract_read_kmers(s, k)
+        filter_set.update(cap.values())
+    sorted_kmers = sorted(filter_set)
+    keys = enc.kmers_to_keys(sorted_kmers, k)
+    idx = ShardedKmerIndex(keys, k, mesh)
+
+    # feed window keys of the stream in two batches
+    from kmer_denovo_filter_tpu.ops import device as dev
+    import jax.numpy as jnp
+    for half in (stream[:20], stream[20:]):
+        batch, lens = pack_reads(half)
+        wkeys, _ = dev.extract_canonical_windows(
+            jnp.asarray(batch), jnp.asarray(lens), k)
+        flat = np.asarray(wkeys).reshape(-1, wkeys.shape[-1])
+        idx.tally_batch(flat)
+    res = idx.tally_result()
+
+    oc = Counter()
+    for s in stream:
+        cap, _ = K.extract_read_kmers(s, k)
+        for c in cap.values():
+            if c in filter_set:
+                oc[c] += 1
+    got = {s: int(c) for s, c in zip(sorted_kmers, res) if c > 0}
+    assert got == dict(oc)
+
+
+@needs_mesh
+def test_sharded_count_matches_oracle():
+    k = 31
+    mesh = make_mesh()
+    reads = random_reads(64, k, seed=5)
+    oc = oracle_counts(reads, k)
+    batch, lens = pack_reads(reads)
+    keys, counts = sharded_count(batch, lens, k, mesh)
+    got = dict(zip(enc.keys_to_kmers(keys, k), counts.tolist()))
+    assert got == dict(oc)
+
+
+@needs_mesh
+def test_owner_distribution_roughly_uniform():
+    import jax.numpy as jnp
+
+    from kmer_denovo_filter_tpu.parallel.sharded import hash_owner
+    k = 31
+    reads = random_reads(200, k, with_n=False, seed=6)
+    kmers = sorted({c for s in reads
+                    for c in K.extract_read_kmers(s, k)[0].values()})
+    keys = jnp.asarray(enc.kmers_to_keys(kmers, k))
+    owners = np.asarray(hash_owner(keys, 8))
+    counts = np.bincount(owners, minlength=8)
+    assert counts.min() > 0.5 * counts.mean()
+    assert counts.max() < 1.5 * counts.mean()
