@@ -137,7 +137,7 @@ class TestExtractVariantSpanningKmers:
         assert extract_variant_spanning_kmers(read, 13, 3) == set()
 
     def test_insertion_widens_window(self):
-        seq = "ACGTACGTACGTACGTACGT"
+        seq = "ACGTTGCAATCCGGATTAGC"  # non-periodic: distinct k-mers
         read = make_read(seq, pos=100, cigar=[(0, 8), (1, 4), (0, 8)])
         k = 5
         with_alt = extract_variant_spanning_kmers(
