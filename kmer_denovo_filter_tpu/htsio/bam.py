@@ -388,30 +388,59 @@ class BamReader:
     def __init__(self, path, reference_filename=None):
         del reference_filename  # CRAM unsupported in round 1 (gated upstream)
         self.path = path
-        with BgzfReader(path) as fh:
-            magic = fh.read_exact(4)
-            if magic != b"BAM\x01":
-                raise ValueError(f"not a BAM file: {path}")
-            l_text = struct.unpack("<i", fh.read_exact(4))[0]
-            self.header_text = fh.read_exact(l_text).decode(
-                "utf-8", "replace")
-            n_ref = struct.unpack("<i", fh.read_exact(4))[0]
-            refs = []
-            for _ in range(n_ref):
-                l_name = struct.unpack("<i", fh.read_exact(4))[0]
-                name = fh.read_exact(l_name)[:-1].decode()
-                l_ref = struct.unpack("<i", fh.read_exact(4))[0]
-                refs.append((name, l_ref))
-            self.refs = refs
-            self._records = []
-            while True:
-                szb = fh.read(4)
-                if len(szb) < 4:
-                    break
-                (block_size,) = struct.unpack("<i", szb)
-                raw = fh.read_exact(block_size)
-                self._records.append(AlignedRead(raw, refs))
+        from kmer_denovo_filter_tpu.htsio import native
+
+        data = native.bgzf_inflate(path)
+        if data is None:
+            with BgzfReader(path) as fh:
+                data = fh.read()
+        if data[:4] != b"BAM\x01":
+            raise ValueError(f"not a BAM file: {path}")
+        l_text = struct.unpack_from("<i", data, 4)[0]
+        self.header_text = data[8:8 + l_text].decode("utf-8", "replace")
+        off = 8 + l_text
+        n_ref = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        refs = []
+        for _ in range(n_ref):
+            l_name = struct.unpack_from("<i", data, off)[0]
+            name = data[off + 4:off + 4 + l_name - 1].decode()
+            l_ref = struct.unpack_from("<i", data, off + 4 + l_name)[0]
+            refs.append((name, l_ref))
+            off += 8 + l_name
+        self.refs = refs
+        self._data = data
+        self._body_offset = off
+        self._scan = native.bam_scan(data, off) if native.AVAILABLE \
+            else None
+        self._records = None
         self._tid_index = None
+
+    @property
+    def records(self):
+        """All AlignedRead records (built lazily from the raw buffer)."""
+        if self._records is None:
+            records = []
+            data = self._data
+            refs = self.refs
+            if self._scan is not None:
+                offs = self._scan["rec_offsets"]
+                sizes = self._scan["rec_sizes"]
+                for i in range(self._scan["n"]):
+                    o = offs[i]
+                    records.append(
+                        AlignedRead(data[o:o + sizes[i]], refs))
+            else:
+                off = self._body_offset
+                n = len(data)
+                while off + 4 <= n:
+                    (block_size,) = struct.unpack_from("<i", data, off)
+                    records.append(
+                        AlignedRead(data[off + 4:off + 4 + block_size],
+                                    refs))
+                    off += 4 + block_size
+            self._records = records
+        return self._records
 
     # ── pysam-ish surface ──────────────────────────────────────────
     @property
@@ -445,7 +474,7 @@ class BamReader:
         if self._tid_index is not None:
             return
         idx = {}
-        for rec in self._records:
+        for rec in self.records:
             if rec.tid >= 0:
                 idx.setdefault(rec.tid, []).append(rec)
         for tid, recs in idx.items():
@@ -472,20 +501,20 @@ class BamReader:
         * ``until_eof=True`` → every record in file order.
         """
         if until_eof:
-            yield from self._records
+            yield from self.records
             return
         if contig is None:
-            for rec in self._records:
+            for rec in self.records:
                 if rec.tid >= 0:
                     yield rec
             return
         if contig == "*":
             any_unplaced = False
-            for rec in self._records:
+            for rec in self.records:
                 if rec.tid < 0:
                     any_unplaced = True
                     yield rec
-            if not any_unplaced and not self._records:
+            if not any_unplaced and not self.records:
                 return
             return
         tid = self.get_tid(contig)
@@ -522,8 +551,11 @@ class BamReader:
         canonical counting is strand-invariant so no reverse-complement
         restore is needed.
         """
+        if records is None and self._scan is not None:
+            yield from self._iter_packed_native(exclude_flags, batch_reads)
+            return
         batch = []
-        src = self._records if records is None else records
+        src = self.records if records is None else records
         for rec in src:
             if rec.flag & exclude_flags:
                 continue
@@ -535,6 +567,35 @@ class BamReader:
                 batch = []
         if batch:
             yield _pad_batch(batch)
+
+    def _iter_packed_native(self, exclude_flags, batch_reads):
+        """Packed batches via the C++ scanner (no per-record Python)."""
+        from kmer_denovo_filter_tpu.htsio import native
+
+        res = native.bam_codes(self._data, self._scan, exclude_flags)
+        if res is None:
+            yield from self.iter_packed(exclude_flags, batch_reads,
+                                        records=self.records)
+            return
+        codes_flat, offsets = res
+        keep = (offsets >= 0) & (self._scan["l_seqs"] > 0)
+        lens = self._scan["l_seqs"][keep].astype(np.int32)
+        starts = offsets[keep]
+        n = lens.shape[0]
+        for lo in range(0, n, batch_reads):
+            hi = min(lo + batch_reads, n)
+            blens = lens[lo:hi]
+            bstarts = starts[lo:hi]
+            lmax = int(blens.max()) if hi > lo else 1
+            b = hi - lo
+            out = np.full((b, lmax), 4, dtype=np.uint8)
+            total = int(blens.sum())
+            read_id = np.repeat(np.arange(b), blens)
+            col = (np.arange(total)
+                   - np.repeat(np.cumsum(blens) - blens, blens))
+            src_idx = np.repeat(bstarts, blens) + col
+            out[read_id, col] = codes_flat[src_idx]
+            yield out, blens
 
 
 def _pad_batch(code_list):

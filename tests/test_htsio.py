@@ -148,8 +148,8 @@ class TestGiabBam:
     def test_parse_real_bam(self):
         bam = BamReader("/root/reference/tests/data/giab/HG002_child.bam")
         assert bam.nreferences == 2580
-        assert len(bam._records) == 11097
-        rec = bam._records[0]
+        assert len(bam.records) == 11097
+        rec = bam.records[0]
         assert len(rec.query_sequence) == rec.query_length
 
 
