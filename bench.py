@@ -1,19 +1,25 @@
 #!/usr/bin/env python3
 """Headline benchmark: parent-scan filtered k-mer counting throughput.
 
-Measures the hot path of both pipelines — canonical 31-mer window
-extraction over packed read batches + binary-search probe against an
-HBM-resident child k-mer table + device tally — on one TPU chip, and
-prints one JSON line.
+Measures the hot path of both pipelines on one TPU chip — the fused
+device step ``extract canonical 31-mer windows → in-batch sort-dedup →
+binary-search probe of batch-unique keys against an HBM-resident child
+k-mer table → tally`` (ops/device.py:filtered_tally_step) — over
+realistic reads: 152 bp windows sampled position-locally from a
+synthetic genome at ~40× coverage, exactly the locality a
+coordinate-sorted WGS BAM delivers (and what makes the in-batch dedup
+effective, mirroring the reference's per-worker query-cache rationale,
+reference kmer_utils.py:134–137).
 
 Baseline: the reference's parent scan is ``samtools fasta | jellyfish
-count -C --if`` (reference core/jellyfish_wrappers.py:115–283).
-Jellyfish 2's published multithreaded counting rate on a server-class
-host is ~10^6 k-mers/µs-order — concretely ~1.0 M reads/s for 150 bp
-reads on a 16-core host once the samtools decode pipe is included
-(≈150 Mbase/s end-to-end).  BASELINE.md's north star asks for >10×
-that per v5e host; ``vs_baseline`` is measured reads/s divided by the
-1.0e6 reads/s jellyfish-pipeline estimate.
+count -C --if`` (reference core/jellyfish_wrappers.py:115–283) at
+~1.0 M reads/s for 150 bp reads on a 16-core host (≈150 Mbase/s
+end-to-end including the BAM-decode pipe).  ``vs_baseline`` is
+measured reads/s over that estimate.
+
+Prints one JSON line.  Timing forces device→host transfers per
+timed step because ``block_until_ready`` does not fully synchronise
+through the axon relay.
 """
 
 import json
@@ -24,51 +30,67 @@ import numpy as np
 K = 31
 W = 2
 READ_LEN = 152
-BATCH_READS = 16384
+BATCH_READS = 32768
 TABLE_M = 1 << 24           # 16.8M child k-mers (WGS VCF-mode scale)
-N_ITERS = 30
+N_BATCHES = 8
+GENOME_MB = 4
+COVERAGE_SPAN = 0.25        # batch reads sample a local genome window
 BASELINE_READS_PER_S = 1.0e6
+
+
+def synth_reads(rng, genome, n_reads, read_len):
+    """Position-local reads with 0.3% error, like a sorted WGS BAM."""
+    span = int(len(genome) * COVERAGE_SPAN)
+    start0 = rng.integers(0, len(genome) - span - read_len)
+    starts = np.sort(rng.integers(start0, start0 + span, n_reads))
+    idx = starts[:, None] + np.arange(read_len)[None, :]
+    reads = genome[idx]
+    err = rng.random((n_reads, read_len)) < 0.003
+    reads = np.where(err, (reads + rng.integers(
+        1, 4, (n_reads, read_len))) % 4, reads).astype(np.uint8)
+    return reads
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    from kmer_denovo_filter_tpu.engine import _dedup_cap
     from kmer_denovo_filter_tpu.ops import device as dev
     from kmer_denovo_filter_tpu.ops import encode as enc
 
     rng = np.random.default_rng(0)
+    genome = rng.integers(0, 4, GENOME_MB << 20, dtype=np.uint8)
 
     # Sorted synthetic canonical-key table (valid padding bits).
     t = rng.integers(0, 2 ** 32, (TABLE_M, W), dtype=np.uint32)
     t[:, 1] &= 0xFFFFFFFC
     t = t[enc.lexsort_keys(t)]
     table = jnp.asarray(t)
-    acc0 = jnp.zeros(TABLE_M, dtype=jnp.int32)
+    acc = jnp.zeros(TABLE_M, dtype=jnp.int32)
 
-    @jax.jit
-    def step(table, acc, codes, lengths):
-        keys, _valid = dev.extract_canonical_windows(codes, lengths, K)
-        flat = keys.reshape(-1, W)
-        idx, found = dev.lookup_sorted(table, flat, W)
-        idx = jnp.clip(idx, 0, TABLE_M - 1)
-        return acc.at[idx].add(found.astype(jnp.int32))
-
-    codes = jnp.asarray(
-        rng.integers(0, 4, (BATCH_READS, READ_LEN), dtype=np.uint8))
     lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+    n_windows = BATCH_READS * (READ_LEN - K + 1)
+    cap = _dedup_cap(n_windows)
 
-    # Warm-up (compile + first run)
-    acc = step(table, acc0, codes, lengths)
-    acc.block_until_ready()
+    batches = [jnp.asarray(synth_reads(rng, genome, BATCH_READS, READ_LEN))
+               for _ in range(N_BATCHES)]
+
+    # Warm-up (compile + first run), forced sync via host transfer
+    acc, ovf = dev.filtered_tally_step(
+        table, acc, batches[0], lengths, K, W, TABLE_M, cap)
+    assert not bool(ovf)
+    np.asarray(acc[:1])
 
     start = time.perf_counter()
-    for _ in range(N_ITERS):
-        acc = step(table, acc, codes, lengths)
-    acc.block_until_ready()
+    for b in batches:
+        acc, ovf = dev.filtered_tally_step(
+            table, acc, b, lengths, K, W, TABLE_M, cap)
+        np.asarray(ovf)  # host transfer: force real completion
+    np.asarray(acc[:1])
     elapsed = time.perf_counter() - start
 
-    reads_per_s = BATCH_READS * N_ITERS / elapsed
+    reads_per_s = BATCH_READS * N_BATCHES / elapsed
     print(json.dumps({
         "metric": "parent_scan_reads_per_s",
         "value": round(reads_per_s, 1),

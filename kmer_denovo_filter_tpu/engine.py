@@ -38,15 +38,31 @@ def _round_up(x, m):
 
 
 def pad_read_batch(codes, lengths, batch_reads=None, length_multiple=32):
-    """Pad a (B, L) code batch to engine-friendly static shapes."""
+    """Pad a (B, L) code batch to engine-friendly static shapes.
+
+    Rows pad to the next multiple of 1024 (or *batch_reads*), columns
+    to a multiple of *length_multiple* — bounding the number of
+    distinct compiled shapes.
+    """
     b, length = codes.shape
-    tb = batch_reads if batch_reads else b
+    tb = batch_reads if batch_reads else max(_round_up(b, 1024), 1024)
     tl = max(_round_up(length, length_multiple), length_multiple)
     out = np.full((tb, tl), 4, dtype=np.uint8)
     out[:b, :length] = codes
     lens = np.zeros(tb, dtype=np.int32)
     lens[:b] = lengths
     return out, lens
+
+
+def _dedup_cap(n_windows):
+    """Static unique-key capacity: N/8 rounded up to a power of two.
+
+    Coverage-local batches from sorted BAMs dedup 10–30×, so N/8 has
+    ample slack; the fused steps report overflow and the engine
+    retries at full capacity when a batch defeats deduplication.
+    """
+    cap = max(4096, n_windows // 8)
+    return 1 << (cap - 1).bit_length()
 
 
 class KmerIndex:
@@ -168,12 +184,21 @@ class FilteredCounter:
 
     def feed(self, codes, lengths):
         codes_p, lens_p = pad_read_batch(codes, lengths)
-        keys, _valid = dev.extract_canonical_windows(
-            jnp.asarray(codes_p), jnp.asarray(lens_p), self.index.k)
-        b, s, w = keys.shape
-        flat = keys.reshape(b * s, w)
-        self.acc = dev.probe_accumulate(
-            self.index.table, self.acc, flat, w, self.index.m_pad)
+        b, length = codes_p.shape
+        n_windows = b * (length - self.index.k + 1)
+        cap = _dedup_cap(n_windows)
+        codes_j = jnp.asarray(codes_p)
+        lens_j = jnp.asarray(lens_p)
+        acc, overflow = dev.filtered_tally_step(
+            self.index.table, self.acc, codes_j, lens_j,
+            self.index.k, self.index.w, self.index.m_pad, cap)
+        if bool(overflow):
+            # batch defeated dedup — retry at full capacity
+            acc, overflow = dev.filtered_tally_step(
+                self.index.table, self.acc, codes_j, lens_j,
+                self.index.k, self.index.w, self.index.m_pad,
+                1 << (n_windows - 1).bit_length())
+        self.acc = acc
 
     def result(self):
         """int64 counts aligned with the index's sorted keys."""
@@ -191,12 +216,18 @@ def scan_reads_for_hits(index, codes, lengths):
     canonical k-mer present in the index.
     """
     codes_p, lens_p = pad_read_batch(codes, lengths)
-    keys, valid = dev.extract_canonical_windows(
-        jnp.asarray(codes_p), jnp.asarray(lens_p), index.k)
-    b, s, w = keys.shape
-    flat = keys.reshape(b * s, w)
-    _, found = dev.lookup_sorted(index.table, flat, w)
-    found = np.asarray(found).reshape(b, s) & np.asarray(valid)
+    b, length = codes_p.shape
+    n_windows = b * (length - index.k + 1)
+    cap = _dedup_cap(n_windows)
+    codes_j = jnp.asarray(codes_p)
+    lens_j = jnp.asarray(lens_p)
+    found, overflow = dev.scan_hits_step(
+        index.table, codes_j, lens_j, index.k, index.w, cap)
+    if bool(overflow):
+        found, overflow = dev.scan_hits_step(
+            index.table, codes_j, lens_j, index.k, index.w,
+            1 << (n_windows - 1).bit_length())
+    found = np.asarray(found)
     return found[:codes.shape[0], :codes.shape[1] - index.k + 1]
 
 

@@ -163,6 +163,96 @@ def sort_count_weighted(flat_keys, weights, w):
     return skeys, starts, counts
 
 
+@functools.partial(jax.jit, static_argnames=("w",))
+def sort_count_perm(flat_keys, w):
+    """:func:`sort_count` + the sort permutation (original row index)."""
+    n = flat_keys.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    operands = tuple(flat_keys[:, j] for j in range(w)) + (iota,)
+    sorted_ops = jax.lax.sort(operands, num_keys=w)
+    skeys = jnp.stack(sorted_ops[:w], axis=-1)
+    perm = sorted_ops[w]
+    neq = jnp.zeros(n, dtype=bool)
+    for j in range(w):
+        neq = neq.at[1:].set(
+            neq[1:] | (sorted_ops[j][1:] != sorted_ops[j][:-1]))
+    starts = neq.at[0].set(True)
+    group = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    counts_per_group = jax.ops.segment_sum(
+        jnp.ones(n, dtype=jnp.int32), group, num_segments=n)
+    counts = jnp.where(starts, counts_per_group[group], 0)
+    return skeys, starts, counts, group, perm
+
+
+def _compact_uniques(skeys, starts, counts, w, cap):
+    """Scatter run-start rows into fixed-capacity unique buffers.
+
+    Returns (uniq_keys (cap, W), uniq_counts (cap,), overflow).
+    Sentinel runs land in the discard slot; real runs beyond *cap*
+    raise the overflow flag so the caller can retry with a larger cap.
+    """
+    n = skeys.shape[0]
+    sent = jnp.ones(n, dtype=bool)
+    for j in range(w):
+        sent = sent & (skeys[:, j] == SENTINEL)
+    real_start = starts & ~sent
+    pos = jnp.cumsum(real_start.astype(jnp.int32)) - 1
+    overflow = jnp.any(real_start & (pos >= cap))
+    tgt = jnp.where(real_start & (pos < cap), pos, cap)
+    ukeys = jnp.full((cap + 1, w), SENTINEL).at[tgt].set(skeys)[:cap]
+    ucnts = jnp.zeros(cap + 1, jnp.int32).at[tgt].set(counts)[:cap]
+    upos_of_group = pos  # per sorted row: unique slot of its run start
+    return ukeys, ucnts, upos_of_group, overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "w", "m_pad", "cap"))
+def filtered_tally_step(table, acc, codes, lengths, k, w, m_pad, cap):
+    """Fused parent-scan step: extract → dedup → probe uniques → tally.
+
+    The production replacement for per-window binary search: window
+    keys are deduplicated with one sort (coverage-local read batches
+    dedup 10–30×), only the ≤``cap`` unique keys run the log₂(M)
+    gather-round probe, and each hit adds its in-batch multiplicity to
+    the table tally.  Returns (acc', overflow).
+    """
+    keys, _valid = extract_canonical_windows(codes, lengths, k)
+    flat = keys.reshape(-1, w)
+    skeys, starts, counts = sort_count(flat, w)
+    ukeys, ucnts, _upos, overflow = _compact_uniques(
+        skeys, starts, counts, w, cap)
+    idx, found = lookup_sorted(table, ukeys, w)
+    idx = jnp.clip(idx, 0, m_pad - 1)
+    acc = acc.at[idx].add(jnp.where(found, ucnts, 0))
+    return acc, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "cap"))
+def scan_hits_step(table, codes, lengths, k, w, cap):
+    """Fused anchoring step: per-window hit mask via dedup + probe.
+
+    Probes each batch-unique key once, then maps verdicts back to the
+    (B, S) window grid through the sort permutation (two linear
+    passes).  Returns (found (B, S) bool, overflow).
+    """
+    b, length = codes.shape
+    s = length - k + 1
+    keys, valid = extract_canonical_windows(codes, lengths, k)
+    flat = keys.reshape(-1, w)
+    skeys, starts, counts, group, perm = sort_count_perm(flat, w)
+    ukeys, _ucnts, upos_of_row, overflow = _compact_uniques(
+        skeys, starts, counts, w, cap)
+    _idx, ufound = lookup_sorted(table, ukeys, w)
+    # per sorted row: verdict of its run's unique slot
+    row_found = ufound[jnp.clip(upos_of_row, 0, cap - 1)] \
+        & (upos_of_row >= 0) & (upos_of_row < cap)
+    # unsort back to original window order
+    n = flat.shape[0]
+    found_flat = jnp.zeros(n, dtype=bool).at[perm].set(row_found)
+    found = found_flat.reshape(b, s) & valid
+    return found, overflow
+
+
 def _lex_le_gather(table, idx, q, w):
     """table[idx] <= q, lexicographic over w words. idx clipped."""
     m = table.shape[0]
