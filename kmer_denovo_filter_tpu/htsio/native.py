@@ -72,6 +72,17 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         lib.bam_scan_records.restype = ctypes.c_int32
         lib.bam_extract_codes.restype = ctypes.c_int64
+        lib.kdf_ht_build.restype = ctypes.c_void_p
+        lib.kdf_ht_build.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64]
+        lib.kdf_ht_free.argtypes = [ctypes.c_void_p]
+        lib.kdf_ht_tally.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+        lib.kdf_ht_member.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
         _lib = lib
         AVAILABLE = True
     except OSError as e:
@@ -166,3 +177,61 @@ def bam_codes(data, scan, exclude_flags):
     if used != total:
         return None
     return codes[:total], offsets
+
+
+class HostHashTable:
+    """Multithreaded open-addressing table over packed 64-bit k-mer keys.
+
+    The random-access half of the heterogeneous probe pipeline: the
+    device extracts/canonicalises windows; this table answers
+    membership/tally queries at host-memory speed.  Only valid for
+    W<=2 word keys (k<=31); callers fall back to the device path
+    otherwise.  Sentinel (all-ones) queries never match.
+    """
+
+    def __init__(self, keys64):
+        if not _load():
+            raise RuntimeError("native library unavailable")
+        self._keys = np.ascontiguousarray(keys64, dtype=np.uint64)
+        self.n = self._keys.shape[0]
+        self._handle = _lib.kdf_ht_build(
+            self._keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            self.n)
+        if not self._handle:
+            raise MemoryError("kdf_ht_build failed")
+        self._threads = min(os.cpu_count() or 1, 16)
+
+    def tally(self, queries64, tally):
+        """Add 1 to tally[i] for each query equal to key i."""
+        q = np.ascontiguousarray(queries64, dtype=np.uint64)
+        assert tally.dtype == np.int64 and tally.shape[0] >= self.n
+        _lib.kdf_ht_tally(
+            self._handle,
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            q.shape[0],
+            tally.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._threads)
+
+    def member(self, queries64, want_index=False):
+        q = np.ascontiguousarray(queries64, dtype=np.uint64)
+        out = np.zeros(q.shape[0], dtype=np.uint8)
+        idx = np.zeros(q.shape[0], dtype=np.int64) if want_index else None
+        _lib.kdf_ht_member(
+            self._handle,
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            q.shape[0],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+            if want_index else
+            ctypes.cast(None, ctypes.POINTER(ctypes.c_int64)),
+            self._threads)
+        if want_index:
+            return out.astype(bool), idx
+        return out.astype(bool)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                _lib.kdf_ht_free(self._handle)
+        except Exception:
+            pass

@@ -138,11 +138,27 @@ def sort_count(flat_keys, w):
     for j in range(w):
         neq = neq.at[1:].set(neq[1:] | (sorted_ops[j][1:] != sorted_ops[j][:-1]))
     starts = neq.at[0].set(True)
-    group = jnp.cumsum(starts.astype(jnp.int32)) - 1
-    counts_per_group = jax.ops.segment_sum(
-        jnp.ones(n, dtype=jnp.int32), group, num_segments=n)
-    counts = jnp.where(starts, counts_per_group[group], 0)
+    counts = _run_lengths(starts)
     return skeys, starts, counts
+
+
+def _run_lengths(starts):
+    """Run length at each run-start row (0 elsewhere), scan-based.
+
+    ``count[i] = (next start index after i) - i`` computed with a
+    reverse cumulative-min — log(n) elementwise passes instead of the
+    segment-sum scatter + gather pair, which dominates sort_count cost
+    on TPU.
+    """
+    n = starts.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    start_idx = jnp.where(starts, idx, n)
+    # next start at-or-after i+1
+    rev_min = jnp.flip(jax.lax.associative_scan(
+        jnp.minimum, jnp.flip(start_idx)))
+    next_start = jnp.concatenate(
+        [rev_min[1:], jnp.full(1, n, jnp.int32)])
+    return jnp.where(starts, next_start - idx, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("w",))
@@ -178,9 +194,7 @@ def sort_count_perm(flat_keys, w):
             neq[1:] | (sorted_ops[j][1:] != sorted_ops[j][:-1]))
     starts = neq.at[0].set(True)
     group = jnp.cumsum(starts.astype(jnp.int32)) - 1
-    counts_per_group = jax.ops.segment_sum(
-        jnp.ones(n, dtype=jnp.int32), group, num_segments=n)
-    counts = jnp.where(starts, counts_per_group[group], 0)
+    counts = _run_lengths(starts)
     return skeys, starts, counts, group, perm
 
 
@@ -265,6 +279,90 @@ def _lex_le_gather(table, idx, q, w):
         lt = lt | (eq & (tj < qj))
         eq = eq & (tj == qj)
     return lt | eq
+
+
+def build_bucket_offsets(keys_np, p_bits):
+    """Host-side: per-prefix rank offsets for the bucketed probe.
+
+    ``off[p]`` = first table row whose word0's top *p_bits* are >= p.
+    Returns (off (2^p+1,) int32, max_bucket).
+    """
+    import numpy as _np
+    prefixes = (keys_np[:, 0] >> np.uint32(32 - p_bits)).astype(_np.int64)
+    counts = _np.bincount(prefixes, minlength=1 << p_bits)
+    off = _np.zeros((1 << p_bits) + 1, dtype=_np.int32)
+    _np.cumsum(counts, out=off[1:])
+    return off, int(counts.max()) if counts.size else 0
+
+
+@functools.partial(jax.jit, static_argnames=("w", "p_bits", "rounds"))
+def lookup_bucketed(table, off, queries, w, p_bits, rounds):
+    """Bucket-pointer probe: prefix offsets + short local binary search.
+
+    The top *p_bits* of word0 select a precomputed rank range in the
+    sorted table, so only ``rounds`` = ceil(log2(max_bucket)) binary
+    search iterations remain — ~3-5x fewer gather passes than the
+    full-table search, which is the dominant cost of device probes.
+    """
+    m = table.shape[0]
+    n = queries.shape[0]
+    p = (queries[:, 0] >> jnp.uint32(32 - p_bits)).astype(jnp.int32)
+    lo = off[p] - 1          # table[lo] <= q (virtual -inf at -1)
+    hi = off[p + 1]          # table[hi] > q
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        le = _lex_le_gather(table, mid, queries, w)
+        lo = jnp.where(le, mid, lo)
+        hi = jnp.where(le, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, rounds, body, (lo, hi))
+    idx_c = jnp.clip(lo, 0, m - 1)
+    eq = jnp.ones(n, dtype=bool)
+    for j in range(w):
+        eq = eq & (table[idx_c, j] == queries[:, j])
+    found = eq & (lo >= 0)
+    return lo, found
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "w", "m_pad", "cap", "p_bits",
+                              "rounds"))
+def filtered_tally_step_bucketed(table, off, acc, codes, lengths, k, w,
+                                 m_pad, cap, p_bits, rounds):
+    """:func:`filtered_tally_step` with the bucket-pointer probe."""
+    keys, _valid = extract_canonical_windows(codes, lengths, k)
+    flat = keys.reshape(-1, w)
+    skeys, starts, counts = sort_count(flat, w)
+    ukeys, ucnts, _upos, overflow = _compact_uniques(
+        skeys, starts, counts, w, cap)
+    idx, found = lookup_bucketed(table, off, ukeys, w, p_bits, rounds)
+    idx = jnp.clip(idx, 0, m_pad - 1)
+    acc = acc.at[idx].add(jnp.where(found, ucnts, 0))
+    return acc, overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "w", "cap", "p_bits", "rounds"))
+def scan_hits_step_bucketed(table, off, codes, lengths, k, w, cap,
+                            p_bits, rounds):
+    """:func:`scan_hits_step` with the bucket-pointer probe."""
+    b, length = codes.shape
+    s = length - k + 1
+    keys, valid = extract_canonical_windows(codes, lengths, k)
+    flat = keys.reshape(-1, w)
+    skeys, starts, counts, group, perm = sort_count_perm(flat, w)
+    ukeys, _ucnts, upos_of_row, overflow = _compact_uniques(
+        skeys, starts, counts, w, cap)
+    _idx, ufound = lookup_bucketed(table, off, ukeys, w, p_bits, rounds)
+    row_found = ufound[jnp.clip(upos_of_row, 0, cap - 1)] \
+        & (upos_of_row >= 0) & (upos_of_row < cap)
+    n = flat.shape[0]
+    found_flat = jnp.zeros(n, dtype=bool).at[perm].set(row_found)
+    found = found_flat.reshape(b, s) & valid
+    return found, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("w",))

@@ -1,0 +1,205 @@
+"""Kraken2 subsystem tests with mocked subprocesses (no binary needed).
+
+Mirrors the reference's mocked-Popen strategy
+(reference tests/test_kraken2.py, 1524 LoC): fabricated
+nodes.dmp/names.dmp trees and per-read kraken2 output lines.
+"""
+
+import struct
+from unittest import mock
+
+import pytest
+
+from kmer_denovo_filter_tpu.kraken2 import (
+    ARCHAEA_TAXID,
+    BACTERIA_TAXID,
+    EUKARYOTA_TAXID,
+    FUNGI_TAXID,
+    HUMAN_TAXID,
+    Kraken2Runner,
+    METAZOA_TAXID,
+    UNIVEC_CORE_TAXID,
+    VIRUSES_TAXID,
+)
+from kmer_denovo_filter_tpu.kraken2_beds import parse_kmer_votes
+
+# Minimal taxonomy: root(1) → {Bacteria(2) → Ecoli(562)},
+# {Archaea(2157)}, {Eukaryota(2759) → Metazoa(33208) → Human(9606) →
+# subspecies(96061)}, {Eukaryota → Fungi(4751)}, {Eukaryota →
+# protistX(5000)}, {Viruses(10239) → HBV(10407)},
+# {UniVec(81077) → vec1(810771)}
+_NODES = {
+    1: 1, BACTERIA_TAXID: 1, 562: BACTERIA_TAXID,
+    ARCHAEA_TAXID: 1,
+    EUKARYOTA_TAXID: 1, METAZOA_TAXID: EUKARYOTA_TAXID,
+    HUMAN_TAXID: METAZOA_TAXID, 96061: HUMAN_TAXID,
+    FUNGI_TAXID: EUKARYOTA_TAXID, 5000: EUKARYOTA_TAXID,
+    VIRUSES_TAXID: 1, 10407: VIRUSES_TAXID,
+    UNIVEC_CORE_TAXID: 1, 810771: UNIVEC_CORE_TAXID,
+}
+_NAMES = {
+    1: "root", BACTERIA_TAXID: "Bacteria", 562: "Escherichia coli",
+    HUMAN_TAXID: "Homo sapiens", VIRUSES_TAXID: "Viruses",
+    10407: "Hepatitis B virus", UNIVEC_CORE_TAXID: "UniVec Core",
+}
+
+
+@pytest.fixture()
+def db(tmp_path):
+    tax = tmp_path / "taxonomy"
+    tax.mkdir()
+    with open(tax / "nodes.dmp", "w") as fh:
+        for child, parent in _NODES.items():
+            fh.write(f"{child}\t|\t{parent}\t|\tno rank\t|\n")
+    with open(tax / "names.dmp", "w") as fh:
+        for tid, name in _NAMES.items():
+            fh.write(f"{tid}\t|\t{name}\t|\t\t|\tscientific name\t|\n")
+        fh.write("562\t|\tE. coli alias\t|\t\t|\tsynonym\t|\n")
+    with open(tmp_path / "opts.k2d", "wb") as fh:
+        fh.write(struct.pack("<Q", 35) + b"\x00" * 24)
+    return str(tmp_path)
+
+
+class TestTaxonomy:
+    def test_parent_and_name_maps(self, db):
+        pm = Kraken2Runner.load_parent_map(db)
+        assert pm[562] == BACTERIA_TAXID
+        nm = Kraken2Runner.load_name_map(db)
+        assert nm[562] == "Escherichia_coli"
+        assert "E._coli_alias" not in nm.values()  # synonyms skipped
+
+    def test_descendants_and_ancestors(self, db):
+        pm = Kraken2Runner.load_parent_map(db)
+        bact = Kraken2Runner.descendants_of(pm, BACTERIA_TAXID)
+        assert bact == {BACTERIA_TAXID, 562}
+        anc = Kraken2Runner.ancestors_of(pm, HUMAN_TAXID)
+        assert anc == {HUMAN_TAXID, METAZOA_TAXID, EUKARYOTA_TAXID, 1}
+
+    def test_taxid_sets(self, db):
+        sets = Kraken2Runner.load_all_taxid_sets(db)
+        assert 562 in sets["bacterial"]
+        assert 5000 in sets["protist"]
+        assert FUNGI_TAXID not in sets["protist"]
+        assert HUMAN_TAXID not in sets["protist"]
+        assert 10407 in sets["viral"]
+        assert 810771 in sets["univec_core"]
+        assert 96061 in sets["human_clade"]
+        assert METAZOA_TAXID in sets["human_lineage"]
+
+    def test_read_kmer_length(self, db):
+        assert Kraken2Runner.read_kmer_length(db) == 35
+
+    def test_missing_taxonomy_returns_none(self, tmp_path):
+        assert Kraken2Runner.load_parent_map(str(tmp_path)) is None
+
+
+def _mock_run(db, output_lines, reads):
+    """Run classify_sequences with a mocked kraken2 subprocess."""
+    kr = Kraken2Runner(db)
+    proc = mock.MagicMock()
+    proc.returncode = 0
+    proc.pid = 4242
+    proc.communicate.return_value = (
+        "\n".join(output_lines).encode(), b"")
+    with mock.patch("subprocess.Popen", return_value=proc):
+        return kr.classify_sequences(reads)
+
+
+class TestClassification:
+    def test_domain_tallies_and_partition(self, db):
+        lines = [
+            "C\tr_ecoli\t562\t100\t562:66",
+            "C\tr_human\t9606\t100\t9606:66",
+            "C\tr_viral\t10407\t100\t10407:66",
+            "C\tr_univec\t810771\t100\t810771:66",
+            "C\tr_root\t1\t100\t1:66",
+            "C\tr_protist\t5000\t100\t5000:66",
+            "U\tr_unclass\t0\t100\t",
+        ]
+        reads = {f"r_{x}": "ACGT" for x in
+                 ("ecoli", "human", "viral", "univec", "root",
+                  "protist", "unclass")}
+        res = _mock_run(db, lines, reads)
+        assert res.total == 7
+        assert res.classified == 6
+        assert res.unclassified == 1
+        assert res.bacterial_read_names == {"r_ecoli"}
+        assert res.viral_read_names == {"r_viral"}
+        assert res.protist_read_names == {"r_protist"}
+        assert res.univec_core_read_names == {"r_univec"}
+        assert res.nonhuman_read_names == {
+            "r_ecoli", "r_viral", "r_protist"}
+        assert res.human_count == 1
+        assert res.root_count == 1
+        # four-set partition: NHF + UCF + HLF + UF covers every read
+        parts = (res.nonhuman_read_names | res.univec_core_read_names
+                 | res.human_lineage_read_names
+                 | res.unclassified_read_names)
+        assert parts == set(reads)
+        total = (len(res.nonhuman_read_names)
+                 + len(res.univec_core_read_names)
+                 + len(res.human_lineage_read_names)
+                 + len(res.unclassified_read_names))
+        assert total == 7  # disjoint
+
+    def test_human_homology_guard(self, db):
+        lines = [
+            "C\tr_hbv\t10407\t100\t10407:30 9606:36",  # human k-mers!
+            "C\tr_pure\t10407\t100\t10407:66",
+        ]
+        res = _mock_run(db, lines,
+                        {"r_hbv": "ACGT", "r_pure": "ACGT"})
+        assert res.viral_read_names == {"r_pure"}
+        assert "r_hbv" not in res.nonhuman_read_names
+        assert "r_hbv" in res.human_lineage_read_names
+        assert res.per_read_detail["r_hbv"]["guard_status"] == "HHG"
+        assert res.per_read_detail["r_hbv"]["domain"] == "Viruses"
+
+    def test_univec_excluded_from_nonhuman(self, db):
+        lines = ["C\tr_vec\t810771\t100\t810771:66"]
+        res = _mock_run(db, lines, {"r_vec": "ACGT"})
+        assert res.univec_core_read_names == {"r_vec"}
+        assert res.nonhuman_read_names == set()
+        assert res.per_read_detail["r_vec"]["guard_status"] == "UVC"
+
+    def test_failure_degrades_to_empty(self, db):
+        kr = Kraken2Runner(db)
+        proc = mock.MagicMock()
+        proc.returncode = 1
+        proc.pid = 4242
+        proc.communicate.return_value = (b"", b"boom")
+        with mock.patch("subprocess.Popen", return_value=proc):
+            res = kr.classify_sequences({"r": "ACGT"})
+        assert res.total == 1
+        assert res.classified == 0
+
+    def test_empty_input(self, db):
+        res = Kraken2Runner(db).classify_sequences({})
+        assert res.total == 0
+
+    def test_ambiguous_ancestor_domain(self, db):
+        lines = [f"C\tr_euk\t{EUKARYOTA_TAXID}\t100\t2759:66"]
+        res = _mock_run(db, lines, {"r_euk": "ACGT"})
+        d = res.per_read_detail["r_euk"]
+        assert d["domain"] in ("Ambiguous_Ancestor", "Protist")
+        # Eukaryota is on the human lineage → not non-human
+        assert "r_euk" not in res.nonhuman_read_names
+
+
+class TestKmerVotes:
+    def test_parse_and_ranking(self):
+        votes, named, total, human = parse_kmer_votes(
+            "562:10 9606:5 |:| 562:3 0:2",
+            name_map={562: "Escherichia_coli"})
+        assert votes == "562:13;9606:5;0:2"
+        assert named == "Escherichia_coli:13;9606:5;unclassified:2"
+        assert total == 20
+        assert human == 5
+
+    def test_empty(self):
+        assert parse_kmer_votes("") == ("", "", 0, 0)
+
+    def test_extract_taxids(self):
+        got = Kraken2Runner.extract_taxids_from_kmer_string(
+            "562:10 |:| 9606:2 A:3 bogus")
+        assert got == {562, 9606}

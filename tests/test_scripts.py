@@ -1,0 +1,100 @@
+"""Tests for the helper scripts (compare_regions, build_mini_ref)."""
+
+import importlib.util
+import os
+
+import pytest
+
+_SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(_SCRIPTS, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestCompareRegions:
+    def test_classification_buckets(self, tmp_path):
+        cr = _load("compare_regions")
+        bedgraph = {"chr1": [(90, 120, 5)]}
+        discovery = {"chr1": [
+            {"start": 80, "end": 130, "reads": 3, "unique_kmers": 10,
+             "split_reads": 0, "discordant_pairs": 0, "max_clip_len": 0,
+             "unmapped_mates": 0, "class": "SMALL"},
+            {"start": 500, "end": 600, "reads": 2, "unique_kmers": 5,
+             "split_reads": 0, "discordant_pairs": 0, "max_clip_len": 0,
+             "unmapped_mates": 0, "class": "SMALL"},
+        ]}
+        variants = [
+            {"chrom": "chr1", "pos0": 100, "pos1": 101, "ref": "A",
+             "alt": "T", "dku": 5, "dka": 5},      # concordant
+            {"chrom": "chr1", "pos0": 110, "pos1": 111, "ref": "C",
+             "alt": "G", "dku": 1, "dka": 0},      # concordant
+            {"chrom": "chr1", "pos0": 300, "pos1": 301, "ref": "G",
+             "alt": "A", "dku": 0, "dka": 0},      # no signal
+        ]
+        result = cr.compare(bedgraph, discovery, variants)
+        assert len(result["concordant"]) == 2
+        assert len(result["no_signal"]) == 1
+        assert len(result["discovery_only"]) == 1
+        text = cr.format_summary(result)
+        assert "CONCORDANT  (2 variants)" in text
+        assert "DISCOVERY_ONLY  (1 regions)" in text
+
+    def test_loaders(self, tmp_path):
+        cr = _load("compare_regions")
+        bg = tmp_path / "x.bedgraph"
+        bg.write_text("#track type=bedGraph\nchr1\t10\t20\t5\n")
+        got = cr.load_bedgraph(str(bg))
+        assert got == {"chr1": [(10, 20, 5)]}
+        bed = tmp_path / "x.bed"
+        bed.write_text("#filters: a=1\n#chrom\tstart\tend\n"
+                       "chr2\t5\t50\t3\t7\t0\t0\t2\t0\tSMALL\n")
+        got = cr.load_discovery_bed(str(bed))
+        assert got["chr2"][0]["reads"] == 3
+        assert got["chr2"][0]["class"] == "SMALL"
+
+
+class TestBuildMiniRef:
+    def test_reconstructs_reference(self, tmp_path):
+        from kmer_denovo_filter_tpu.htsio.bam import (
+            BamWriter,
+            encode_read,
+        )
+        from kmer_denovo_filter_tpu.htsio.fasta import read_fasta
+        from tests.helpers import make_ref_seq
+
+        bmr = _load("build_mini_ref")
+        seq = make_ref_seq(500)
+        bam_path = str(tmp_path / "t.bam")
+        header = "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr9\tLN:500\n"
+        writer = BamWriter(bam_path, header, [("chr9", 500)])
+        # perfect reads over two distant regions + one mismatch read
+        for name, pos in (("a", 10), ("b", 40), ("c", 300)):
+            raw = encode_read(name, 0, 0, pos, 60, [(0, 60)],
+                              seq[pos:pos + 60], [40] * 60,
+                              tags=b"NMi" + (0).to_bytes(4, "little"))
+            writer.write_raw(0, pos, raw)
+        raw = encode_read("bad", 0, 0, 200, 60, [(0, 60)],
+                          "A" * 60, [40] * 60,
+                          tags=b"NMi" + (3).to_bytes(4, "little"))
+        writer.write_raw(0, 200, raw)
+        writer.close(sort=True, index=True)
+
+        out = str(tmp_path / "mini.fa")
+        contigs = bmr.build_mini_ref(bam_path, out, merge_distance=100)
+        assert set(contigs) == {"chr9_10_100", "chr9_300_360"}
+        seqs = read_fasta(out)
+        assert seqs["chr9_10_100"] == seq[10:100]
+        assert seqs["chr9_300_360"] == seq[300:360]
+        assert os.path.exists(out + ".fai")
+
+    def test_cluster_intervals(self):
+        bmr = _load("build_mini_ref")
+        got = bmr.cluster_intervals(
+            [(0, 10), (15, 30), (500, 600)], merge_distance=10)
+        assert got == [(0, 30), (500, 600)]
+        assert bmr.cluster_intervals([]) == []
