@@ -67,7 +67,7 @@ def main():
     t[:, 1] &= 0xFFFFFFFC
     t = t[enc.lexsort_keys(t)]
     table = jnp.asarray(t)
-    p_bits = 24
+    p_bits = 22
     off_np, max_bucket = dev.build_bucket_offsets(t, p_bits)
     off = jnp.asarray(off_np)
     rounds = max(1, (max_bucket + 1).bit_length())

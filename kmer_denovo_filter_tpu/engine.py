@@ -84,7 +84,7 @@ class KmerIndex:
         self.counts_np = counts_np
         # bucket-pointer probe metadata: prefix offsets over the padded
         # table cut the binary search to ~log2(max_bucket) rounds
-        self.p_bits = min(24, max(1, self.m_pad.bit_length() + 1))
+        self.p_bits = min(22, max(1, self.m_pad.bit_length() + 1))
         off, max_bucket = dev.build_bucket_offsets(padded, self.p_bits)
         self.off = jnp.asarray(off)
         self.rounds = max(1, (max_bucket + 1).bit_length())
