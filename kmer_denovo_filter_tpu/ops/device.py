@@ -143,22 +143,18 @@ def sort_count(flat_keys, w):
 
 
 def _run_lengths(starts):
-    """Run length at each run-start row (0 elsewhere), scan-based.
+    """Run length at each run-start row (0 elsewhere).
 
-    ``count[i] = (next start index after i) - i`` computed with a
-    reverse cumulative-min — log(n) elementwise passes instead of the
-    segment-sum scatter + gather pair, which dominates sort_count cost
-    on TPU.
+    Segment-sum over run ids.  (A reverse-cummin scan formulation is
+    algorithmically cheaper at runtime but `associative_scan` compile
+    times through the remote TPU compiler are prohibitive — minutes
+    per shape — so the scatter+gather pair stays.)
     """
     n = starts.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    start_idx = jnp.where(starts, idx, n)
-    # next start at-or-after i+1
-    rev_min = jnp.flip(jax.lax.associative_scan(
-        jnp.minimum, jnp.flip(start_idx)))
-    next_start = jnp.concatenate(
-        [rev_min[1:], jnp.full(1, n, jnp.int32)])
-    return jnp.where(starts, next_start - idx, 0)
+    group = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    counts_per_group = jax.ops.segment_sum(
+        jnp.ones(n, dtype=jnp.int32), group, num_segments=n)
+    return jnp.where(starts, counts_per_group[group], 0)
 
 
 @functools.partial(jax.jit, static_argnames=("w",))
