@@ -132,11 +132,11 @@ def _extract_child_kmers_discovery(child_bam, kmer_size, min_child_count):
     extract_start = time.monotonic()
     logger.info("Extracting child k-mers from BAM (k=%d, device engine)…",
                 kmer_size)
-    bam = BamReader(child_bam)
+    from kmer_denovo_filter_tpu.htsio.bam import packed_batches
     sc = eng.StreamCounter(kmer_size)
     n_reads = 0
-    for codes, lengths in bam.iter_packed(
-            exclude_flags=_COUNT_EXCLUDE_FLAGS):
+    for codes, lengths in packed_batches(
+            child_bam, exclude_flags=_COUNT_EXCLUDE_FLAGS):
         sc.feed(codes, lengths)
         n_reads += codes.shape[0]
     keys, counts = sc.result()
@@ -176,11 +176,11 @@ def _count_parent_device(parent_bam, filter_index, label):
                 format_file_size(parent_bam), parent_bam)
     logger.info("  device filtered count (k=%d, filter_kmers=%d)",
                 filter_index.k, filter_index.n)
+    from kmer_denovo_filter_tpu.htsio.bam import packed_batches
     fc = eng.FilteredCounter(filter_index)
-    bam = BamReader(parent_bam)
     n_reads = 0
-    for codes, lengths in bam.iter_packed(
-            exclude_flags=_COUNT_EXCLUDE_FLAGS):
+    for codes, lengths in packed_batches(
+            parent_bam, exclude_flags=_COUNT_EXCLUDE_FLAGS):
         fc.feed(codes, lengths)
         n_reads += codes.shape[0]
     counts = fc.result()

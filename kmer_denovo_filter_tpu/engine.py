@@ -156,7 +156,9 @@ class StreamCounter:
     def feed_sequence(self, seq):
         """Count k-mers of one long sequence (reference contigs).
 
-        Chunked with k-1 overlap so no window is lost.
+        Chunked with k-1 overlap so no window is lost; chunk lengths
+        pad to the next power of two so at most ~10 kernel shapes serve
+        any contig set (remote TPU compiles cost minutes per shape).
         """
         codes = enc.ASCII_TO_CODE[
             np.frombuffer(seq.upper().encode("ascii"), dtype=np.uint8)]
@@ -168,7 +170,13 @@ class StreamCounter:
         step = chunk - (k - 1)
         for off in range(0, max(n - k + 1, 1), step):
             part = codes[off:off + chunk]
-            self.feed(part[None, :], np.array([len(part)], dtype=np.int32))
+            length = len(part)
+            target = 1 << max((length - 1).bit_length(), 11)
+            if length < target:
+                part = np.concatenate(
+                    [part, np.full(target - length, 4, dtype=np.uint8)])
+            self.feed(part[None, :],
+                      np.array([length], dtype=np.int32))
 
     def result(self):
         """Final (sorted unique keys, counts) across all batches."""

@@ -598,6 +598,90 @@ class BamReader:
             yield out, blens
 
 
+def packed_batches(path, exclude_flags=0, batch_reads=8192):
+    """Packed read batches, choosing whole-file vs streaming decode.
+
+    Small files inflate once and reuse the native scan; files above
+    ``KDF_STREAM_THRESHOLD_BYTES`` (default 1 GiB compressed) stream
+    with O(batch) memory — the whole-BAM counting scans of WGS
+    pipelines go through here.
+    """
+    import os as _os
+
+    threshold = int(_os.environ.get(
+        "KDF_STREAM_THRESHOLD_BYTES", 1 << 30))
+    try:
+        size = _os.path.getsize(path)
+    except OSError:
+        size = 0
+    if size > threshold:
+        return stream_packed(path, exclude_flags, batch_reads)
+    return BamReader(path).iter_packed(exclude_flags, batch_reads)
+
+
+def stream_packed(path, exclude_flags=0, batch_reads=8192):
+    """Memory-bounded packed batches straight off the BGZF stream.
+
+    Unlike :class:`BamReader` (which inflates the whole file — the
+    right trade for targeted-fetch workloads), this walks records
+    incrementally with O(batch) memory, which is what whole-genome
+    parent/child counting scans need (WGS BAMs decompress to several
+    hundred GB).  Yields the same (codes, lengths) batches as
+    ``iter_packed``.
+    """
+    with BgzfReader(path) as fh:
+        if fh.read_exact(4) != b"BAM\x01":
+            raise ValueError(f"not a BAM file: {path}")
+        l_text = struct.unpack("<i", fh.read_exact(4))[0]
+        fh.read_exact(l_text)
+        n_ref = struct.unpack("<i", fh.read_exact(4))[0]
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", fh.read_exact(4))[0]
+            fh.read_exact(l_name + 4)
+
+        batch = []
+        buf = b""
+        pos = 0
+        while True:
+            if len(buf) - pos < 4:
+                buf = buf[pos:] + fh.read(8 << 20)
+                pos = 0
+                if len(buf) < 4:
+                    break
+            (block_size,) = struct.unpack_from("<i", buf, pos)
+            while len(buf) - pos < 4 + block_size:
+                more = fh.read(8 << 20)
+                if not more:
+                    break
+                buf = buf[pos:] + more
+                pos = 0
+            if len(buf) - pos < 4 + block_size:
+                break
+            rec = buf[pos + 4:pos + 4 + block_size]
+            pos += 4 + block_size
+            flag = struct.unpack_from("<H", rec, 14)[0]
+            if flag & exclude_flags:
+                continue
+            (l_seq,) = struct.unpack_from("<i", rec, 16)
+            if l_seq == 0:
+                continue
+            l_read_name = rec[8]
+            (n_cigar,) = struct.unpack_from("<H", rec, 12)
+            off = 32 + l_read_name + 4 * n_cigar
+            nbytes = (l_seq + 1) // 2
+            packed = np.frombuffer(rec, dtype=np.uint8, count=nbytes,
+                                   offset=off)
+            nibbles = np.empty(nbytes * 2, dtype=np.uint8)
+            nibbles[0::2] = packed >> 4
+            nibbles[1::2] = packed & 0xF
+            batch.append(_NT16_TO_2BIT[nibbles[:l_seq]])
+            if len(batch) >= batch_reads:
+                yield _pad_batch(batch)
+                batch = []
+        if batch:
+            yield _pad_batch(batch)
+
+
 def _pad_batch(code_list):
     lengths = np.array([len(c) for c in code_list], dtype=np.int32)
     lmax = int(lengths.max())

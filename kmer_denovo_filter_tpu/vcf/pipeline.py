@@ -195,15 +195,17 @@ def _scan_parent_device(parent_bam_path, child_index, label):
     probe-tally.  Returns ``{canonical_kmer: parent_count}`` for
     count >= 1 (the ``jellyfish dump -c -L 1`` contract).
     """
+    from kmer_denovo_filter_tpu.htsio.bam import packed_batches
+
     scan_start = time.monotonic()
-    bam = BamReader(parent_bam_path)
     logger.info("Scanning parent BAM (%s): %s",
                 format_file_size(parent_bam_path), parent_bam_path)
     logger.info("  device filtered count (k=%d, table=%d k-mers)",
                 child_index.k, child_index.n)
     fc = eng.FilteredCounter(child_index)
     n_reads = 0
-    for codes, lengths in bam.iter_packed(exclude_flags=0xD00):
+    for codes, lengths in packed_batches(parent_bam_path,
+                                         exclude_flags=0xD00):
         fc.feed(codes, lengths)
         n_reads += codes.shape[0]
     counts = fc.result()

@@ -238,3 +238,30 @@ class TestAnnotatedVcfByteParity:
             "/root/reference/tests/data/giab/candidates.vcf.gz",
             str(tmp_path / "annot.vcf.gz"), ann, "HG002")
         assert gzip.open(out, "rb").read() == gold
+
+
+class TestStreamPacked:
+    @pytest.mark.skipif(
+        not os.path.exists("/root/reference/tests/data/giab/HG002_child.bam"),
+        reason="GIAB data unavailable")
+    def test_matches_whole_file_reader(self):
+        from kmer_denovo_filter_tpu.htsio.bam import stream_packed
+        path = "/root/reference/tests/data/giab/HG002_child.bam"
+        bam = BamReader(path)
+        whole = list(bam.iter_packed(0xD00, 2048, records=bam.records))
+        streamed = list(stream_packed(path, 0xD00, 2048))
+        assert len(whole) == len(streamed)
+        for (a, la), (b, lb) in zip(whole, streamed):
+            assert np.array_equal(la, lb)
+            assert np.array_equal(a, b)
+
+    def test_synthetic_roundtrip(self, tmp_path):
+        from kmer_denovo_filter_tpu.htsio.bam import stream_packed
+        path = str(tmp_path / "t.bam")
+        create_bam(path, "chr1", [
+            (f"r{i}", i * 3, "ACGTACGTACGT"[:6 + (i % 6)])
+            for i in range(50)
+        ])
+        batches = list(stream_packed(path, 0, batch_reads=16))
+        total = sum(b[0].shape[0] for b in batches)
+        assert total == 50
