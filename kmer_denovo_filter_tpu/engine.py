@@ -32,6 +32,10 @@ logger = logging.getLogger(__name__)
 
 _SENTINEL32 = np.uint32(0xFFFFFFFF)
 
+# Tables at or below this padded size use the all-pairs VPU sweep
+# (ops/device.py:small_table_tally) instead of the bucketed probe.
+_SMALL_TABLE_M = 4096
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
@@ -88,6 +92,11 @@ class KmerIndex:
         off, max_bucket = dev.build_bucket_offsets(padded, self.p_bits)
         self.off = jnp.asarray(off)
         self.rounds = max(1, (max_bucket + 1).bit_length())
+        # small tables take the gather-free all-pairs VPU sweep
+        self.small = self.m_pad <= _SMALL_TABLE_M
+        raw_chunk = max(1024, min(131072,
+                                  (1 << 25) // max(self.m_pad, 1)))
+        self.small_chunk = 1 << (raw_chunk.bit_length() - 1)
 
     @classmethod
     def from_strings(cls, kmers, k):
@@ -207,6 +216,11 @@ class FilteredCounter:
         codes_j = jnp.asarray(codes_p)
         lens_j = jnp.asarray(lens_p)
         idx = self.index
+        if idx.small:
+            self.acc = dev.small_tally_step(
+                idx.table, self.acc, codes_j, lens_j, idx.k, idx.w,
+                idx.small_chunk)
+            return
         acc, overflow = dev.filtered_tally_step_bucketed(
             idx.table, idx.off, self.acc, codes_j, lens_j,
             idx.k, idx.w, idx.m_pad, cap, idx.p_bits, idx.rounds)
@@ -240,6 +254,11 @@ def scan_reads_for_hits(index, codes, lengths):
     cap = _dedup_cap(n_windows)
     codes_j = jnp.asarray(codes_p)
     lens_j = jnp.asarray(lens_p)
+    if index.small:
+        found = np.asarray(dev.small_scan_hits_step(
+            index.table, codes_j, lens_j, index.k, index.w,
+            index.small_chunk))
+        return found[:codes.shape[0], :codes.shape[1] - index.k + 1]
     found, overflow = dev.scan_hits_step_bucketed(
         index.table, index.off, codes_j, lens_j, index.k, index.w, cap,
         index.p_bits, index.rounds)

@@ -277,6 +277,87 @@ def _lex_le_gather(table, idx, q, w):
     return lt | eq
 
 
+@functools.partial(jax.jit, static_argnames=("w", "chunk"))
+def small_table_tally(table_small, flat_keys, w, chunk=8192):
+    """Per-table-key hit counts by brute-force broadcast compare.
+
+    For tables that fit comfortably in VMEM (M ≤ ~4k), an O(N·M)
+    all-pairs equality sweep on the VPU beats every gather-based probe
+    AND removes the need to sort/dedup the windows first — there is no
+    per-element random access anywhere.  This is the fast path for
+    VCF-mode parent scans (child tables are small) and GIAB-scale
+    proband sets.
+    """
+    m = table_small.shape[0]
+    n = flat_keys.shape[0]
+    pad = (-n) % chunk
+    keys = jnp.pad(flat_keys, ((0, pad), (0, 0)),
+                   constant_values=jnp.uint32(0xFFFFFFFF))
+    blocks = keys.reshape(-1, chunk, w)
+    # exclude sentinel table padding from matching
+    tsent = jnp.ones(m, dtype=bool)
+    for j in range(w):
+        tsent = tsent & (table_small[:, j] == jnp.uint32(0xFFFFFFFF))
+
+    def body(carry, block):
+        eq = jnp.ones((chunk, m), dtype=bool)
+        for j in range(w):
+            eq = eq & (block[:, j, None] == table_small[None, :, j])
+        return carry + eq.sum(axis=0, dtype=jnp.int32), 0.0
+
+    counts, _ = jax.lax.scan(body, jnp.zeros(m, jnp.int32), blocks)
+    return jnp.where(tsent, 0, counts)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "chunk"))
+def small_table_member(table_small, flat_keys, w, chunk=8192):
+    """Per-query membership by brute-force broadcast compare (small M)."""
+    m = table_small.shape[0]
+    n = flat_keys.shape[0]
+    pad = (-n) % chunk
+    keys = jnp.pad(flat_keys, ((0, pad), (0, 0)),
+                   constant_values=jnp.uint32(0xFFFFFFFF))
+    blocks = keys.reshape(-1, chunk, w)
+    tsent = jnp.ones(m, dtype=bool)
+    for j in range(w):
+        tsent = tsent & (table_small[:, j] == jnp.uint32(0xFFFFFFFF))
+
+    def body(_, block):
+        eq = jnp.ones((chunk, m), dtype=bool)
+        for j in range(w):
+            eq = eq & (block[:, j, None] == table_small[None, :, j])
+        return 0.0, (eq & ~tsent[None, :]).any(axis=1)
+
+    _, found = jax.lax.scan(body, 0.0, blocks)
+    return found.reshape(-1)[:n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "w", "chunk"))
+def small_tally_step(table_small, acc, codes, lengths, k, w,
+                     chunk=8192):
+    """Fused small-table parent-scan step: extract → all-pairs tally.
+
+    No sort, no dedup, no gathers — the whole filtered count is one
+    VPU sweep.  ``acc`` is aligned with the (unpadded) small table.
+    """
+    keys, _valid = extract_canonical_windows(codes, lengths, k)
+    flat = keys.reshape(-1, w)
+    return acc + small_table_tally(table_small, flat, w, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "chunk"))
+def small_scan_hits_step(table_small, codes, lengths, k, w,
+                         chunk=8192):
+    """Fused small-table anchoring step: extract → all-pairs member."""
+    b, length = codes.shape
+    s = length - k + 1
+    keys, valid = extract_canonical_windows(codes, lengths, k)
+    flat = keys.reshape(-1, w)
+    found = small_table_member(table_small, flat, w, chunk)
+    return found.reshape(b, s) & valid
+
+
 def build_bucket_offsets(keys_np, p_bits):
     """Host-side: per-prefix rank offsets for the bucketed probe.
 

@@ -158,3 +158,62 @@ def test_sequence_counting_chunks():
         oc[c] += 1
     got = dict(zip(enc.keys_to_kmers(keys, k), counts.tolist()))
     assert got == dict(oc)
+
+
+def test_filtered_counter_large_table_bucketed_path():
+    """Force the bucketed-probe path (table above the small threshold)."""
+    k = 31
+    stream = random_reads(60, k, with_n=False, seed=51)
+    filter_reads = stream[:10] + random_reads(160, k, with_n=False,
+                                              seed=52)
+    filter_set = set()
+    for s in filter_reads:
+        cap, _ = K.extract_read_kmers(s, k)
+        filter_set.update(cap.values())
+    fidx = eng.KmerIndex.from_strings(filter_set, k)
+    assert not fidx.small, fidx.m_pad
+    fc = eng.FilteredCounter(fidx)
+    batch, lens = pack_reads(stream)
+    fc.feed(batch, lens)
+    res = fc.result()
+    oc = Counter()
+    for s in stream:
+        cap, _ = K.extract_read_kmers(s, k)
+        for c in cap.values():
+            if c in filter_set:
+                oc[c] += 1
+    got = {s: int(c) for s, c in zip(fidx.to_strings(), res) if c > 0}
+    assert got == dict(oc)
+
+
+def test_scan_hits_large_table_bucketed_path():
+    k = 31
+    reads = random_reads(40, k, seed=61)
+    target = set()
+    for s in random_reads(140, k, with_n=False, seed=62) + reads[:3]:
+        cap, _ = K.extract_read_kmers(s, k)
+        target.update(cap.values())
+    idx = eng.KmerIndex.from_strings(target, k)
+    assert not idx.small, idx.m_pad
+    batch, lens = pack_reads(reads)
+    found = eng.scan_reads_for_hits(idx, batch, lens)
+    for i, s in enumerate(reads):
+        cap, _ = K.extract_read_kmers(s, k)
+        expected = {p for p, c in cap.items() if c in target}
+        assert set(np.nonzero(found[i])[0].tolist()) == expected, i
+
+
+def test_small_and_bucketed_paths_agree():
+    k = 15
+    reads = random_reads(30, k, seed=71)
+    kmers = sorted({c for s in reads
+                    for c in K.extract_read_kmers(s, k)[0].values()})
+    subset = kmers[:100]
+    small_idx = eng.KmerIndex.from_strings(subset, k)
+    assert small_idx.small
+    batch, lens = pack_reads(reads)
+    found_small = eng.scan_reads_for_hits(small_idx, batch, lens)
+    # force the bucketed path on the identical table
+    small_idx.small = False
+    found_bucketed = eng.scan_reads_for_hits(small_idx, batch, lens)
+    assert np.array_equal(found_small, found_bucketed)
