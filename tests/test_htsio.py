@@ -265,3 +265,61 @@ class TestStreamPacked:
         batches = list(stream_packed(path, 0, batch_reads=16))
         total = sum(b[0].shape[0] for b in batches)
         assert total == 50
+
+
+class TestTabixReader:
+    def test_query_vcf(self, tmp_path):
+        from kmer_denovo_filter_tpu.htsio.tabix import TabixFile
+        from tests.helpers import create_vcf
+        path = str(tmp_path / "q.vcf.gz")
+        create_vcf(path, "chr1",
+                   [(100, "A", "T"), (5000, "CAT", "C"),
+                    (90000, "G", "C")])
+        t = TabixFile(path)
+        assert [l.split("\t")[1] for l in t.query("chr1", 0, 200)] \
+            == ["100"]
+        # deletion spans [4999, 5002); query overlapping its tail
+        assert [l.split("\t")[1] for l in t.query("chr1", 5001, 5002)] \
+            == ["5000"]
+        assert [l.split("\t")[1] for l in t.query("chr1", 80000, 100000)] \
+            == ["90000"]
+        assert list(t.query("chr1", 200, 300)) == []
+        assert list(t.query("chrX", 0, 100)) == []
+
+    def test_query_bed(self, tmp_path):
+        from kmer_denovo_filter_tpu.htsio.bgzf import BgzfWriter
+        from kmer_denovo_filter_tpu.htsio.tabix import (
+            TabixFile,
+            tabix_index,
+        )
+        path = str(tmp_path / "q.bed.gz")
+        with BgzfWriter(path) as out:
+            out.write(b"#chrom\tstart\tend\tname\n")
+            out.write(b"chr1\t10\t50\ta\n")
+            out.write(b"chr1\t100\t200\tb\n")
+            out.write(b"chr2\t5\t6\tc\n")
+        tabix_index(path, preset="bed", force=True)
+        t = TabixFile(path)
+        assert [l.split("\t")[3] for l in t.query("chr1", 40, 60)] == ["a"]
+        assert [l.split("\t")[3] for l in t.query("chr1", 0, 300)] \
+            == ["a", "b"]
+        assert [l.split("\t")[3] for l in t.query("chr2", 0, 10)] == ["c"]
+
+
+def test_module_separation_contract():
+    """Core engine/I/O layers must not depend on CLI or pipelines
+    (the analog of the reference's TestModuleSeparation,
+    reference tests/vcf/test_pipeline.py:2045)."""
+    import inspect
+
+    from kmer_denovo_filter_tpu import engine
+    from kmer_denovo_filter_tpu.htsio import bam, bgzf, tabix, vcf
+    from kmer_denovo_filter_tpu.ops import device, encode
+
+    for mod in (engine, device, encode, bam, bgzf, tabix, vcf):
+        src = inspect.getsource(mod)
+        assert "argparse" not in src, mod.__name__
+        assert "cli" not in [m.split(".")[-1] for m in
+                             getattr(mod, "__dict__", {})], mod.__name__
+        assert ".vcf.pipeline" not in src and \
+            ".discovery.pipeline" not in src, mod.__name__
