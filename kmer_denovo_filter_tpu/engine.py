@@ -117,8 +117,14 @@ class KmerIndex:
         if query_keys_np.shape[0] == 0:
             return np.zeros(0, dtype=bool)
         q = jnp.asarray(np.ascontiguousarray(query_keys_np, np.uint32))
-        idx, found = dev.lookup_sorted(self.table, q, self.w)
-        found = np.array(found)
+        if self.small:
+            found = np.array(dev.small_table_member(
+                self.table, q, self.w, self.small_chunk))
+        else:
+            _idx, found = dev.lookup_bucketed(
+                self.table, self.off, q, self.w, self.p_bits,
+                self.rounds)
+            found = np.array(found)
         # sentinel queries would match sentinel padding — mask them
         sent = (query_keys_np == _SENTINEL32).all(axis=1)
         found[sent] = False
