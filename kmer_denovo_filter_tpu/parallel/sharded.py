@@ -239,6 +239,33 @@ class ShardedKmerIndex:
         return out
 
 
+class ShardedFilteredCounter:
+    """Multi-chip ``--if`` filtered counter over a sharded table.
+
+    The drop-in multi-device analog of ``engine.FilteredCounter``:
+    extraction runs data-parallel, window keys route to their owner
+    shard via all-to-all, and tallies accumulate owner-side.  Enabled
+    in the pipelines with ``KDF_SHARDED=1`` when a multi-device mesh
+    is available.
+    """
+
+    def __init__(self, keys_np, k, mesh):
+        self.index = ShardedKmerIndex(keys_np, k, mesh)
+        self.k = k
+        self.w = self.index.w
+
+    def feed(self, codes, lengths):
+        from kmer_denovo_filter_tpu.ops import device as dev
+
+        keys, _valid = dev.extract_canonical_windows(
+            jnp.asarray(codes), jnp.asarray(lengths), self.k)
+        flat = np.asarray(keys).reshape(-1, self.w)
+        self.index.tally_batch(flat)
+
+    def result(self):
+        return self.index.tally_result()
+
+
 def sharded_count(codes, lengths, k, mesh, cap_per_shard=None):
     """Distributed canonical k-mer count of a read batch.
 

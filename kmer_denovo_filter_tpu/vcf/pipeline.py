@@ -186,6 +186,24 @@ def _collect_child_kmers(child_bam_reader, variants, kmer_size, min_baseq,
     return len(flushed), variant_read_kmers, flushed
 
 
+def _make_filtered_counter(index):
+    """Single-chip counter, or the sharded multi-chip one under
+    ``KDF_SHARDED=1`` with a multi-device mesh."""
+    if os.environ.get("KDF_SHARDED") == "1":
+        import jax
+
+        if len(jax.devices()) > 1:
+            from kmer_denovo_filter_tpu.parallel import (
+                ShardedFilteredCounter,
+                make_mesh,
+            )
+            logger.info("  sharded engine: %d-device mesh",
+                        len(jax.devices()))
+            return ShardedFilteredCounter(index.keys_np, index.k,
+                                          make_mesh())
+    return eng.FilteredCounter(index)
+
+
 def _scan_parent_device(parent_bam_path, child_index, label):
     """Step 3: filtered parent count on the TPU engine.
 
@@ -202,7 +220,7 @@ def _scan_parent_device(parent_bam_path, child_index, label):
                 format_file_size(parent_bam_path), parent_bam_path)
     logger.info("  device filtered count (k=%d, table=%d k-mers)",
                 child_index.k, child_index.n)
-    fc = eng.FilteredCounter(child_index)
+    fc = _make_filtered_counter(child_index)
     n_reads = 0
     for codes, lengths in packed_batches(parent_bam_path,
                                          exclude_flags=0xD00):

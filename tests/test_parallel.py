@@ -105,3 +105,34 @@ def test_owner_distribution_roughly_uniform():
     counts = np.bincount(owners, minlength=8)
     assert counts.min() > 0.5 * counts.mean()
     assert counts.max() < 1.5 * counts.mean()
+
+
+@needs_mesh
+def test_sharded_filtered_counter():
+    """Full multi-chip --if analog: extract + route + owner tally."""
+    from kmer_denovo_filter_tpu.parallel.sharded import (
+        ShardedFilteredCounter,
+    )
+    k = 31
+    mesh = make_mesh()
+    stream = random_reads(40, k, with_n=False, seed=81)
+    filter_reads = stream[:6] + random_reads(12, k, with_n=False, seed=82)
+    filter_set = set()
+    for s in filter_reads:
+        cap, _ = K.extract_read_kmers(s, k)
+        filter_set.update(cap.values())
+    sorted_kmers = sorted(filter_set)
+    keys = enc.kmers_to_keys(sorted_kmers, k)
+    fc = ShardedFilteredCounter(keys, k, mesh)
+    batch, lens = pack_reads(stream)
+    fc.feed(batch[:20], lens[:20])
+    fc.feed(batch[20:], lens[20:])
+    res = fc.result()
+    oc = Counter()
+    for s in stream:
+        cap, _ = K.extract_read_kmers(s, k)
+        for c in cap.values():
+            if c in filter_set:
+                oc[c] += 1
+    got = {s: int(c) for s, c in zip(sorted_kmers, res) if c > 0}
+    assert got == dict(oc)
