@@ -1029,7 +1029,7 @@ def _write_empty_discovery_outputs(bed_path, metrics_path, summary_path,
 # ── Pipeline driver ────────────────────────────────────────────────
 
 
-def run_discovery_pipeline(args):
+def _run_discovery_pipeline_impl(args):
     """Run the VCF-free discovery pipeline (reference :2093–2592)."""
     pipeline_start = time.monotonic()
     logging.basicConfig(
@@ -1395,3 +1395,19 @@ def run_discovery_pipeline(args):
     logger.info("=" * 60)
     logger.info("Pipeline finished successfully in %s",
                 format_elapsed(time.monotonic() - pipeline_start))
+
+def run_discovery_pipeline(args):
+    """Entry point; honours ``KDF_PROFILE=<dir>`` with a jax profiler
+    trace around the whole run (the per-kernel tracing analog of the
+    reference's step/module timing contract, SURVEY.md §5)."""
+    profile_dir = os.environ.get("KDF_PROFILE")
+    if not profile_dir:
+        return _run_discovery_pipeline_impl(args)
+    import jax
+
+    jax.profiler.start_trace(profile_dir)
+    try:
+        return _run_discovery_pipeline_impl(args)
+    finally:
+        jax.profiler.stop_trace()
+        logger.info("[Profile] jax trace written to %s", profile_dir)

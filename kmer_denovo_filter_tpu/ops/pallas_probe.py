@@ -1,17 +1,23 @@
 """Pallas TPU kernel: fused canonical-window extraction + table sweep.
 
-The production hot op of the VCF-mode parent scan
+The hot op of the VCF-mode parent scan
 (ops/device.py:small_tally_step) as a single Pallas kernel: each grid
 step loads one block of packed reads into VMEM, computes all canonical
 k-mer window keys in-register (shift/or word packing, reverse-
-complement select, N-validity), and sweeps them against the
-VMEM-resident child k-mer table with broadcast equality — accumulating
-per-table-key hit counts across the grid.  No HBM traffic beyond the
-one streaming pass over the reads, no gathers anywhere.
+complement select, N-validity via doubling window-ORs), and sweeps
+them against the VMEM-resident child k-mer table with broadcast
+equality — accumulating per-table-key hit counts across the grid.  No
+HBM traffic beyond the one streaming pass over the reads, no gathers
+anywhere.
 
-Supports k ≤ 31 (W = 2 words, the common case); the XLA path in
-ops/device.py covers all k and is the numerical reference this kernel
-is tested against bit-exactly.
+Status: bit-exact against the XLA reference under the Pallas
+interpreter (covered by tests/test_pallas_probe.py).  The Mosaic TPU
+compiler on this round's toolchain rejects the sweep's layout
+(minor-dim flatten → "unsupported shape cast"; 3-D broadcast →
+"invalid vector register cast"), so the production engine keeps the
+XLA sweep — which already sits at the dispatch floor for headline
+sizes (PERF.md).  Re-landing this kernel with an (8, 128)-native
+key layout is on the round-2 roadmap.
 """
 
 import functools

@@ -344,7 +344,7 @@ def _write_summary(summary_path, variants, annotations):
     return text
 
 
-def run_pipeline(args):
+def _run_pipeline_impl(args):
     """Run the five-step VCF annotation pipeline."""
     pipeline_start = time.monotonic()
     logging.basicConfig(
@@ -731,3 +731,19 @@ def run_pipeline(args):
                 format_elapsed(time.monotonic() - step_start))
     logger.info("Pipeline finished successfully in %s",
                 format_elapsed(time.monotonic() - pipeline_start))
+
+def run_pipeline(args):
+    """Entry point; honours ``KDF_PROFILE=<dir>`` with a jax profiler
+    trace around the whole run (the per-kernel tracing analog of the
+    reference's step/module timing contract, SURVEY.md §5)."""
+    profile_dir = os.environ.get("KDF_PROFILE")
+    if not profile_dir:
+        return _run_pipeline_impl(args)
+    import jax
+
+    jax.profiler.start_trace(profile_dir)
+    try:
+        return _run_pipeline_impl(args)
+    finally:
+        jax.profiler.stop_trace()
+        logger.info("[Profile] jax trace written to %s", profile_dir)
