@@ -28,7 +28,12 @@ import time
 import numpy as np
 
 from kmer_denovo_filter_tpu import engine as eng
-from kmer_denovo_filter_tpu.htsio.bam import BamReader, BamWriter
+from kmer_denovo_filter_tpu.htsio.bam import (
+    BamReader,
+    BamWriter,
+    read_bam_header,
+    stream_records,
+)
 from kmer_denovo_filter_tpu.htsio.fasta import read_fasta
 from kmer_denovo_filter_tpu.htsio.jellyfish import (
     JellyfishParseError,
@@ -236,6 +241,44 @@ def _filter_parents_discovery(mother_bam, father_bam, non_ref_keys,
 # ── Module 3: anchoring & clustering ───────────────────────────────
 
 
+class _ChildSource:
+    """Child-read access for the anchoring scan + informative BAM.
+
+    Small files use the whole-file reader; files above
+    ``KDF_STREAM_THRESHOLD_BYTES`` stream with O(buffer) memory
+    (WGS BAMs decompress to hundreds of GB).
+    """
+
+    def __init__(self, path, ref_fasta=None):
+        self.path = path
+        threshold = int(os.environ.get(
+            "KDF_STREAM_THRESHOLD_BYTES", 1 << 30))
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = 0
+        self.streaming = size > threshold
+        if self.streaming:
+            self.header_text, self.refs = read_bam_header(path)
+            self._reader = None
+        else:
+            self._reader = BamReader(path, reference_filename=ref_fasta)
+            self.header_text = self._reader.header_text
+            self.refs = self._reader.refs
+
+    def records_all(self):
+        """Every record in file order (incl. unplaced-unmapped)."""
+        if self.streaming:
+            return stream_records(self.path)
+        return self._reader.fetch(until_eof=True)
+
+    def records_placed(self):
+        """Placed records in coordinate order (pysam fetch() analog)."""
+        if self.streaming:
+            return (r for r in stream_records(self.path) if r.tid >= 0)
+        return self._reader.fetch()
+
+
 def _extract_softclips(cigartuples):
     """Left/right soft-clip lengths (reference core/bam_scanner.py:54–94).
 
@@ -324,7 +367,7 @@ def _process_informative_read(read, unique_in_read, kmer_hit_indices,
     return 0
 
 
-def _scan_child_reads(child_bam_reader, proband_index, kmer_size,
+def _scan_child_reads(child_source, proband_index, kmer_size,
                       min_dk_per_read, state):
     """Anchoring scan: batched device probe of every scannable child read.
 
@@ -367,7 +410,7 @@ def _scan_child_reads(child_bam_reader, proband_index, kmer_size,
                 reads_seen, read_hits, read_sv_meta, kmer_coverage,
                 read_coverage)
 
-    for read in child_bam_reader.fetch(until_eof=True):
+    for read in child_source.records_all():
         if read.flag & _ANCHOR_EXCLUDE_FLAGS:
             continue
         if read._l_seq == 0:
@@ -382,7 +425,7 @@ def _scan_child_reads(child_bam_reader, proband_index, kmer_size,
     return unmapped_informative, total_scanned
 
 
-def _anchor_and_cluster(child_bam_reader, proband_index, kmer_size,
+def _anchor_and_cluster(child_source, proband_index, kmer_size,
                         merge_distance=500, min_distinct_kmers_per_read=1,
                         n_proband_unique=None):
     """Module 3: anchoring scan + single-pass region clustering.
@@ -404,7 +447,7 @@ def _anchor_and_cluster(child_bam_reader, proband_index, kmer_size,
     state = (read_hits, reads_seen, read_sv_meta, kmer_coverage,
              read_coverage)
     unmapped_informative, total_reads_scanned = _scan_child_reads(
-        child_bam_reader, proband_index, kmer_size,
+        child_source, proband_index, kmer_size,
         min_distinct_kmers_per_read, state)
 
     log_memory("after anchoring complete")
@@ -967,7 +1010,7 @@ def _write_discovery_summary(summary_path, regions, region_reads,
     return text
 
 
-def _write_informative_reads_discovery(child_bam_reader, proband_index,
+def _write_informative_reads_discovery(child_source, proband_index,
                                        kmer_size, output_bam):
     """dk:i:1-tagged informative reads BAM (ref :1979–2079).
 
@@ -975,8 +1018,8 @@ def _write_informative_reads_discovery(child_bam_reader, proband_index,
     reads, excluding the unplaced-unmapped block); replicated here.
     """
     log_memory("before informative reads scan")
-    writer = BamWriter(output_bam, child_bam_reader.header_text,
-                       child_bam_reader.refs)
+    writer = BamWriter(output_bam, child_source.header_text,
+                       child_source.refs)
     written = set()
     batch = []
 
@@ -1000,7 +1043,7 @@ def _write_informative_reads_discovery(child_bam_reader, proband_index,
             writer.write(read)
             written.add(dedup_key)
 
-    for read in child_bam_reader.fetch():
+    for read in child_source.records_placed():
         if read.is_secondary or read.is_duplicate:
             continue
         if read._l_seq < kmer_size:
@@ -1196,12 +1239,11 @@ def _run_discovery_pipeline_impl(args):
     logger.info("[Module 3] Anchoring %d proband-unique k-mers to child "
                 "reads (device probe)", n_proband_unique)
     log_memory("before Module 3")
-    child_bam_reader = BamReader(args.child,
-                                 reference_filename=args.ref_fasta)
+    child_source = _ChildSource(args.child, args.ref_fasta)
     (regions, region_reads, total_informative, region_kmers,
      unmapped_informative, read_sv_meta, kmer_coverage,
      read_coverage) = _anchor_and_cluster(
-        child_bam_reader, proband_index, args.kmer_size,
+        child_source, proband_index, args.kmer_size,
         merge_distance=args.cluster_distance,
         min_distinct_kmers_per_read=min_dk_per_read,
         n_proband_unique=n_proband_unique)
@@ -1213,7 +1255,7 @@ def _run_discovery_pipeline_impl(args):
     logger.info("[Module 4] Writing informative reads BAM: %s",
                 info_bam_path)
     _write_informative_reads_discovery(
-        child_bam_reader, proband_index, args.kmer_size, info_bam_path)
+        child_source, proband_index, args.kmer_size, info_bam_path)
 
     try:
         if not getattr(args, "tmp_dir", None) and os.path.isdir(tmp_root):

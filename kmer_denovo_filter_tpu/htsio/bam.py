@@ -619,6 +619,64 @@ def packed_batches(path, exclude_flags=0, batch_reads=8192):
     return BamReader(path).iter_packed(exclude_flags, batch_reads)
 
 
+def read_bam_header(path):
+    """(header_text, refs) without touching the alignment records."""
+    with BgzfReader(path) as fh:
+        if fh.read_exact(4) != b"BAM\x01":
+            raise ValueError(f"not a BAM file: {path}")
+        l_text = struct.unpack("<i", fh.read_exact(4))[0]
+        header_text = fh.read_exact(l_text).decode("utf-8", "replace")
+        n_ref = struct.unpack("<i", fh.read_exact(4))[0]
+        refs = []
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", fh.read_exact(4))[0]
+            name = fh.read_exact(l_name)[:-1].decode()
+            l_ref = struct.unpack("<i", fh.read_exact(4))[0]
+            refs.append((name, l_ref))
+    return header_text, refs
+
+
+def stream_records(path):
+    """Yield AlignedRead records with O(buffer) memory (no full inflate).
+
+    The record-object counterpart of :func:`stream_packed` for
+    whole-genome streaming consumers that need flags/CIGAR/tags (the
+    discovery anchoring scan and informative-BAM writer).  Records are
+    yielded in file order, including unplaced-unmapped records at EOF.
+    """
+    with BgzfReader(path) as fh:
+        if fh.read_exact(4) != b"BAM\x01":
+            raise ValueError(f"not a BAM file: {path}")
+        l_text = struct.unpack("<i", fh.read_exact(4))[0]
+        fh.read_exact(l_text)
+        n_ref = struct.unpack("<i", fh.read_exact(4))[0]
+        refs = []
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", fh.read_exact(4))[0]
+            name = fh.read_exact(l_name)[:-1].decode()
+            l_ref = struct.unpack("<i", fh.read_exact(4))[0]
+            refs.append((name, l_ref))
+        buf = b""
+        pos = 0
+        while True:
+            if len(buf) - pos < 4:
+                buf = buf[pos:] + fh.read(8 << 20)
+                pos = 0
+                if len(buf) < 4:
+                    break
+            (block_size,) = struct.unpack_from("<i", buf, pos)
+            while len(buf) - pos < 4 + block_size:
+                more = fh.read(8 << 20)
+                if not more:
+                    break
+                buf = buf[pos:] + more
+                pos = 0
+            if len(buf) - pos < 4 + block_size:
+                break
+            yield AlignedRead(buf[pos + 4:pos + 4 + block_size], refs)
+            pos += 4 + block_size
+
+
 def stream_packed(path, exclude_flags=0, batch_reads=8192):
     """Memory-bounded packed batches straight off the BGZF stream.
 
