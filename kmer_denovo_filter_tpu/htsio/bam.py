@@ -17,6 +17,7 @@ core/jellyfish_wrappers.py:158–165) with a native implementation:
   reference vcf/pipeline.py:1355–1356).
 """
 
+import os
 import struct
 
 import numpy as np
@@ -522,6 +523,8 @@ class BamReader:
             raise ValueError(f"unknown contig: {contig}")
         self._build_index()
         recs = self._tid_index.get(tid, [])
+        if not recs:
+            return
         if start is None:
             yield from recs
             return
@@ -619,6 +622,67 @@ def packed_batches(path, exclude_flags=0, batch_reads=8192):
     return BamReader(path).iter_packed(exclude_flags, batch_reads)
 
 
+class BaiIndex:
+    """BAI reader for random-access region fetches on huge BAMs."""
+
+    def __init__(self, path):
+        with open(path, "rb") as fh:
+            data = fh.read()
+        if data[:4] != b"BAI\x01":
+            raise ValueError(f"not a BAI index: {path}")
+        (n_ref,) = struct.unpack_from("<i", data, 4)
+        off = 8
+        self.bins = []
+        self.linear = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            bins = {}
+            for _ in range(n_bin):
+                b, n_chunk = struct.unpack_from("<Ii", data, off)
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    chunks.append(struct.unpack_from("<QQ", data, off))
+                    off += 16
+                bins[b] = chunks
+            (n_intv,) = struct.unpack_from("<i", data, off)
+            off += 4
+            lin = struct.unpack_from(f"<{n_intv}Q", data, off)
+            off += 8 * n_intv
+            self.bins.append(bins)
+            self.linear.append(lin)
+
+    @staticmethod
+    def _reg2bins(beg, end):
+        out = [0]
+        end -= 1
+        for base, shift in ((1, 26), (9, 23), (73, 20),
+                            (585, 17), (4681, 14)):
+            out.extend(range(base + (beg >> shift),
+                             base + (end >> shift) + 1))
+        return out
+
+    def chunks_for(self, tid, start, end):
+        """Merged candidate (vstart, vend) chunks for a region."""
+        if tid < 0 or tid >= len(self.bins):
+            return []
+        chunks = []
+        for b in self._reg2bins(start, max(end, start + 1)):
+            chunks.extend(self.bins[tid].get(b, ()))
+        lin = self.linear[tid]
+        min_off = lin[min(start >> 14, len(lin) - 1)] if lin else 0
+        chunks = sorted(c for c in chunks if c[1] > min_off)
+        merged = []
+        for cbeg, cend in chunks:
+            cbeg = max(cbeg, min_off)
+            if merged and cbeg <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], cend))
+            else:
+                merged.append((cbeg, cend))
+        return merged
+
+
 def read_bam_header(path):
     """(header_text, refs) without touching the alignment records."""
     with BgzfReader(path) as fh:
@@ -634,6 +698,96 @@ def read_bam_header(path):
             l_ref = struct.unpack("<i", fh.read_exact(4))[0]
             refs.append((name, l_ref))
     return header_text, refs
+
+
+class IndexedBamReader:
+    """Random-access BAM reader over the BAI index (no full inflate).
+
+    The WGS-scale counterpart of :class:`BamReader` for targeted-fetch
+    workloads (VCF-mode per-variant child fetches, Kraken2 locus
+    fetches, informative-read extraction): region queries seek BGZF
+    virtual offsets from the BAI, touching only the needed blocks.
+    """
+
+    def __init__(self, path, reference_filename=None):
+        del reference_filename
+        self.path = path
+        self.header_text, self.refs = read_bam_header(path)
+        bai_path = path + ".bai"
+        if not os.path.isfile(bai_path):
+            alt = path.rsplit(".", 1)[0] + ".bai"
+            if os.path.isfile(alt):
+                bai_path = alt
+        self._bai = BaiIndex(bai_path)
+
+    @property
+    def references(self):
+        return [r[0] for r in self.refs]
+
+    def get_tid(self, name):
+        for i, (n, _) in enumerate(self.refs):
+            if n == name:
+                return i
+        return -1
+
+    def close(self):
+        pass
+
+    def fetch(self, contig=None, start=None, end=None, until_eof=False):
+        if until_eof:
+            yield from stream_records(self.path)
+            return
+        if contig is None:
+            for rec in stream_records(self.path):
+                if rec.tid >= 0:
+                    yield rec
+            return
+        if contig == "*":
+            for rec in stream_records(self.path):
+                if rec.tid < 0:
+                    yield rec
+            return
+        tid = self.get_tid(contig)
+        if tid < 0:
+            raise ValueError(f"unknown contig: {contig}")
+        if start is None:
+            start = 0
+        if end is None:
+            end = self.refs[tid][1]
+        with BgzfReader(self.path) as fh:
+            for cbeg, cend in self._bai.chunks_for(tid, start, end):
+                fh.seek_virtual(cbeg)
+                while fh.tell_virtual() < cend:
+                    szb = fh.read(4)
+                    if len(szb) < 4:
+                        break
+                    (block_size,) = struct.unpack("<i", szb)
+                    raw = fh.read_exact(block_size)
+                    rec = AlignedRead(raw, self.refs)
+                    if rec.tid != tid or rec.pos >= end:
+                        if rec.tid > tid or (rec.tid == tid
+                                             and rec.pos >= end):
+                            break
+                        continue
+                    rend = rec.reference_end if not rec.is_unmapped                         else rec.pos + 1
+                    if rend is None:
+                        rend = rec.pos + 1
+                    if rend > start:
+                        yield rec
+
+
+def open_bam(path, reference_filename=None):
+    """BamReader for small files, IndexedBamReader above the streaming
+    threshold (targeted-fetch consumers only need the pysam-ish API)."""
+    threshold = int(os.environ.get(
+        "KDF_STREAM_THRESHOLD_BYTES", 1 << 30))
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        size = 0
+    if size > threshold:
+        return IndexedBamReader(path, reference_filename)
+    return BamReader(path, reference_filename)
 
 
 def stream_records(path):

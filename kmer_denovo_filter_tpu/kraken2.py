@@ -546,13 +546,13 @@ def run_kraken2_on_reads(child_bam, ref_fasta, read_names, kraken2_db,
     Prefers targeted locus fetches (reference vcf/pipeline.py:106–142)
     over a whole-file scan.
     """
-    from kmer_denovo_filter_tpu.htsio.bam import BamReader
+    from kmer_denovo_filter_tpu.htsio.bam import open_bam
 
     if not read_names:
         return Kraken2Result()
 
     sequences = {}
-    bam = BamReader(child_bam, reference_filename=ref_fasta)
+    bam = open_bam(child_bam, reference_filename=ref_fasta)
     used_targeted_fetch = False
     if informative_reads_by_variant:
         loci_to_names = {}

@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 from kmer_denovo_filter_tpu import engine as eng
-from kmer_denovo_filter_tpu.htsio.bam import BamReader, BamWriter
+from kmer_denovo_filter_tpu.htsio.bam import BamWriter, open_bam
 from kmer_denovo_filter_tpu.htsio.vcf import (
     VcfReader,
     _select_alt_from_gt,
@@ -421,7 +421,7 @@ def _run_pipeline_impl(args):
             tmp_root)
     log_disk_usage(tmp_root, "tmpdir filesystem")
 
-    child_bam_reader = BamReader(args.child, reference_filename=args.ref_fasta)
+    child_bam_reader = open_bam(args.child, reference_filename=args.ref_fasta)
     total_child_kmers, variant_read_kmers, child_kmer_list = (
         _collect_child_kmers(child_bam_reader, variants, args.kmer_size,
                              args.min_baseq, args.min_mapq, args.debug_kmers))
