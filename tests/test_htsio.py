@@ -323,3 +323,35 @@ def test_module_separation_contract():
                              getattr(mod, "__dict__", {})], mod.__name__
         assert ".vcf.pipeline" not in src and \
             ".discovery.pipeline" not in src, mod.__name__
+
+
+class TestIndexedBamReader:
+    @pytest.mark.skipif(
+        not os.path.exists("/root/reference/tests/data/giab/HG002_child.bam"),
+        reason="GIAB data unavailable")
+    def test_bai_fetch_matches_inmemory(self):
+        from kmer_denovo_filter_tpu.htsio.bam import IndexedBamReader
+        path = "/root/reference/tests/data/giab/HG002_child.bam"
+        full = BamReader(path)
+        idx = IndexedBamReader(path)
+        for (c, s, e) in [("chr8", 40003390, 40003391),
+                          ("chr11", 55007000, 55007200),
+                          ("chr7", 142780000, 142800000),
+                          ("chr1", 0, 1000)]:
+            a = sorted((r.query_name, r.flag, r.pos)
+                       for r in full.fetch(c, s, e))
+            b = sorted((r.query_name, r.flag, r.pos)
+                       for r in idx.fetch(c, s, e))
+            assert a == b, (c, s, e)
+
+    def test_own_writer_roundtrip(self, tmp_path):
+        from kmer_denovo_filter_tpu.htsio.bam import IndexedBamReader
+        path = str(tmp_path / "t.bam")
+        create_bam(path, "chr1", [
+            (f"r{i}", i * 50, "ACGTACGTACGTACGTACGT")
+            for i in range(40)
+        ], ref_length=3000)
+        idx = IndexedBamReader(path)
+        got = [r.query_name for r in idx.fetch("chr1", 500, 520)]
+        assert got == ["r10"]
+        assert len(list(idx.fetch("chr1", 0, 3000))) == 40

@@ -107,3 +107,14 @@ class TestGeneration:
         out = str(tmp_path / "e.html")
         generate_report(out)
         assert "No input data" in open(out).read()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_SUMMARY),
+                    reason="reference goldens unavailable")
+def test_report_cli_entry(tmp_path, capsys):
+    from kmer_denovo_filter_tpu.cli import report_main
+    out = str(tmp_path / "cli.html")
+    report_main(["--output", out, "--vcf-metrics", REF_METRICS,
+                 "--vcf-summary", REF_SUMMARY])
+    assert os.path.exists(out)
+    assert "Report written to" in capsys.readouterr().out

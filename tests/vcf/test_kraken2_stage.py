@@ -130,3 +130,19 @@ def test_kraken2_stage_end_to_end(tmp_path, kraken_db):
     assert "Escherichia_coli" in span_text
     exp_text = BgzfReader(expanded).read().decode()
     assert "aligned_start" in exp_text.split("\n")[0]
+
+
+def test_kraken2_beds_tabix_queryable(tmp_path, kraken_db):
+    """The companion BEDs must answer region queries via their .tbi
+    (the reference's tabix-queryability contract,
+    reference tests/test_kraken2_bed.py)."""
+    from kmer_denovo_filter_tpu.htsio.tabix import TabixFile
+    test_kraken2_stage_end_to_end(tmp_path, kraken_db)
+    base = str(tmp_path / "out")
+    detail = TabixFile(base + ".kraken2_reads.bed.gz")
+    rows = list(detail.query("chr1", 95, 105))
+    assert rows
+    assert all(r.split("\t")[0] == "chr1" for r in rows)
+    assert not list(detail.query("chr1", 100000, 100100))
+    span = TabixFile(base + ".kraken2_spans.bed.gz")
+    assert list(span.query("chr1", 0, 300))
