@@ -37,6 +37,10 @@ _SENTINEL32 = np.uint32(0xFFFFFFFF)
 # Measured crossover on v5e (PERF.md): the O(N·M) sweep beats the
 # gather-bound bucketed probe up to M ≈ 10^5.
 _SMALL_TABLE_M = 65536
+# Above the sweep and up to this size, filtered tallies use the
+# hash-partitioned sweep (ops/device.py:partitioned_tally_step);
+# larger tables fall back to the dedup + bucket-pointer probe.
+_MID_TABLE_M = 1 << 24
 
 
 def _round_up(x, m):
@@ -99,6 +103,18 @@ class KmerIndex:
         raw_chunk = max(1024, min(131072,
                                   (1 << 25) // max(self.m_pad, 1)))
         self.small_chunk = 1 << (raw_chunk.bit_length() - 1)
+        # mid-size tables: hash-partitioned sweep state (built lazily)
+        self.mid = (not self.small) and self.m_pad <= _MID_TABLE_M
+        self._hash_parts = None
+
+    def hash_partitions(self):
+        """Lazily build (tblocks, perm, p_bits) for the partitioned sweep."""
+        if self._hash_parts is None:
+            p_bits = max(4, self.m_pad.bit_length() - 9)  # ~512/part
+            blocks, _counts, perm = dev.build_hash_partitions(
+                np.ascontiguousarray(self.keys_np, np.uint32), p_bits)
+            self._hash_parts = (jnp.asarray(blocks), perm, p_bits)
+        return self._hash_parts
 
     @classmethod
     def from_strings(cls, kmers, k):
@@ -214,7 +230,11 @@ class FilteredCounter:
 
     def __init__(self, index):
         self.index = index
-        self.acc = jnp.zeros(index.m_pad, dtype=jnp.int32)
+        if index.mid and not index.small:
+            tblocks, _perm, _p_bits = index.hash_partitions()
+            self.acc = jnp.zeros(tblocks.shape[:2], dtype=jnp.int32)
+        else:
+            self.acc = jnp.zeros(index.m_pad, dtype=jnp.int32)
 
     def feed(self, codes, lengths):
         codes_p, lens_p = pad_read_batch(codes, lengths)
@@ -228,6 +248,20 @@ class FilteredCounter:
             self.acc = dev.small_tally_step(
                 idx.table, self.acc, codes_j, lens_j, idx.k, idx.w,
                 idx.small_chunk)
+            return
+        if idx.mid:
+            tblocks, _perm, p_bits = idx.hash_partitions()
+            cap_q = 1 << max(
+                4, (2 * n_windows >> p_bits).bit_length())
+            acc, overflow = dev.partitioned_tally_step(
+                tblocks, self.acc, codes_j, lens_j, idx.k, idx.w,
+                p_bits, cap_q)
+            while bool(overflow):
+                cap_q *= 2
+                acc, overflow = dev.partitioned_tally_step(
+                    tblocks, self.acc, codes_j, lens_j, idx.k, idx.w,
+                    p_bits, cap_q)
+            self.acc = acc
             return
         acc, overflow = dev.filtered_tally_step_bucketed(
             idx.table, idx.off, self.acc, codes_j, lens_j,
@@ -243,7 +277,15 @@ class FilteredCounter:
 
     def result(self):
         """int64 counts aligned with the index's sorted keys."""
-        acc = np.asarray(self.acc)[:self.index.n]
+        idx = self.index
+        if idx.mid and not idx.small:
+            _tblocks, perm, _p_bits = idx.hash_partitions()
+            acc = np.asarray(self.acc)
+            out = np.zeros(idx.n, dtype=np.int64)
+            valid = perm >= 0
+            out[perm[valid]] = acc[valid]
+            return out
+        acc = np.asarray(self.acc)[:idx.n]
         return acc.astype(np.int64)
 
 

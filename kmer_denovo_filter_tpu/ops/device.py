@@ -358,6 +358,121 @@ def small_scan_hits_step(table_small, codes, lengths, k, w,
     return found.reshape(b, s) & valid
 
 
+# ── Hash-partitioned sweep (mid-size tables) ───────────────────────
+#
+# For tables too big for the all-pairs sweep but where the gather-
+# bound bucketed probe underperforms, both sides partition by a hash
+# of the key: the table once at build time into (P, cap_t, W) padded
+# blocks (hashing makes the partitions uniform despite canonical-key
+# skew), each query batch on the fly by sorting on the hash and
+# scattering into (P, cap_q, W) blocks.  Matching is then a blocked
+# all-pairs compare per partition — sorts, scatters and VPU compares
+# only, no per-element gathers.
+
+_HASH_MULT = jnp.uint32(0x9E3779B1)
+
+
+def _partition_hash(w0, w1):
+    h = (w0 ^ (w1 * jnp.uint32(0x85EBCA77))) * _HASH_MULT
+    return h ^ (h >> jnp.uint32(16))
+
+
+def build_hash_partitions(keys_np, p_bits, slack=4.0):
+    """Host-side: partition table keys by hash into padded blocks.
+
+    Returns (blocks (P, cap_t, W) uint32, counts (P,), perm) where
+    ``perm[p, i]`` is the original table row of block entry (p, i)
+    (-1 for padding).
+    """
+    import numpy as _np
+    m, w = keys_np.shape
+    p = 1 << p_bits
+    w0 = keys_np[:, 0].astype(_np.uint32)
+    w1 = (keys_np[:, 1].astype(_np.uint32) if w > 1
+          else _np.zeros(m, _np.uint32))
+    h = (w0 ^ (w1 * _np.uint32(0x85EBCA77))) * _np.uint32(0x9E3779B1)
+    h = h ^ (h >> _np.uint32(16))
+    part = (h >> _np.uint32(32 - p_bits)).astype(_np.int64)
+    counts = _np.bincount(part, minlength=p)
+    cap_t = max(8, int(counts.max()))
+    blocks = _np.full((p, cap_t, w), 0xFFFFFFFF, dtype=_np.uint32)
+    perm = _np.full((p, cap_t), -1, dtype=_np.int64)
+    cursor = _np.zeros(p, dtype=_np.int64)
+    order = _np.argsort(part, kind="stable")
+    for row in order:
+        pp = part[row]
+        blocks[pp, cursor[pp]] = keys_np[row]
+        perm[pp, cursor[pp]] = row
+        cursor[pp] += 1
+    return blocks, counts, perm
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "w", "p_bits", "cap_q"))
+def partitioned_tally_step(tblocks, acc_blocks, codes, lengths, k, w,
+                           p_bits, cap_q):
+    """Fused mid-size parent-scan step via hash-partitioned sweep.
+
+    ``acc_blocks`` is (P, cap_t) int32 aligned with *tblocks*; the
+    engine maps it back to table order with the build permutation.
+    Returns (acc_blocks', overflow).
+    """
+    p = 1 << p_bits
+    keys, _valid = extract_canonical_windows(codes, lengths, k)
+    flat = keys.reshape(-1, w)
+    n = flat.shape[0]
+    w0 = flat[:, 0]
+    w1 = flat[:, 1] if w > 1 else jnp.zeros(n, jnp.uint32)
+    sent = jnp.ones(n, dtype=bool)
+    for j in range(w):
+        sent = sent & (flat[:, j] == SENTINEL)
+    h = _partition_hash(w0, w1)
+    part = jnp.where(sent, jnp.uint32(0xFFFFFFFF), h) \
+        >> jnp.uint32(32 - p_bits)
+    part = jnp.where(sent, p, part.astype(jnp.int32))
+
+    # sort windows by partition id, then scatter into (P, cap_q) blocks
+    operands = jax.lax.sort(
+        (part,) + tuple(flat[:, j] for j in range(w)), num_keys=1)
+    spart = operands[0]
+    skeys = jnp.stack(operands[1:1 + w], axis=-1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # first row index of each partition via scatter-min, then one
+    # gather pass for the within-partition slot
+    part_first = jnp.full(p + 1, n, jnp.int32).at[
+        jnp.clip(spart, 0, p)].min(idx)
+    slot = idx - part_first[jnp.clip(spart, 0, p)]
+    valid_q = (spart < p) & (slot < cap_q)
+    overflow = jnp.any((slot >= cap_q) & (spart < p))
+    flat_idx = jnp.where(valid_q, spart * cap_q + slot, p * cap_q)
+    qblocks = jnp.full((p * cap_q + 1, w), SENTINEL).at[flat_idx].set(
+        skeys)[:-1].reshape(p, cap_q, w)
+
+    # blocked all-pairs compare, chunked over partitions to bound the
+    # (PC, cap_q, cap_t) intermediates
+    cap_t = tblocks.shape[1]
+    pc = max(1, min(p, (1 << 25) // max(cap_q * cap_t, 1)))
+    while p % pc:
+        pc -= 1
+    qch = qblocks.reshape(p // pc, pc, cap_q, w)
+    tch = tblocks.reshape(p // pc, pc, cap_t, w)
+
+    def body(carry, operand):
+        qb, tb = operand
+        eq = jnp.ones((pc, cap_q, cap_t), dtype=bool)
+        for j in range(w):
+            eq = eq & (qb[:, :, None, j] == tb[:, None, :, j])
+        return carry, eq.sum(axis=1, dtype=jnp.int32)
+
+    _, hits = jax.lax.scan(body, 0.0, (qch, tch))
+    hits = hits.reshape(p, cap_t)
+    tsent = jnp.ones((p, cap_t), dtype=bool)
+    for j in range(w):
+        tsent = tsent & (tblocks[:, :, j] == SENTINEL)
+    hits = jnp.where(tsent, 0, hits)
+    return acc_blocks + hits, overflow
+
+
 def build_bucket_offsets(keys_np, p_bits):
     """Host-side: per-prefix rank offsets for the bucketed probe.
 

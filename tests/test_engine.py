@@ -217,3 +217,54 @@ def test_small_and_bucketed_paths_agree():
     small_idx.small = False
     found_bucketed = eng.scan_reads_for_hits(small_idx, batch, lens)
     assert np.array_equal(found_small, found_bucketed)
+
+
+def test_filtered_counter_mid_table_partitioned_path():
+    """Force the hash-partitioned sweep (mid-size dispatch)."""
+    k = 31
+    stream = random_reads(60, k, with_n=False, seed=91)
+    filter_reads = stream[:10] + random_reads(120, k, with_n=False,
+                                              seed=92)
+    filter_set = set()
+    for s in filter_reads:
+        cap, _ = K.extract_read_kmers(s, k)
+        filter_set.update(cap.values())
+    fidx = eng.KmerIndex.from_strings(filter_set, k)
+    fidx.small = False
+    fidx.mid = True
+    fc = eng.FilteredCounter(fidx)
+    batch, lens = pack_reads(stream)
+    fc.feed(batch[:30], lens[:30])
+    fc.feed(batch[30:], lens[30:])
+    res = fc.result()
+    oc = Counter()
+    for s in stream:
+        cap, _ = K.extract_read_kmers(s, k)
+        for c in cap.values():
+            if c in filter_set:
+                oc[c] += 1
+    got = {s: int(c) for s, c in zip(fidx.to_strings(), res) if c > 0}
+    assert got == dict(oc)
+
+
+def test_partitioned_path_cap_overflow_retry():
+    """Tiny cap_q must trigger overflow retry and stay exact."""
+    import jax.numpy as jnp
+
+    from kmer_denovo_filter_tpu.ops import device as dev
+    k = 31
+    stream = random_reads(20, k, with_n=False, seed=95)
+    filter_set = set()
+    for s in stream[:5]:
+        cap, _ = K.extract_read_kmers(s, k)
+        filter_set.update(cap.values())
+    keys = enc.kmers_to_keys(sorted(filter_set), k)
+    blocks, counts, perm = dev.build_hash_partitions(keys, 4)
+    batch, lens = pack_reads(stream)
+    from kmer_denovo_filter_tpu.engine import pad_read_batch
+    codes_p, lens_p = pad_read_batch(batch, lens)
+    acc = jnp.zeros(blocks.shape[:2], jnp.int32)
+    _acc, overflow = dev.partitioned_tally_step(
+        jnp.asarray(blocks), acc, jnp.asarray(codes_p),
+        jnp.asarray(lens_p), k, 2, 4, 16)
+    assert bool(overflow)  # 16-slot cap can't hold ~2k windows / 16 parts
