@@ -38,9 +38,12 @@ _SENTINEL32 = np.uint32(0xFFFFFFFF)
 # gather-bound bucketed probe up to M ≈ 10^5.
 _SMALL_TABLE_M = 65536
 # Above the sweep and up to this size, filtered tallies use the
-# hash-partitioned sweep (ops/device.py:partitioned_tally_step);
-# larger tables fall back to the dedup + bucket-pointer probe.
-_MID_TABLE_M = 1 << 24
+# hash-partitioned sweep (ops/device.py:partitioned_tally_step) —
+# measured ~120k reads/s on v5e *flat in M* (per-partition work is
+# constant because P scales with M); beyond it, block memory
+# (P*cap_t*8B + the tally) outgrows HBM and the dedup + bucket-pointer
+# probe takes over.
+_MID_TABLE_M = 1 << 28
 
 
 def _round_up(x, m):
