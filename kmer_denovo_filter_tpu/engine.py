@@ -312,6 +312,18 @@ def scan_reads_for_hits(index, codes, lengths):
             index.table, codes_j, lens_j, index.k, index.w,
             index.small_chunk))
         return found[:codes.shape[0], :codes.shape[1] - index.k + 1]
+    if index.mid:
+        tblocks, _perm, p_bits = index.hash_partitions()
+        cap_q = 1 << max(4, (2 * n_windows >> p_bits).bit_length())
+        found, overflow = dev.partitioned_scan_hits_step(
+            tblocks, codes_j, lens_j, index.k, index.w, p_bits, cap_q)
+        while bool(overflow):
+            cap_q *= 2
+            found, overflow = dev.partitioned_scan_hits_step(
+                tblocks, codes_j, lens_j, index.k, index.w, p_bits,
+                cap_q)
+        found = np.asarray(found)
+        return found[:codes.shape[0], :codes.shape[1] - index.k + 1]
     found, overflow = dev.scan_hits_step_bucketed(
         index.table, index.off, codes_j, lens_j, index.k, index.w, cap,
         index.p_bits, index.rounds)

@@ -473,6 +473,79 @@ def partitioned_tally_step(tblocks, acc_blocks, codes, lengths, k, w,
     return acc_blocks + hits, overflow
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "w", "p_bits", "cap_q"))
+def partitioned_scan_hits_step(tblocks, codes, lengths, k, w, p_bits,
+                               cap_q):
+    """Fused mid-size read-scan via the hash-partitioned sweep.
+
+    Member-query sibling of :func:`partitioned_tally_step`: both sides
+    are hash-partitioned, per-partition all-pairs compares decide
+    membership, and the (P, cap_q) verdicts scatter back through the
+    window sort to a (B, S) hit mask — no per-query table gathers.
+    Returns (found (B, S) bool, overflow).
+    """
+    p = 1 << p_bits
+    b, length = codes.shape
+    s = length - k + 1
+    keys, valid = extract_canonical_windows(codes, lengths, k)
+    flat = keys.reshape(-1, w)
+    n = flat.shape[0]
+    w0 = flat[:, 0]
+    w1 = flat[:, 1] if w > 1 else jnp.zeros(n, jnp.uint32)
+    sent = jnp.ones(n, dtype=bool)
+    for j in range(w):
+        sent = sent & (flat[:, j] == SENTINEL)
+    h = _partition_hash(w0, w1)
+    part = jnp.where(sent, jnp.uint32(0xFFFFFFFF), h) \
+        >> jnp.uint32(32 - p_bits)
+    part = jnp.where(sent, p, part.astype(jnp.int32))
+
+    # sort by partition, carrying each window's original flat index so
+    # block verdicts can scatter straight back
+    idx0 = jnp.arange(n, dtype=jnp.int32)
+    operands = jax.lax.sort(
+        (part,) + tuple(flat[:, j] for j in range(w)) + (idx0,),
+        num_keys=1)
+    spart = operands[0]
+    skeys = jnp.stack(operands[1:1 + w], axis=-1)
+    sidx = operands[1 + w]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    part_first = jnp.full(p + 1, n, jnp.int32).at[
+        jnp.clip(spart, 0, p)].min(idx)
+    slot = idx - part_first[jnp.clip(spart, 0, p)]
+    valid_q = (spart < p) & (slot < cap_q)
+    overflow = jnp.any((slot >= cap_q) & (spart < p))
+    flat_idx = jnp.where(valid_q, spart * cap_q + slot, p * cap_q)
+    qblocks = jnp.full((p * cap_q + 1, w), SENTINEL).at[flat_idx].set(
+        skeys)[:-1].reshape(p, cap_q, w)
+    # original flat index of each block slot (n = dropped/padding)
+    qsrc = jnp.full(p * cap_q + 1, n, jnp.int32).at[flat_idx].set(
+        sidx)[:-1]
+
+    cap_t = tblocks.shape[1]
+    pc = max(1, min(p, (1 << 25) // max(cap_q * cap_t, 1)))
+    while p % pc:
+        pc -= 1
+    qch = qblocks.reshape(p // pc, pc, cap_q, w)
+    tch = tblocks.reshape(p // pc, pc, cap_t, w)
+
+    def body(carry, operand):
+        qb, tb = operand
+        eq = jnp.ones((pc, cap_q, cap_t), dtype=bool)
+        for j in range(w):
+            eq = eq & (qb[:, :, None, j] == tb[:, None, :, j])
+        return carry, eq.any(axis=2)
+
+    _, fnd = jax.lax.scan(body, 0.0, (qch, tch))
+    # padded query slots (key = sentinel) can "match" the table blocks'
+    # sentinel padding, but their qsrc points at the dropped row
+    found_flat = jnp.zeros(n + 1, dtype=bool).at[qsrc].set(
+        fnd.reshape(p * cap_q))[:-1]
+    found = found_flat.reshape(b, s) & valid
+    return found, overflow
+
+
 def build_bucket_offsets(keys_np, p_bits):
     """Host-side: per-prefix rank offsets for the bucketed probe.
 

@@ -268,3 +268,51 @@ def test_partitioned_path_cap_overflow_retry():
         jnp.asarray(blocks), acc, jnp.asarray(codes_p),
         jnp.asarray(lens_p), k, 2, 4, 16)
     assert bool(overflow)  # 16-slot cap can't hold ~2k windows / 16 parts
+
+
+def test_scan_reads_for_hits_mid_partitioned_path():
+    """Force the hash-partitioned member sweep on the read scan."""
+    k = 31
+    reads = random_reads(40, k, with_n=True, seed=97)
+    target = set()
+    for s in reads[:8]:
+        cap, _ = K.extract_read_kmers(s, k)
+        target.update(list(cap.values())[::3])
+    idx = eng.KmerIndex.from_strings(target, k)
+    idx.small = False
+    idx.mid = True
+    batch, lens = pack_reads(reads)
+    found = eng.scan_reads_for_hits(idx, batch, lens)
+    for i, s in enumerate(reads):
+        cap, _ = K.extract_read_kmers(s, k)
+        expected = {p for p, c in cap.items() if c in target}
+        assert set(np.nonzero(found[i])[0].tolist()) == expected
+
+
+def test_partitioned_scan_hits_cap_overflow_retry():
+    """Tiny cap_q must flag overflow; engine retry stays exact."""
+    import jax.numpy as jnp
+
+    from kmer_denovo_filter_tpu.ops import device as dev
+    k = 31
+    reads = random_reads(16, k, with_n=False, seed=98)
+    target = set()
+    for s in reads[:4]:
+        cap, _ = K.extract_read_kmers(s, k)
+        target.update(cap.values())
+    keys = enc.kmers_to_keys(sorted(target), k)
+    blocks, _counts, _perm = dev.build_hash_partitions(keys, 4)
+    batch, lens = pack_reads(reads)
+    batch_p, lens_p = eng.pad_read_batch(batch, lens)
+    _found, overflow = dev.partitioned_scan_hits_step(
+        jnp.asarray(blocks), jnp.asarray(batch_p), jnp.asarray(lens_p),
+        k, enc.words_per_kmer(k), 4, 16)
+    assert bool(overflow)
+    idx = eng.KmerIndex.from_strings(target, k)
+    idx.small = False
+    idx.mid = True
+    found = eng.scan_reads_for_hits(idx, batch, lens)
+    for i, s in enumerate(reads):
+        cap, _ = K.extract_read_kmers(s, k)
+        expected = {p for p, c in cap.items() if c in target}
+        assert set(np.nonzero(found[i])[0].tolist()) == expected
