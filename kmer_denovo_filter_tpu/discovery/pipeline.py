@@ -1125,6 +1125,15 @@ def _run_discovery_pipeline_impl(args):
                     f"{avail_mem_gb:.1f} GB" if avail_mem_gb is not None
                     else "(unknown)")
     logger.info("=" * 60)
+    # CRAM inputs: convert once up front so every downstream consumer
+    # (streaming packed batches, BAI fetch, native inflate) sees BAM
+    from kmer_denovo_filter_tpu.htsio.bam import resolve_alignment_input
+    for _attr in ("child", "mother", "father"):
+        _p = getattr(args, _attr)
+        _rp = resolve_alignment_input(_p, args.ref_fasta)
+        if _rp != _p:
+            logger.info("CRAM input converted: %s -> %s", _p, _rp)
+            setattr(args, _attr, _rp)
     log_memory("pipeline start")
 
     out_dir = os.path.dirname(os.path.abspath(out_prefix)) or "."

@@ -340,6 +340,12 @@ class AlignedRead:
                 r += length
         return out
 
+    def raw_tags(self):
+        """The raw BAM-encoded tag block (bytes after seq/qual)."""
+        fixed_end = (32 + self._l_read_name + 4 * self._n_cigar
+                     + (self._l_seq + 1) // 2 + self._l_seq)
+        return self._raw[fixed_end:]
+
     def to_raw(self, tid_override=None):
         """Serialised record body (without the block_size prefix)."""
         if tid_override is None:
@@ -776,9 +782,31 @@ class IndexedBamReader:
                         yield rec
 
 
+def is_cram(path):
+    try:
+        with open(path, "rb") as fh:
+            return fh.read(4) == b"CRAM"
+    except OSError:
+        return False
+
+
+def resolve_alignment_input(path, reference_filename=None):
+    """BAM path for *path*; CRAM inputs are converted once (cached
+    sibling ``.converted.bam``) so every streaming/indexed BAM
+    consumer accepts CRAM transparently (the reference's pysam-level
+    CRAM acceptance, reference cli.py:13-24)."""
+    if is_cram(path):
+        from kmer_denovo_filter_tpu.htsio.cram import \
+            converted_bam_path
+        return converted_bam_path(path, reference_filename)
+    return path
+
+
 def open_bam(path, reference_filename=None):
     """BamReader for small files, IndexedBamReader above the streaming
-    threshold (targeted-fetch consumers only need the pysam-ish API)."""
+    threshold (targeted-fetch consumers only need the pysam-ish API).
+    CRAM inputs are converted to BAM once and read from the cache."""
+    path = resolve_alignment_input(path, reference_filename)
     threshold = int(os.environ.get(
         "KDF_STREAM_THRESHOLD_BYTES", 1 << 30))
     try:

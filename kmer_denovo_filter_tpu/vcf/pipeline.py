@@ -389,6 +389,16 @@ def _run_pipeline_impl(args):
     logger.info("  Kraken2 DB:        %s", kraken2_db or "(disabled)")
     logger.info("=" * 60)
 
+    # CRAM inputs: convert once up front so every downstream consumer
+    # (streaming packed batches, BAI fetch, native inflate) sees BAM
+    from kmer_denovo_filter_tpu.htsio.bam import resolve_alignment_input
+    for _attr in ("child", "mother", "father"):
+        _p = getattr(args, _attr)
+        _rp = resolve_alignment_input(_p, args.ref_fasta)
+        if _rp != _p:
+            logger.info("CRAM input converted: %s -> %s", _p, _rp)
+            setattr(args, _attr, _rp)
+
     # ── Step 1: Parse VCF ──────────────────────────────────────────
     step_start = time.monotonic()
     logger.info("[Step 1/5] Parsing VCF: %s", args.vcf)
