@@ -358,3 +358,46 @@ class TestIntegration:
                     if not l.startswith("##")]
             outs[kind] = "".join(body)
         assert outs["cram"] == outs["bam"]
+
+    def test_discovery_pipeline_cram_matches_bam(self, tmp_path):
+        """Discovery-mode run from a CRAM trio == run from BAM trio."""
+        from kmer_denovo_filter_tpu.cli import parse_discovery_args
+        from kmer_denovo_filter_tpu.discovery.pipeline import (
+            run_discovery_pipeline)
+        from tests.discovery.test_pipeline import K as DK, _tiled
+
+        ref_path = str(tmp_path / "ref.fa")
+        seq = create_ref_fasta(ref_path, "chr1", 400)
+        novel = "ACGTTGCAATCCGGATTAGC"
+        paths = {}
+        for who, ins in (("child", (150, novel)), ("mother", None),
+                         ("father", None)):
+            bam = str(tmp_path / f"{who}.bam")
+            create_bam(bam, "chr1",
+                       _tiled(seq, who[0], 40, 360, insert=ins),
+                       ref_length=400)
+            br = BamReader(bam)
+            cram = str(tmp_path / f"{who}.cram")
+            cw = CramWriter(cram, br.header_text, br.refs)
+            cw.set_reference(ref_path)
+            for rd in br.records:
+                cw.write(rd)
+            cw.close()
+            open(cram + ".crai", "wb").close()
+            paths[who] = (bam, cram)
+
+        beds = {}
+        for kind in ("bam", "cram"):
+            sel = 0 if kind == "bam" else 1
+            prefix = str(tmp_path / f"disc_{kind}")
+            args = parse_discovery_args([
+                "--child", paths["child"][sel],
+                "--mother", paths["mother"][sel],
+                "--father", paths["father"][sel],
+                "--ref-fasta", ref_path, "--out-prefix", prefix,
+                "--kmer-size", str(DK), "--min-child-count", "2",
+            ])
+            run_discovery_pipeline(args)
+            beds[kind] = open(prefix + ".bed").read()
+        assert beds["cram"] == beds["bam"]
+        assert "chr1" in beds["bam"]
