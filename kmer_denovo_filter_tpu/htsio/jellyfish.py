@@ -1,4 +1,4 @@
-"""Read-only Jellyfish 2 index support (drop-in ``--ref-jf`` compat).
+"""Jellyfish 2 ``binary/sorted`` index support (``--ref-jf`` compat + export).
 
 Reference users pass prebuilt ``.jf`` reference indexes
 (``--ref-jf``, reference cli.py:173 and tests/conftest.py:103).  The
@@ -38,9 +38,9 @@ def load_sorted_jf(path, expect_k=None):
     """Load a ``binary/sorted`` .jf index into (keys, counts).
 
     Returns ``(keys, counts, k)`` where *keys* is the engine's
-    (N, W) uint32 big-endian word representation (sorted ascending,
-    identical ordering to jellyfish's canonical 2-bit integers) and
-    *counts* is int64.
+    (N, W) uint32 big-endian word representation in FILE order (which
+    is jellyfish's internal matrix-hash order, NOT numeric key order —
+    callers sort before building an index) and *counts* is int64.
     """
     meta, off = read_jf_header(path)
     if meta.get("format") != "binary/sorted":
@@ -80,3 +80,54 @@ def load_sorted_jf(path, expect_k=None):
         keys[:, j] = (shifted >> np.uint64(32 * (w - 1 - j))).astype(
             np.uint32)
     return keys, cvals, k
+
+
+def write_sorted_jf(path, keys, counts, k):
+    """Write a ``binary/sorted`` .jf file from engine-layout keys.
+
+    The exact inverse of :func:`load_sorted_jf`: 9-digit ASCII header
+    length + JSON metadata + fixed-width little-endian (key, count)
+    records, so exported indexes interoperate with jellyfish-ecosystem
+    tooling and round-trip losslessly through this module (the export
+    analog of the reference's cached ``{ref}.k{k}.jf`` artifacts,
+    reference core/jellyfish_wrappers.py:286-332).  k <= 31 only (the
+    format's sorted variant carries <= 64-bit keys).
+    """
+    from kmer_denovo_filter_tpu.ops.encode import words_per_kmer
+    key_len = 2 * k
+    key_bytes = (key_len + 7) // 8
+    if key_bytes > 8:
+        raise JellyfishParseError(
+            f"binary/sorted .jf keys are <= 64 bits (k <= 31); got "
+            f"k={k}")
+    w = words_per_kmer(k)
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    n = keys.shape[0]
+    # engine layout (32W-bit left-aligned words) -> right-aligned int
+    packed = np.zeros(n, dtype=np.uint64)
+    for j in range(w):
+        packed |= keys[:, j].astype(np.uint64) << np.uint64(
+            32 * (w - 1 - j))
+    packed >>= np.uint64(32 * w - key_len)
+    order = np.argsort(packed, kind="stable")
+    packed = packed[order]
+    cvals = np.asarray(counts, dtype=np.int64)[order]
+    meta = {
+        "alignment": 8, "canonical": True,
+        "cmdline": "kmer_denovo_filter_tpu export",
+        "counter_len": 4, "format": "binary/sorted",
+        "key_len": key_len, "max_reprobe": 126,
+        "size": max(16, 1 << (n - 1).bit_length() if n else 4),
+        "val_len": 4,
+    }
+    hdr = json.dumps(meta, sort_keys=True).encode()
+    rec = np.zeros((n, key_bytes + 4), dtype=np.uint8)
+    for b in range(key_bytes):
+        rec[:, b] = (packed >> np.uint64(8 * b)).astype(np.uint8)
+    for b in range(4):
+        rec[:, key_bytes + b] = ((cvals >> (8 * b)) & 0xFF).astype(
+            np.uint8)
+    with open(path, "wb") as fh:
+        fh.write(f"{len(hdr):09d}".encode())
+        fh.write(hdr)
+        fh.write(rec.tobytes())

@@ -519,12 +519,6 @@ def partitioned_scan_hits_step(tblocks, codes, lengths, k, w, p_bits,
     flat_idx = jnp.where(valid_q, spart * cap_q + slot, p * cap_q)
     qblocks = jnp.full((p * cap_q + 1, w), SENTINEL).at[flat_idx].set(
         skeys)[:-1].reshape(p, cap_q, w)
-    # original flat index of each block slot; unwritten padding slots
-    # default to UNIQUE trash addresses (n + slot) so the verdict
-    # scatter below never has duplicate indices — a shared dropped-row
-    # index would serialise the scatter (measured 6x step cost)
-    qsrc = (jnp.arange(p * cap_q + 1, dtype=jnp.int32) + n) \
-        .at[flat_idx].set(sidx)[:-1]
 
     cap_t = tblocks.shape[1]
     pc = max(1, min(p, (1 << 25) // max(cap_q * cap_t, 1)))
@@ -541,10 +535,14 @@ def partitioned_scan_hits_step(tblocks, codes, lengths, k, w, p_bits,
         return carry, eq.any(axis=2)
 
     _, fnd = jax.lax.scan(body, 0.0, (qch, tch))
-    # padded query slots (key = sentinel) can "match" the table blocks'
-    # sentinel padding, but their qsrc points into the trash region
-    found_flat = jnp.zeros(n + p * cap_q, dtype=bool).at[qsrc].set(
-        fnd.reshape(p * cap_q))[:n]
+    # per-sorted-row verdict via an O(n) gather from block space (a
+    # block-space scatter would touch p*cap_q >> n elements, and a
+    # shared dropped-row index would serialise it — measured 6x step
+    # cost), then back to original window order through the sort
+    # permutation (sidx is a permutation, so the scatter is unique)
+    addr = jnp.where(valid_q, spart * cap_q + slot, 0)
+    found_sorted = fnd.reshape(p * cap_q)[addr] & valid_q
+    found_flat = jnp.zeros(n, dtype=bool).at[sidx].set(found_sorted)
     found = found_flat.reshape(b, s) & valid
     return found, overflow
 
