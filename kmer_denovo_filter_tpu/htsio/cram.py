@@ -827,9 +827,12 @@ class CramWriter:
     preserved read names, absolute positions, multi-ref slices."""
 
     def __init__(self, path, header_text, refs,
-                 records_per_slice=10000):
+                 records_per_slice=10000, ap_delta=False,
+                 preserve_names=True):
         self.path = path
         self.refs = refs
+        self.ap_delta = ap_delta
+        self.preserve_names = preserve_names
         self._fh = open(path, "wb")
         self._fh.write(CRAM_MAGIC + bytes((3, 0)))
         fid = os.path.basename(path).encode()[:20]
@@ -922,6 +925,7 @@ class CramWriter:
             ext[_CID[key]] += write_itf8(len(b)) + b
 
         ref_cache = {}
+        last_ap = 0  # AP-delta base: the slice header's start (0)
 
         def ref_of(tid):
             if tid < 0:
@@ -941,12 +945,19 @@ class CramWriter:
             put_int("CF", cf)
             put_int("RI", read.tid)
             put_int("RL", len(seq))
-            put_int("AP", read.pos + 1)
+            ap = read.pos + 1
+            put_int("AP", (ap - last_ap) if self.ap_delta else ap)
+            last_ap = ap
             put_int("RG", -1)
-            put_bytes_stop("RN", read.query_name.encode())
+            if self.preserve_names:
+                put_bytes_stop("RN", read.query_name.encode())
             mf = ((MF_MATE_REVERSED if bf & 0x20 else 0)
                   | (MF_MATE_UNMAPPED if bf & 0x8 else 0))
             put_int("MF", mf)
+            if not self.preserve_names:
+                # detached records still carry the mate/read name so
+                # pairing survives (spec decode order: after MF)
+                put_bytes_stop("RN", read.query_name.encode())
             put_int("NS", read.next_tid)
             put_int("NP", read.next_pos + 1)
             put_int("TS", read.tlen)
@@ -1032,7 +1043,9 @@ class CramWriter:
             b"".join(t.encode() + y.encode() for t, y in line)
             + b"\x00" for line in (tag_lines or [()]))
         pres_entries = [
-            (b"RN", b"\x01"), (b"AP", b"\x00"), (b"RR", b"\x01"),
+            (b"RN", b"\x01" if self.preserve_names else b"\x00"),
+            (b"AP", b"\x01" if self.ap_delta else b"\x00"),
+            (b"RR", b"\x01"),
             (b"SM", self.sub_matrix),
             (b"TD", write_itf8(len(td_blob)) + td_blob)]
         pres = write_itf8(len(pres_entries))

@@ -401,3 +401,31 @@ class TestIntegration:
             beds[kind] = open(prefix + ".bed").read()
         assert beds["cram"] == beds["bam"]
         assert "chr1" in beds["bam"]
+
+
+class TestWriterVariants:
+    """Reader paths our default profile never emits: AP-delta
+    positions and unpreserved (detached-carried) read names."""
+
+    @pytest.mark.parametrize("ap_delta,preserve",
+                             [(True, True), (False, False),
+                              (True, False)])
+    def test_round_trip(self, tmp_path, ap_delta, preserve):
+        ref_path = str(tmp_path / "ref.fa")
+        seq = create_ref_fasta(ref_path, "chr1", 600)
+        reads = [(f"v{i}", 13 * i, seq[13 * i:13 * i + 70])
+                 for i in range(20)]
+        bam = str(tmp_path / "v.bam")
+        create_bam(bam, "chr1", reads, ref_length=600)
+        br = BamReader(bam)
+        cram = str(tmp_path / "v.cram")
+        cw = CramWriter(cram, br.header_text, br.refs,
+                        ap_delta=ap_delta, preserve_names=preserve)
+        cw.set_reference(ref_path)
+        for rd in br.records:
+            cw.write(rd)
+        cw.close()
+        back = CramReader(cram, ref_path).records
+        assert len(back) == len(br.records)
+        for a, b in zip(br.records, back):
+            _assert_same(a, b)
