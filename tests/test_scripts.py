@@ -98,3 +98,83 @@ class TestBuildMiniRef:
             [(0, 10), (15, 30), (500, 600)], merge_distance=10)
         assert got == [(0, 30), (500, 600)]
         assert bmr.cluster_intervals([]) == []
+
+
+class TestDownloadKraken2Script:
+    """Fake-`wget` harness for scripts/download_kraken2_db.sh (the
+    reference's test_download_kraken2_db_script.py pattern: a PATH
+    shim logs its args and fabricates the tarball; no network)."""
+
+    def _fake_wget(self, tmp_path):
+        import stat
+        import subprocess
+        import tarfile
+        bindir = tmp_path / "bin"
+        bindir.mkdir()
+        # a real tarball the fake wget will "download"
+        payload = tmp_path / "payload"
+        (payload / "k2_standard").mkdir(parents=True)
+        for f in ("hash.k2d", "opts.k2d", "taxo.k2d"):
+            (payload / "k2_standard" / f).write_bytes(b"\x00" * 8)
+        tarball = tmp_path / "db.tar.gz"
+        with tarfile.open(tarball, "w:gz") as tf:
+            tf.add(payload / "k2_standard", arcname="k2_standard")
+        wget = bindir / "wget"
+        wget.write_text(
+            "#!/usr/bin/env bash\n"
+            f'echo "$@" >> {tmp_path}/wget.log\n'
+            'out=""\n'
+            'while [[ $# -gt 0 ]]; do\n'
+            '  if [[ "$1" == "-O" ]]; then out="$2"; shift 2; '
+            'else shift; fi\n'
+            'done\n'
+            f'cp {tarball} "$out"\n')
+        wget.chmod(wget.stat().st_mode | stat.S_IEXEC)
+        return bindir
+
+    def test_downloads_extracts_validates(self, tmp_path):
+        import os
+        import subprocess
+        bindir = self._fake_wget(tmp_path)
+        dest = tmp_path / "db"
+        env = dict(os.environ, PATH=f"{bindir}:{os.environ['PATH']}")
+        out = subprocess.run(
+            ["bash", "scripts/download_kraken2_db.sh", str(dest)],
+            capture_output=True, text=True, env=env, cwd="/root/repo")
+        assert out.returncode == 0, out.stderr
+        assert "Kraken2 database ready" in out.stdout
+        log = (tmp_path / "wget.log").read_text()
+        assert "genome-idx.s3.amazonaws.com" in log
+        assert (dest / "k2_standard" / "hash.k2d").exists()
+
+    def test_fails_without_k2d_files(self, tmp_path):
+        import os
+        import stat
+        import subprocess
+        bindir = tmp_path / "bin"
+        bindir.mkdir()
+        wget = bindir / "wget"
+        # fabricate a tarball with no k2d files
+        import tarfile
+        junk = tmp_path / "junk"
+        junk.mkdir()
+        (junk / "readme.txt").write_text("nope")
+        tarball = tmp_path / "bad.tar.gz"
+        with tarfile.open(tarball, "w:gz") as tf:
+            tf.add(junk, arcname="junk")
+        wget.write_text(
+            "#!/usr/bin/env bash\n"
+            'out=""\n'
+            'while [[ $# -gt 0 ]]; do\n'
+            '  if [[ "$1" == "-O" ]]; then out="$2"; shift 2; '
+            'else shift; fi\n'
+            'done\n'
+            f'cp {tarball} "$out"\n')
+        wget.chmod(wget.stat().st_mode | stat.S_IEXEC)
+        env = dict(os.environ, PATH=f"{bindir}:{os.environ['PATH']}")
+        out = subprocess.run(
+            ["bash", "scripts/download_kraken2_db.sh",
+             str(tmp_path / "db2")],
+            capture_output=True, text=True, env=env, cwd="/root/repo")
+        assert out.returncode != 0
+        assert "not found" in out.stderr
