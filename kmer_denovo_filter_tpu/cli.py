@@ -110,6 +110,16 @@ def parse_vcf_args(argv=None):
 
 def _add_discovery_args(parser):
     parser.add_argument(
+        "--save-proband-index", action="store_true",
+        help="After parent filtering, write the proband-unique k-mer "
+             "index to [out-prefix].proband_unique.kdx.npz so later "
+             "runs can resume Modules 3+ with --proband-index")
+    parser.add_argument(
+        "--proband-index", default=None,
+        help="Resume from a proband-unique index snapshot (skips "
+             "Modules 0-2: counting, reference subtraction, parent "
+             "filtering)")
+    parser.add_argument(
         "--ref-jf", default=None,
         help="Path to a precomputed reference k-mer index (jellyfish "
              "binary/sorted .jf or this tool's .kdx.npz). Defaults to "

@@ -1146,74 +1146,93 @@ def _run_discovery_pipeline_impl(args):
             "filesystem.", tmp_root)
     log_disk_usage(tmp_root, "tmpdir filesystem")
 
-    # ── Module 0: Reference k-mer index ────────────────────────────
-    step_start = time.monotonic()
-    logger.info("[Module 0] Ensuring reference k-mer index")
-    ref_index = ensure_ref_index(
-        args.ref_fasta, args.kmer_size, getattr(args, "ref_jf", None))
-    logger.info("[Module 0] Reference index ready (%s)",
-                format_elapsed(time.monotonic() - step_start))
-    log_memory("after Module 0")
+    # ── Optional resume from a proband-unique index snapshot ───────
+    # (the checkpoint/resume capability SURVEY §5 calls for: re-run
+    # Modules 3+ with different clustering/filter knobs without
+    # repeating the counting and parent filtering)
+    resume_path = getattr(args, "proband_index", None)
+    if resume_path:
+        logger.info("[Modules 0-2] Skipped: resuming from proband-"
+                    "unique index snapshot %s", resume_path)
+        snap = np.load(resume_path)
+        snap_k = int(snap["k"])
+        if snap_k != args.kmer_size:
+            raise ValueError(
+                f"index snapshot {resume_path} has k={snap_k}, "
+                f"expected k={args.kmer_size}")
+        proband_keys = snap["keys"]
+        n_proband_unique = int(proband_keys.shape[0])
+        n_candidates = int(snap["child_candidate_kmers"])
+        n_non_ref = int(snap["non_ref_kmers"])
+    else:
+        # ── Module 0: Reference k-mer index ────────────────────────────
+        step_start = time.monotonic()
+        logger.info("[Module 0] Ensuring reference k-mer index")
+        ref_index = ensure_ref_index(
+            args.ref_fasta, args.kmer_size, getattr(args, "ref_jf", None))
+        logger.info("[Module 0] Reference index ready (%s)",
+                    format_elapsed(time.monotonic() - step_start))
+        log_memory("after Module 0")
 
-    # ── Module 1: Child k-merization & reference subtraction ───────
-    step_start = time.monotonic()
-    logger.info("[Module 1] Child k-mer extraction & reference subtraction")
-    candidate_keys, n_candidates = _extract_child_kmers_discovery(
-        args.child, args.kmer_size, args.min_child_count)
+        # ── Module 1: Child k-merization & reference subtraction ───────
+        step_start = time.monotonic()
+        logger.info("[Module 1] Child k-mer extraction & reference subtraction")
+        candidate_keys, n_candidates = _extract_child_kmers_discovery(
+            args.child, args.kmer_size, args.min_child_count)
 
-    if n_candidates == 0:
-        logger.warning(
-            "No child candidate k-mers found; writing empty outputs")
-        empty_metrics = {
-            "mode": "discovery",
-            "child_candidate_kmers": 0,
-            "non_ref_kmers": 0,
-            "proband_unique_kmers": 0,
-            "informative_reads": 0,
-            "unmapped_informative_reads": 0,
-            "candidate_regions": 0,
-        }
-        _write_empty_discovery_outputs(
-            bed_path, metrics_path, summary_path, empty_metrics,
-            bedpe_path=bedpe_path)
-        logger.info("Pipeline finished in %s",
-                    format_elapsed(time.monotonic() - pipeline_start))
-        return
+        if n_candidates == 0:
+            logger.warning(
+                "No child candidate k-mers found; writing empty outputs")
+            empty_metrics = {
+                "mode": "discovery",
+                "child_candidate_kmers": 0,
+                "non_ref_kmers": 0,
+                "proband_unique_kmers": 0,
+                "informative_reads": 0,
+                "unmapped_informative_reads": 0,
+                "candidate_regions": 0,
+            }
+            _write_empty_discovery_outputs(
+                bed_path, metrics_path, summary_path, empty_metrics,
+                bedpe_path=bedpe_path)
+            logger.info("Pipeline finished in %s",
+                        format_elapsed(time.monotonic() - pipeline_start))
+            return
 
-    non_ref_keys, n_non_ref = _subtract_reference_kmers(
-        ref_index, candidate_keys)
-    logger.info("[Module 1] Complete (%s)",
-                format_elapsed(time.monotonic() - step_start))
-    log_memory("after Module 1")
+        non_ref_keys, n_non_ref = _subtract_reference_kmers(
+            ref_index, candidate_keys)
+        logger.info("[Module 1] Complete (%s)",
+                    format_elapsed(time.monotonic() - step_start))
+        log_memory("after Module 1")
 
-    if n_non_ref == 0:
-        logger.warning(
-            "All child k-mers are in the reference; writing empty outputs")
-        empty_metrics = {
-            "mode": "discovery",
-            "child_candidate_kmers": n_candidates,
-            "non_ref_kmers": 0,
-            "proband_unique_kmers": 0,
-            "informative_reads": 0,
-            "unmapped_informative_reads": 0,
-            "candidate_regions": 0,
-        }
-        _write_empty_discovery_outputs(
-            bed_path, metrics_path, summary_path, empty_metrics,
-            bedpe_path=bedpe_path)
-        logger.info("Pipeline finished in %s",
-                    format_elapsed(time.monotonic() - pipeline_start))
-        return
+        if n_non_ref == 0:
+            logger.warning(
+                "All child k-mers are in the reference; writing empty outputs")
+            empty_metrics = {
+                "mode": "discovery",
+                "child_candidate_kmers": n_candidates,
+                "non_ref_kmers": 0,
+                "proband_unique_kmers": 0,
+                "informative_reads": 0,
+                "unmapped_informative_reads": 0,
+                "candidate_regions": 0,
+            }
+            _write_empty_discovery_outputs(
+                bed_path, metrics_path, summary_path, empty_metrics,
+                bedpe_path=bedpe_path)
+            logger.info("Pipeline finished in %s",
+                        format_elapsed(time.monotonic() - pipeline_start))
+            return
 
-    # ── Module 2: Parent filtering ─────────────────────────────────
-    step_start = time.monotonic()
-    logger.info("[Module 2] Parent filtering")
-    n_proband_unique, proband_keys = _filter_parents_discovery(
-        args.mother, args.father, non_ref_keys, args.kmer_size,
-        parent_max_count=args.parent_max_count)
-    logger.info("[Module 2] Complete (%s)",
-                format_elapsed(time.monotonic() - step_start))
-    log_memory("after Module 2")
+        # ── Module 2: Parent filtering ─────────────────────────────────
+        step_start = time.monotonic()
+        logger.info("[Module 2] Parent filtering")
+        n_proband_unique, proband_keys = _filter_parents_discovery(
+            args.mother, args.father, non_ref_keys, args.kmer_size,
+            parent_max_count=args.parent_max_count)
+        logger.info("[Module 2] Complete (%s)",
+                    format_elapsed(time.monotonic() - step_start))
+        log_memory("after Module 2")
 
     if n_proband_unique == 0:
         logger.warning(
@@ -1242,6 +1261,13 @@ def _run_discovery_pipeline_impl(args):
     proband_index = eng.KmerIndex(proband_keys, args.kmer_size)
     logger.info("[Module 2b] Complete (%s)",
                 format_elapsed(time.monotonic() - step_start))
+    if getattr(args, "save_proband_index", False):
+        snap_path = f"{out_prefix}.proband_unique.kdx.npz"
+        np.savez(snap_path, keys=proband_keys, k=args.kmer_size,
+                 child_candidate_kmers=n_candidates,
+                 non_ref_kmers=n_non_ref)
+        logger.info("Proband-unique index snapshot written: %s "
+                    "(resume with --proband-index)", snap_path)
 
     # ── Module 3: Anchoring & region clustering ────────────────────
     step_start = time.monotonic()

@@ -119,6 +119,21 @@ class KmerIndex:
             self._hash_parts = (jnp.asarray(blocks), perm, p_bits)
         return self._hash_parts
 
+    def save(self, path):
+        """Snapshot the table to ``.npz`` (keys [, counts], k) — the
+        checkpointable-table artifact of SURVEY §5's resume story."""
+        if self.counts_np is not None:
+            np.savez(path, keys=self.keys_np, counts=self.counts_np,
+                     k=self.k)
+        else:
+            np.savez(path, keys=self.keys_np, k=self.k)
+
+    @classmethod
+    def load(cls, path):
+        data = np.load(path)
+        counts = data["counts"] if "counts" in data else None
+        return cls(data["keys"], int(data["k"]), counts)
+
     @classmethod
     def from_strings(cls, kmers, k):
         """Build from canonical k-mer strings (order-independent)."""

@@ -251,3 +251,58 @@ class TestCandidateComparison:
         cc = m["candidate_comparison"]
         assert cc["hq_candidates"] == 1
         assert cc["captured"] == 1
+
+
+class TestSnapshotResume:
+    def test_save_and_resume_identical_outputs(self, disco, tmp_path):
+        p1 = _run(disco, tmp_path, extra=("--save-proband-index",))
+        snap = p1 + ".proband_unique.kdx.npz"
+        assert os.path.exists(snap)
+
+        prefix2 = str(tmp_path / "resumed")
+        args = parse_args([
+            "--child", disco["child"], "--mother", disco["mother"],
+            "--father", disco["father"], "--ref-fasta", disco["ref"],
+            "--out-prefix", prefix2, "--kmer-size", str(K),
+            "--min-child-count", "2",
+            "--proband-index", snap,
+        ])
+        run_discovery_pipeline(args)
+        for ext in (".bed", ".metrics.json", ".summary.txt",
+                    ".kmer_coverage.bedgraph"):
+            a = open(p1 + ext).read()
+            b = open(prefix2 + ext).read()
+            # summary embeds the prefix-derived paths; normalize
+            b = b.replace(os.path.basename(prefix2),
+                          os.path.basename(p1))
+            assert a == b, ext
+
+    def test_resume_k_mismatch_rejected(self, disco, tmp_path):
+        import numpy as np
+        import pytest
+        snap = str(tmp_path / "bad.kdx.npz")
+        np.savez(snap, keys=np.zeros((1, 2), np.uint32), k=99,
+                 child_candidate_kmers=1, non_ref_kmers=1)
+        args = parse_args([
+            "--child", disco["child"], "--mother", disco["mother"],
+            "--father", disco["father"], "--ref-fasta", disco["ref"],
+            "--out-prefix", str(tmp_path / "x"),
+            "--kmer-size", str(K), "--proband-index", snap,
+        ])
+        with pytest.raises(ValueError, match="k=99"):
+            run_discovery_pipeline(args)
+
+
+class TestKmerIndexSnapshot:
+    def test_engine_save_load(self, tmp_path):
+        import numpy as np
+        from kmer_denovo_filter_tpu import engine as eng
+        keys = np.sort(np.arange(40, dtype=np.uint32)).reshape(20, 2)
+        idx = eng.KmerIndex.from_keys_counts(
+            keys, np.arange(20, dtype=np.int64), 31)
+        path = str(tmp_path / "i.npz")
+        idx.save(path)
+        back = eng.KmerIndex.load(path)
+        assert back.k == 31
+        assert np.array_equal(back.keys_np, keys)
+        assert np.array_equal(back.counts_np, np.arange(20))
