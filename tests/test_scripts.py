@@ -178,3 +178,21 @@ class TestDownloadKraken2Script:
             capture_output=True, text=True, env=env, cwd="/root/repo")
         assert out.returncode != 0
         assert "not found" in out.stderr
+
+
+class TestShardedBenchScript:
+    def test_reports_balance_and_parity(self):
+        import json
+        import subprocess
+        out = subprocess.run(
+            [__import__("sys").executable, "scripts/bench_sharded.py",
+             "4"],
+            capture_output=True, text=True, cwd="/root/repo",
+            env=dict(__import__("os").environ,
+                     JAX_PLATFORMS="cpu",
+                     XLA_FLAGS="--xla_force_host_platform_device_count=4"))
+        assert out.returncode == 0, out.stderr
+        rep = json.loads(out.stdout.strip().split("\n")[-1])
+        assert rep["membership_parity"] is True
+        assert rep["table_imbalance_max_over_mean"] < 1.2
+        assert rep["query_imbalance_max_over_mean"] < 1.2
