@@ -88,3 +88,24 @@ class TestIgvReviewTsv:
         assert rows[0]["locus"] == "chr1:1-201"
         assert rows[0]["child_bam"] == os.path.join(
             "mini", "child.chr1_101.bam")
+
+
+class TestMiniCramExport:
+    def test_cram_slices_written_and_readable(self, tmp_path):
+        from scripts.extract_mini_bams import extract
+        from kmer_denovo_filter_tpu.htsio.cram import CramReader
+        from tests.helpers import create_bam, create_ref_fasta
+        ref = str(tmp_path / "ref.fa")
+        seq = create_ref_fasta(ref, "chr1", 400)
+        bam = str(tmp_path / "s.bam")
+        create_bam(bam, "chr1",
+                   [(f"r{i}", 10 * i, seq[10 * i:10 * i + 80])
+                    for i in range(20)], ref_length=400)
+        written = extract(bam, "HG002", [("chr1", 101)],
+                          str(tmp_path), padding=50, cram_ref=ref)
+        (path, n), = written
+        assert path.endswith(".cram")
+        assert n > 0
+        back = CramReader(path, ref).records
+        assert len(back) == n
+        assert all(r.pos <= 150 and r.pos + 80 >= 50 for r in back)
