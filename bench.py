@@ -36,7 +36,7 @@ W = 2
 READ_LEN = 152
 BATCH_READS = 32768
 TABLE_M = 4096              # VCF-mode child candidate table scale
-N_BATCHES = 8
+N_BATCHES = 16
 COVERAGE = 40
 GENOME_MB = 4
 BASELINE_READS_PER_S = 1.0e6
@@ -70,7 +70,7 @@ def main():
     t = t[enc.lexsort_keys(t)]
     table = jnp.asarray(t)
     acc = jnp.zeros(TABLE_M, dtype=jnp.int32)
-    chunk = 8192
+    chunk = 16384
 
     lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
     batches = [jnp.asarray(synth_reads(rng, genome, BATCH_READS,

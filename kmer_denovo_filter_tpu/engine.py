@@ -103,8 +103,10 @@ class KmerIndex:
         self.rounds = max(1, (max_bucket + 1).bit_length())
         # small tables take the gather-free all-pairs VPU sweep
         self.small = self.m_pad <= _SMALL_TABLE_M
+        # chunk x m_pad ~ 2^26 compare-pairs per scan step: measured
+        # optimum on v5e (PERF.md: 16384 @ m=4096 beats 8192/32768)
         raw_chunk = max(1024, min(131072,
-                                  (1 << 25) // max(self.m_pad, 1)))
+                                  (1 << 26) // max(self.m_pad, 1)))
         self.small_chunk = 1 << (raw_chunk.bit_length() - 1)
         # mid-size tables: hash-partitioned sweep state (built lazily)
         self.mid = (not self.small) and self.m_pad <= _MID_TABLE_M
