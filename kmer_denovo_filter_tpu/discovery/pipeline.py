@@ -182,7 +182,7 @@ def _count_parent_device(parent_bam, filter_index, label):
     logger.info("  device filtered count (k=%d, filter_kmers=%d)",
                 filter_index.k, filter_index.n)
     from kmer_denovo_filter_tpu.htsio.bam import packed_batches
-    fc = eng.FilteredCounter(filter_index)
+    fc = eng.make_filtered_counter(filter_index)
     n_reads = 0
     for codes, lengths in packed_batches(
             parent_bam, exclude_flags=_COUNT_EXCLUDE_FLAGS):

@@ -353,6 +353,24 @@ def scan_reads_for_hits(index, codes, lengths):
     return found[:codes.shape[0], :codes.shape[1] - index.k + 1]
 
 
+def make_filtered_counter(index):
+    """Single-chip :class:`FilteredCounter`, or the multi-chip
+    :class:`~kmer_denovo_filter_tpu.parallel.ShardedFilteredCounter`
+    under ``KDF_SHARDED=1`` on a multi-device mesh."""
+    import os
+    if os.environ.get("KDF_SHARDED") == "1":
+        if len(jax.devices()) > 1:
+            from kmer_denovo_filter_tpu.parallel import (
+                ShardedFilteredCounter,
+                make_mesh,
+            )
+            logger.info("  sharded engine: %d-device mesh",
+                        len(jax.devices()))
+            return ShardedFilteredCounter(index.keys_np, index.k,
+                                          make_mesh())
+    return FilteredCounter(index)
+
+
 def count_reads(read_batches, k):
     """Count canonical k-mers across an iterator of (codes, lengths)."""
     sc = StreamCounter(k)

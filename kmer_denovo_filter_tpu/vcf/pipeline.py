@@ -189,19 +189,7 @@ def _collect_child_kmers(child_bam_reader, variants, kmer_size, min_baseq,
 def _make_filtered_counter(index):
     """Single-chip counter, or the sharded multi-chip one under
     ``KDF_SHARDED=1`` with a multi-device mesh."""
-    if os.environ.get("KDF_SHARDED") == "1":
-        import jax
-
-        if len(jax.devices()) > 1:
-            from kmer_denovo_filter_tpu.parallel import (
-                ShardedFilteredCounter,
-                make_mesh,
-            )
-            logger.info("  sharded engine: %d-device mesh",
-                        len(jax.devices()))
-            return ShardedFilteredCounter(index.keys_np, index.k,
-                                          make_mesh())
-    return eng.FilteredCounter(index)
+    return eng.make_filtered_counter(index)
 
 
 def _scan_parent_device(parent_bam_path, child_index, label):

@@ -136,3 +136,30 @@ def test_sharded_filtered_counter():
                 oc[c] += 1
     got = {s: int(c) for s, c in zip(sorted_kmers, res) if c > 0}
     assert got == dict(oc)
+
+
+def test_discovery_parent_filter_sharded(tmp_path, monkeypatch):
+    """KDF_SHARDED=1 routes the discovery parent filter through the
+    mesh counter and matches the single-device result."""
+    import numpy as np
+
+    from kmer_denovo_filter_tpu import engine as eng
+    from kmer_denovo_filter_tpu.discovery.pipeline import (
+        _count_parent_device)
+    from tests.helpers import create_bam, create_ref_fasta
+
+    ref = str(tmp_path / "r.fa")
+    seq = create_ref_fasta(ref, "chr1", 400)
+    bam = str(tmp_path / "p.bam")
+    create_bam(bam, "chr1",
+               [(f"p{i}", 10 * i, seq[10 * i:10 * i + 90])
+                for i in range(25)], ref_length=400)
+    from kmer_denovo_filter_tpu import kmer as K
+    kmers = set()
+    cap, _ = K.extract_read_kmers(seq[50:200], 31)
+    kmers.update(cap.values())
+    idx = eng.KmerIndex.from_strings(kmers, 31)
+    single = _count_parent_device(bam, idx, "single")
+    monkeypatch.setenv("KDF_SHARDED", "1")
+    sharded = _count_parent_device(bam, idx, "sharded")
+    assert np.array_equal(single, sharded)
