@@ -1,6 +1,7 @@
 """Multi-chip scaling: hash-prefix sharded k-mer tables over a Mesh."""
 
 from kmer_denovo_filter_tpu.parallel.sharded import (  # noqa: F401
+    ShardedFilteredCounter,
     ShardedKmerIndex,
     make_mesh,
     sharded_count,
