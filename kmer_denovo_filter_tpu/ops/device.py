@@ -529,10 +529,13 @@ def partitioned_scan_hits_step(tblocks, codes, lengths, k, w, p_bits,
 
     def body(carry, operand):
         qb, tb = operand
-        eq = jnp.ones((pc, cap_q, cap_t), dtype=bool)
+        # (pc, cap_t, cap_q) with the reduction over the middle axis —
+        # the same reduce orientation as the tally body (reducing the
+        # minor lane axis is the slower cross-lane reduce on TPU)
+        eq = jnp.ones((pc, cap_t, cap_q), dtype=bool)
         for j in range(w):
-            eq = eq & (qb[:, :, None, j] == tb[:, None, :, j])
-        return carry, eq.any(axis=2)
+            eq = eq & (tb[:, :, None, j] == qb[:, None, :, j])
+        return carry, eq.any(axis=1)
 
     _, fnd = jax.lax.scan(body, 0.0, (qch, tch))
     # per-sorted-row verdict via an O(n) gather from block space (a
