@@ -529,13 +529,14 @@ def partitioned_scan_hits_step(tblocks, codes, lengths, k, w, p_bits,
 
     def body(carry, operand):
         qb, tb = operand
-        # (pc, cap_t, cap_q) with the reduction over the middle axis —
-        # the same reduce orientation as the tally body (reducing the
-        # minor lane axis is the slower cross-lane reduce on TPU)
-        eq = jnp.ones((pc, cap_t, cap_q), dtype=bool)
+        # NOTE: the transposed orientation ((pc, cap_t, cap_q), reduce
+        # over the middle axis like the tally body) was measured
+        # identical in runtime but 60x slower to compile — keep the
+        # lane-axis reduce
+        eq = jnp.ones((pc, cap_q, cap_t), dtype=bool)
         for j in range(w):
-            eq = eq & (tb[:, :, None, j] == qb[:, None, :, j])
-        return carry, eq.any(axis=1)
+            eq = eq & (qb[:, :, None, j] == tb[:, None, :, j])
+        return carry, eq.any(axis=2)
 
     _, fnd = jax.lax.scan(body, 0.0, (qch, tch))
     # per-sorted-row verdict via an O(n) gather from block space (a
