@@ -101,10 +101,15 @@ def ensure_ref_index(ref_fasta, kmer_size, ref_jf=None):
 
     cache = f"{ref_fasta}.k{kmer_size}.kdx.npz"
     if os.path.isfile(cache):
-        data = np.load(cache)
-        logger.info("Reference k-mer cache found: %s", cache)
-        return eng.KmerIndex.from_keys_counts(
-            data["keys"], data["counts"], kmer_size)
+        if os.path.getmtime(cache) < os.path.getmtime(ref_fasta):
+            logger.warning(
+                "Reference k-mer cache %s is older than %s; rebuilding",
+                cache, ref_fasta)
+        else:
+            data = np.load(cache)
+            logger.info("Reference k-mer cache found: %s", cache)
+            return eng.KmerIndex.from_keys_counts(
+                data["keys"], data["counts"], kmer_size)
 
     logger.info("Building reference k-mer set: %s (k=%d)",
                 ref_fasta, kmer_size)

@@ -306,3 +306,34 @@ class TestKmerIndexSnapshot:
         assert back.k == 31
         assert np.array_equal(back.keys_np, keys)
         assert np.array_equal(back.counts_np, np.arange(20))
+
+
+def test_ref_cache_staleness_rebuild(tmp_path, caplog):
+    """A .kdx.npz cache older than the FASTA is rebuilt, not reused."""
+    import logging
+    import os
+    import time as _time
+
+    import numpy as np
+
+    from kmer_denovo_filter_tpu.discovery.pipeline import (
+        ensure_ref_index)
+    from tests.helpers import create_ref_fasta
+
+    ref = str(tmp_path / "r.fa")
+    create_ref_fasta(ref, "chr1", 200)
+    idx1 = ensure_ref_index(ref, K)
+    cache = f"{ref}.k{K}.kdx.npz"
+    assert os.path.exists(cache)
+    # edit the FASTA afterwards -> cache must be considered stale
+    _time.sleep(0.01)
+    create_ref_fasta(ref, "chr1", 250)
+    os.utime(ref)
+    with caplog.at_level(logging.WARNING):
+        idx2 = ensure_ref_index(ref, K)
+    assert idx2.n != idx1.n or not np.array_equal(
+        idx2.keys_np, idx1.keys_np)
+    assert any("older than" in r.message for r in caplog.records)
+    # refreshed cache is reused on the next call
+    idx3 = ensure_ref_index(ref, K)
+    assert np.array_equal(idx3.keys_np, idx2.keys_np)
