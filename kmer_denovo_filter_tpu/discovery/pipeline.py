@@ -22,7 +22,6 @@ import json
 import logging
 import os
 import statistics
-import sys
 import time
 
 import numpy as np
@@ -43,7 +42,6 @@ from kmer_denovo_filter_tpu.kmer import canonicalize
 from kmer_denovo_filter_tpu.memory_utils import (
     get_available_memory_gb,
     log_device_memory,
-    log_dir_size,
     log_disk_usage,
     log_memory,
 )

@@ -28,7 +28,7 @@ from kmer_denovo_filter_tpu.htsio import cram_codecs as cc
 from kmer_denovo_filter_tpu.htsio.bam import (
     AlignedRead, BamWriter, encode_read)
 from kmer_denovo_filter_tpu.htsio.cram_codecs import (
-    BitReader, BitWriter, CramFormatError, read_itf8, read_itf8_array,
+    BitReader, CramFormatError, read_itf8, read_itf8_array,
     read_ltf8, to_signed32, write_itf8, write_itf8_array, write_ltf8)
 from kmer_denovo_filter_tpu.htsio.fasta import read_fasta
 

@@ -16,7 +16,6 @@ import json
 import logging
 import os
 import re
-import statistics as stats
 
 logger = logging.getLogger(__name__)
 

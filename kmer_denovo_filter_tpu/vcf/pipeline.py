@@ -17,8 +17,6 @@ import statistics
 import sys
 import time
 
-import numpy as np
-
 from kmer_denovo_filter_tpu import engine as eng
 from kmer_denovo_filter_tpu.htsio.bam import BamWriter, open_bam
 from kmer_denovo_filter_tpu.htsio.vcf import (
@@ -33,9 +31,7 @@ from kmer_denovo_filter_tpu.kmer import (
 )
 from kmer_denovo_filter_tpu.memory_utils import (
     log_disk_usage,
-    log_memory,
 )
-from kmer_denovo_filter_tpu.ops import encode as enc
 from kmer_denovo_filter_tpu.utils import (
     check_tool,
     format_elapsed,
