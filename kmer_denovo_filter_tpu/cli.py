@@ -306,3 +306,7 @@ def main(argv=None):
             run_discovery_pipeline,
         )
         run_discovery_pipeline(args)
+
+
+if __name__ == "__main__":
+    main()

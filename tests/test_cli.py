@@ -132,3 +132,15 @@ class TestReportParser:
         ])
         assert args.vcf == "a.vcf.gz"
         assert args.discovery_summary == "ds.txt"
+
+
+def test_module_invocation_shows_help():
+    """`python -m kmer_denovo_filter_tpu.cli --help` must work (the
+    README's advertised invocation)."""
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "-m", "kmer_denovo_filter_tpu.cli", "--help"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0
+    assert "usage" in out.stdout.lower()
