@@ -82,6 +82,10 @@ def ensure_ref_index(ref_fasta, kmer_size, ref_jf=None):
     if ref_jf and os.path.isfile(ref_jf):
         if ref_jf.endswith(".npz"):
             data = np.load(ref_jf)
+            if "k" in data and int(data["k"]) != kmer_size:
+                raise ValueError(
+                    f"--ref-jf {ref_jf} was built at k={int(data['k'])} "
+                    f"but --kmer-size is {kmer_size}")
             logger.info("Reference k-mer cache found: %s", ref_jf)
             return eng.KmerIndex.from_keys_counts(
                 data["keys"], data["counts"], kmer_size)
@@ -105,6 +109,10 @@ def ensure_ref_index(ref_fasta, kmer_size, ref_jf=None):
                 cache, ref_fasta)
         else:
             data = np.load(cache)
+            if "k" in data and int(data["k"]) != kmer_size:
+                raise ValueError(
+                    f"reference cache {cache} was built at "
+                    f"k={int(data['k'])} but --kmer-size is {kmer_size}")
             logger.info("Reference k-mer cache found: %s", cache)
             return eng.KmerIndex.from_keys_counts(
                 data["keys"], data["counts"], kmer_size)
@@ -117,7 +125,7 @@ def ensure_ref_index(ref_fasta, kmer_size, ref_jf=None):
         sc.feed_sequence(seq)
     keys, counts = sc.result()
     try:
-        np.savez(cache, keys=keys, counts=counts)
+        np.savez(cache, keys=keys, counts=counts, k=kmer_size)
         logger.info("Reference k-mer cache written: %s", cache)
     except OSError:
         pass

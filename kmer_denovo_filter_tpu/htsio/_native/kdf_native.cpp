@@ -183,7 +183,9 @@ int32_t bam_scan_records(const uint8_t* data, int64_t size,
   while (off + 4 <= size && i < n_records) {
     int32_t block_size;
     memcpy(&block_size, data + off, 4);
-    if (block_size <= 0 || off + 4 + block_size > size) break;
+    // A record body is at least the 32-byte fixed section; reject
+    // truncated/corrupt sizes before touching any per-record field.
+    if (block_size < 32 || off + 4 + block_size > size) break;
     const uint8_t* rec = data + off + 4;
     rec_offsets[i] = off + 4;
     rec_sizes[i] = block_size;
@@ -195,6 +197,13 @@ int32_t bam_scan_records(const uint8_t* data, int64_t size,
     memcpy(&n_cigar, rec + 12, 2);
     memcpy(&flags[i], rec + 14, 2);
     memcpy(&l_seqs[i], rec + 16, 4);
+    int32_t l_seq = l_seqs[i];
+    // variable sections (name, cigar, packed seq) must fit the body
+    if (l_seq < 0 ||
+        32 + (int64_t)l_read_name + 4 * (int64_t)n_cigar +
+                ((int64_t)l_seq + 1) / 2 >
+            (int64_t)block_size)
+      break;
     // reference span from CIGAR (ops M/D/N/=/X consume reference)
     int32_t span = 0;
     const uint8_t* cig = rec + 32 + l_read_name;
@@ -232,6 +241,14 @@ int64_t bam_extract_codes(const uint8_t* data,
     uint16_t n_cigar;
     memcpy(&n_cigar, rec + 12, 2);
     int32_t l_seq = l_seqs[i];
+    // re-validate against the record body size: a corrupt record must
+    // not drive nibble reads past the buffer (bam_scan_records already
+    // filters these, but this entry point takes caller-supplied arrays)
+    if (l_seq < 0 ||
+        32 + (int64_t)l_read_name + 4 * (int64_t)n_cigar +
+                ((int64_t)l_seq + 1) / 2 >
+            (int64_t)rec_sizes[i])
+      return -1;
     const uint8_t* seq = rec + 32 + l_read_name + 4 * n_cigar;
     code_offsets[i] = pos;
     for (int32_t b = 0; b < l_seq; ++b) {

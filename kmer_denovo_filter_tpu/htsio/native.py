@@ -1,7 +1,9 @@
 """ctypes bridge to the C++ host accelerator (kdf_native).
 
-Builds ``kdf_native.so`` with g++ on first use (cached next to the
-source; rebuilt when the source is newer) and exposes:
+Builds ``kdf_native.so`` with g++ on first use.  The build is cached
+next to the source and keyed by a content hash of the source
+(``kdf_native.so.srchash``) — never by mtimes, which git checkouts do
+not preserve — so a stale or foreign binary is never loaded.  Exposes:
 
 * :func:`bgzf_inflate` — thread-parallel BGZF decompression (the
   ``samtools -@ N`` analog).
@@ -26,9 +28,16 @@ logger = logging.getLogger(__name__)
 _DIR = os.path.join(os.path.dirname(__file__), "_native")
 _SRC = os.path.join(_DIR, "kdf_native.cpp")
 _LIB = os.path.join(_DIR, "kdf_native.so")
+_HASH = _LIB + ".srchash"
 
 _lib = None
 AVAILABLE = False
+
+
+def _src_hash():
+    import hashlib
+    with open(_SRC, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()
 
 
 class _InflateResult(ctypes.Structure):
@@ -49,6 +58,11 @@ def _build():
     if res.returncode != 0:
         logger.warning("kdf_native build failed: %s", res.stderr[:500])
         return False
+    try:
+        with open(_HASH, "w") as fh:
+            fh.write(_src_hash())
+    except OSError:
+        pass
     return True
 
 
@@ -57,8 +71,13 @@ def _load():
     if _lib is not None:
         return AVAILABLE
     try:
-        needs_build = (not os.path.isfile(_LIB)
-                       or os.path.getmtime(_LIB) < os.path.getmtime(_SRC))
+        needs_build = True
+        if os.path.isfile(_LIB) and os.path.isfile(_HASH):
+            try:
+                with open(_HASH) as fh:
+                    needs_build = fh.read().strip() != _src_hash()
+            except OSError:
+                pass
         if needs_build and not _build():
             AVAILABLE = False
             _lib = False

@@ -286,31 +286,44 @@ def sharded_count(codes, lengths, k, mesh, cap_per_shard=None):
     if cap_per_shard is None:
         cap_per_shard = max(16, int(per_shard * s / n_shards * 4))
 
-    @jax.jit
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS)),
-        out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS, None)),
-        check_vma=False)
-    def count(codes_shard, lens_shard):
-        keys, _valid = dev.extract_canonical_windows(
-            codes_shard, lens_shard, k)
-        flat = keys.reshape(-1, w)
-        buckets, _slot, _ovf = _bucketize(flat, n_shards, cap_per_shard, w)
-        routed = jax.lax.all_to_all(
-            buckets, AXIS, split_axis=0, concat_axis=0)
-        q = routed.reshape(n_shards * cap_per_shard, w)
-        skeys, starts, counts = dev.sort_count(q, w)
-        sent = jnp.ones(q.shape[0], dtype=bool)
-        for j in range(w):
-            sent = sent & (skeys[:, j] == jnp.uint32(0xFFFFFFFF))
-        starts = starts & ~sent
-        return (skeys[None], starts[None], counts[None])
+    def make_count(cap):
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS, None, None), P(AXIS, None),
+                       P(AXIS, None), P(AXIS)),
+            check_vma=False)
+        def count(codes_shard, lens_shard):
+            keys, _valid = dev.extract_canonical_windows(
+                codes_shard, lens_shard, k)
+            flat = keys.reshape(-1, w)
+            buckets, _slot, ovf = _bucketize(flat, n_shards, cap, w)
+            routed = jax.lax.all_to_all(
+                buckets, AXIS, split_axis=0, concat_axis=0)
+            q = routed.reshape(n_shards * cap, w)
+            skeys, starts, counts = dev.sort_count(q, w)
+            sent = jnp.ones(q.shape[0], dtype=bool)
+            for j in range(w):
+                sent = sent & (skeys[:, j] == jnp.uint32(0xFFFFFFFF))
+            starts = starts & ~sent
+            return (skeys[None], starts[None], counts[None], ovf[None])
+
+        return count
 
     sharding = NamedSharding(mesh, P(AXIS, None))
-    skeys, starts, counts = count(
-        jax.device_put(jnp.asarray(codes_p), sharding),
-        jax.device_put(jnp.asarray(lens_p), NamedSharding(mesh, P(AXIS))))
+    codes_dev = jax.device_put(jnp.asarray(codes_p), sharding)
+    lens_dev = jax.device_put(jnp.asarray(lens_p),
+                              NamedSharding(mesh, P(AXIS)))
+    # low-complexity batches can route all their (identical) keys to one
+    # owner shard — detect route-bucket overflow and retry with doubled
+    # capacity rather than silently undercount
+    while True:
+        skeys, starts, counts, overflow = make_count(cap_per_shard)(
+            codes_dev, lens_dev)
+        if not bool(np.asarray(overflow).any()):
+            break
+        cap_per_shard *= 2
     skeys = np.asarray(skeys)
     starts = np.asarray(starts)
     counts = np.asarray(counts)

@@ -163,3 +163,21 @@ def test_discovery_parent_filter_sharded(tmp_path, monkeypatch):
     monkeypatch.setenv("KDF_SHARDED", "1")
     sharded = _count_parent_device(bam, idx, "sharded")
     assert np.array_equal(single, sharded)
+
+
+@needs_mesh
+def test_sharded_count_homopolymer_overflow_retry():
+    """All-identical keys route to ONE owner shard; the default
+    per-shard route capacity overflows and sharded_count must retry at
+    doubled capacity instead of silently undercounting (every window
+    of a homopolymer batch is the same canonical k-mer)."""
+    k = 7
+    mesh = make_mesh()
+    reads = ["A" * 64] * 64
+    codes, lengths = pack_reads(reads)
+    keys, counts = sharded_count(codes, lengths, k, mesh,
+                                 cap_per_shard=16)
+    expected = oracle_counts(reads, k)
+    got = {enc.keys_to_kmers(keys[i:i + 1], k)[0]: int(counts[i])
+           for i in range(keys.shape[0])}
+    assert got == dict(expected)
