@@ -26,9 +26,14 @@ import tempfile  # noqa: E402
 
 import pytest  # noqa: E402
 
-GIAB_DIR = os.path.join(os.path.dirname(__file__), "..", "..",
-                        "reference", "tests", "data", "giab")
-GIAB_DIR = os.path.abspath(GIAB_DIR)
+# In-repo dataset first (self-contained checkout); fall back to a
+# sibling reference checkout for cross-validation runs.
+GIAB_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "data", "giab"))
+if not os.path.isfile(os.path.join(GIAB_DIR, "HG002_child.bam")):
+    GIAB_DIR = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..",
+                     "reference", "tests", "data", "giab"))
 if not os.path.isdir(GIAB_DIR):
     GIAB_DIR = "/root/reference/tests/data/giab"
 GIAB_DATA_EXISTS = os.path.isfile(os.path.join(GIAB_DIR, "HG002_child.bam"))
@@ -37,9 +42,20 @@ GIAB_DISCOVERY_DATA_EXISTS = (
     and os.path.isfile(os.path.join(GIAB_DIR, "mini_ref.fa"))
 )
 
-REF_EXAMPLE_OUTPUT_DIR = "/root/reference/tests/example_output"
-REF_EXAMPLE_OUTPUT_DISCOVERY_DIR = (
-    "/root/reference/tests/example_output_discovery")
+# The reference tool's committed golden outputs (parity targets),
+# shipped in-repo; fall back to a reference checkout if absent.
+REF_EXAMPLE_OUTPUT_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "data", "ref_example_output"))
+if not os.path.isfile(os.path.join(REF_EXAMPLE_OUTPUT_DIR,
+                                   "metrics.json")):
+    REF_EXAMPLE_OUTPUT_DIR = "/root/reference/tests/example_output"
+REF_EXAMPLE_OUTPUT_DISCOVERY_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "data",
+                 "ref_example_output_discovery"))
+if not os.path.isfile(os.path.join(REF_EXAMPLE_OUTPUT_DISCOVERY_DIR,
+                                   "giab_discovery.metrics.json")):
+    REF_EXAMPLE_OUTPUT_DISCOVERY_DIR = (
+        "/root/reference/tests/example_output_discovery")
 
 
 @pytest.fixture(scope="session")

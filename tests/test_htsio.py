@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+from tests.conftest import GIAB_DIR, REF_EXAMPLE_OUTPUT_DIR
+
 from kmer_denovo_filter_tpu.htsio.bam import (
     AlignedRead,
     BamReader,
@@ -143,10 +145,10 @@ class TestBamRoundtrip:
 
 class TestGiabBam:
     @pytest.mark.skipif(
-        not os.path.exists("/root/reference/tests/data/giab/HG002_child.bam"),
+        not os.path.exists(os.path.join(GIAB_DIR, "HG002_child.bam")),
         reason="GIAB data unavailable")
     def test_parse_real_bam(self):
-        bam = BamReader("/root/reference/tests/data/giab/HG002_child.bam")
+        bam = BamReader(os.path.join(GIAB_DIR, "HG002_child.bam"))
         assert bam.nreferences == 2580
         assert len(bam.records) == 11097
         rec = bam.records[0]
@@ -182,7 +184,7 @@ class TestTabix:
 class TestJellyfishReader:
     @pytest.mark.skipif(
         not os.path.exists(
-            "/root/reference/tests/data/giab/mini_ref.fa.k31.jf"),
+            os.path.join(GIAB_DIR, "mini_ref.fa.k31.jf")),
         reason="GIAB data unavailable")
     def test_matches_fasta_oracle(self):
         from collections import Counter
@@ -192,9 +194,9 @@ class TestJellyfishReader:
         from kmer_denovo_filter_tpu.ops import encode as enc
 
         keys, counts, k = load_sorted_jf(
-            "/root/reference/tests/data/giab/mini_ref.fa.k31.jf")
+            os.path.join(GIAB_DIR, "mini_ref.fa.k31.jf"))
         assert k == 31
-        seqs = read_fasta("/root/reference/tests/data/giab/mini_ref.fa")
+        seqs = read_fasta(os.path.join(GIAB_DIR, "mini_ref.fa"))
         oc = Counter()
         for seq in seqs.values():
             cap, _ = K.extract_read_kmers(seq, 31)
@@ -207,14 +209,14 @@ class TestJellyfishReader:
 class TestAnnotatedVcfByteParity:
     @pytest.mark.skipif(
         not os.path.exists(
-            "/root/reference/tests/example_output/annotated.vcf.gz"),
+            os.path.join(REF_EXAMPLE_OUTPUT_DIR, "annotated.vcf.gz")),
         reason="reference goldens unavailable")
     def test_regenerates_golden_bytes(self, tmp_path):
         """Feeding golden annotation values must reproduce the golden
         VCF byte-for-byte (validates the text-transform writer)."""
         from kmer_denovo_filter_tpu.htsio.vcf import write_annotated_vcf
 
-        gold_path = "/root/reference/tests/example_output/annotated.vcf.gz"
+        gold_path = os.path.join(REF_EXAMPLE_OUTPUT_DIR, "annotated.vcf.gz")
         gold = gzip.open(gold_path, "rb").read()
         glines = gold.decode().rstrip("\n").split("\n")
         gdata = [l for l in glines if not l.startswith("#")]
@@ -235,18 +237,18 @@ class TestAnnotatedVcfByteParity:
             ann[f"{f[0]}:{int(f[1]) - 1}:{f[3]}:{alt}"] = dict(
                 zip(keys, conv))
         out = write_annotated_vcf(
-            "/root/reference/tests/data/giab/candidates.vcf.gz",
+            os.path.join(GIAB_DIR, "candidates.vcf.gz"),
             str(tmp_path / "annot.vcf.gz"), ann, "HG002")
         assert gzip.open(out, "rb").read() == gold
 
 
 class TestStreamPacked:
     @pytest.mark.skipif(
-        not os.path.exists("/root/reference/tests/data/giab/HG002_child.bam"),
+        not os.path.exists(os.path.join(GIAB_DIR, "HG002_child.bam")),
         reason="GIAB data unavailable")
     def test_matches_whole_file_reader(self):
         from kmer_denovo_filter_tpu.htsio.bam import stream_packed
-        path = "/root/reference/tests/data/giab/HG002_child.bam"
+        path = os.path.join(GIAB_DIR, "HG002_child.bam")
         bam = BamReader(path)
         whole = list(bam.iter_packed(0xD00, 2048, records=bam.records))
         streamed = list(stream_packed(path, 0xD00, 2048))
@@ -327,11 +329,11 @@ def test_module_separation_contract():
 
 class TestIndexedBamReader:
     @pytest.mark.skipif(
-        not os.path.exists("/root/reference/tests/data/giab/HG002_child.bam"),
+        not os.path.exists(os.path.join(GIAB_DIR, "HG002_child.bam")),
         reason="GIAB data unavailable")
     def test_bai_fetch_matches_inmemory(self):
         from kmer_denovo_filter_tpu.htsio.bam import IndexedBamReader
-        path = "/root/reference/tests/data/giab/HG002_child.bam"
+        path = os.path.join(GIAB_DIR, "HG002_child.bam")
         full = BamReader(path)
         idx = IndexedBamReader(path)
         for (c, s, e) in [("chr8", 40003390, 40003391),
@@ -388,7 +390,7 @@ class TestJellyfishWriter:
         on the header's random hash matrix; this writer emits numeric
         key order.)"""
         import os
-        ref_jf = "/root/reference/tests/data/giab/mini_ref.fa.k31.jf"
+        ref_jf = os.path.join(GIAB_DIR, "mini_ref.fa.k31.jf")
         if not os.path.exists(ref_jf):
             import pytest
             pytest.skip("reference .jf unavailable")

@@ -10,7 +10,9 @@ from kmer_denovo_filter_tpu.htsio import native
 from kmer_denovo_filter_tpu.htsio.bam import BamReader
 from tests.helpers import create_bam
 
-GIAB_BAM = "/root/reference/tests/data/giab/HG002_child.bam"
+from tests.conftest import GIAB_DIR
+
+GIAB_BAM = os.path.join(GIAB_DIR, "HG002_child.bam")
 
 needs_native = pytest.mark.skipif(
     not native._load(), reason="native toolchain unavailable")

@@ -12,10 +12,13 @@ from kmer_denovo_filter_tpu.report import (
     generate_report,
 )
 
-REF_SUMMARY = "/root/reference/tests/example_output/summary.txt"
-REF_METRICS = "/root/reference/tests/example_output/metrics.json"
-REF_DISC_METRICS = ("/root/reference/tests/example_output_discovery/"
-                    "giab_discovery.metrics.json")
+from tests.conftest import (REF_EXAMPLE_OUTPUT_DIR,
+                            REF_EXAMPLE_OUTPUT_DISCOVERY_DIR)
+
+REF_SUMMARY = os.path.join(REF_EXAMPLE_OUTPUT_DIR, "summary.txt")
+REF_METRICS = os.path.join(REF_EXAMPLE_OUTPUT_DIR, "metrics.json")
+REF_DISC_METRICS = os.path.join(
+    REF_EXAMPLE_OUTPUT_DISCOVERY_DIR, "giab_discovery.metrics.json")
 
 
 def _v(dka=0, dka_dkt=0.0, max_pkc_alt=0, dka_nhf=None, **kw):
