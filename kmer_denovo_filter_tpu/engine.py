@@ -20,6 +20,7 @@ multiple of 32) so XLA compiles a small number of kernels.
 """
 
 import logging
+import os
 
 import numpy as np
 import jax
@@ -29,6 +30,14 @@ from kmer_denovo_filter_tpu.ops import device as dev
 from kmer_denovo_filter_tpu.ops import encode as enc
 
 logger = logging.getLogger(__name__)
+
+
+def _use_pallas_join():
+    """The Pallas tile-join runs on real TPU Mosaic only (the
+    interpreter covers it in tests); ``KDF_NO_PALLAS=1`` disables."""
+    if os.environ.get("KDF_NO_PALLAS") == "1":
+        return False
+    return jax.default_backend() == "tpu"
 
 _SENTINEL32 = np.uint32(0xFFFFFFFF)
 
@@ -111,6 +120,7 @@ class KmerIndex:
         # mid-size tables: hash-partitioned sweep state (built lazily)
         self.mid = (not self.small) and self.m_pad <= _MID_TABLE_M
         self._hash_parts = None
+        self._tile_parts = None
 
     def hash_partitions(self):
         """Lazily build (tblocks, perm, p_bits) for the partitioned sweep."""
@@ -120,6 +130,17 @@ class KmerIndex:
                 np.ascontiguousarray(self.keys_np, np.uint32), p_bits)
             self._hash_parts = (jnp.asarray(blocks), perm, p_bits)
         return self._hash_parts
+
+    def tile_partitions(self):
+        """Lazily build lane-major (t0, t1, perm, p) for the Pallas
+        tile-join (W == 2 only)."""
+        if self._tile_parts is None:
+            from kmer_denovo_filter_tpu.ops import pallas_join as pj
+            t0, t1, perm, p = pj.build_tile_partitions(
+                np.ascontiguousarray(self.keys_np, np.uint32))
+            self._tile_parts = (jnp.asarray(t0), jnp.asarray(t1),
+                                perm, p)
+        return self._tile_parts
 
     def save(self, path):
         """Snapshot the table to ``.npz`` (keys [, counts], k) — the
@@ -250,11 +271,38 @@ class FilteredCounter:
 
     def __init__(self, index):
         self.index = index
-        if index.mid and not index.small:
+        self.pallas = (not index.small and index.w == 2
+                       and _use_pallas_join())
+        self.w_part = None
+        if self.pallas:
+            t0, _t1, _perm, _p = index.tile_partitions()
+            from kmer_denovo_filter_tpu.ops import pallas_join as pj
+            self.acc = jnp.zeros(t0.shape, dtype=jnp.int32)
+            self.w_part = pj.W_PART
+        elif index.mid and not index.small:
             tblocks, _perm, _p_bits = index.hash_partitions()
             self.acc = jnp.zeros(tblocks.shape[:2], dtype=jnp.int32)
         else:
             self.acc = jnp.zeros(index.m_pad, dtype=jnp.int32)
+
+    def _feed_pallas(self, codes_j, lens_j):
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        idx = self.index
+        t0, t1, _perm, p = idx.tile_partitions()
+        # self.acc stays valid across a failed attempt: the kernel's
+        # io-alias gets a fresh XLA copy because the caller still
+        # holds the input buffer, so retrying from self.acc is exact.
+        acc, overflow = pj.join_tally_step(
+            t0, t1, self.acc, codes_j, lens_j, idx.k, p, self.w_part)
+        while bool(overflow):
+            self.w_part = min(self.w_part * 2, pj.MAX_W_PART)
+            acc, overflow = pj.join_tally_step(
+                t0, t1, self.acc, codes_j, lens_j, idx.k, p,
+                self.w_part)
+            if bool(overflow) and self.w_part >= pj.MAX_W_PART:
+                raise RuntimeError(
+                    "tile-join window overflow at maximum w_part")
+        self.acc = acc
 
     def feed(self, codes, lengths):
         codes_p, lens_p = pad_read_batch(codes, lengths)
@@ -268,6 +316,9 @@ class FilteredCounter:
             self.acc = dev.small_tally_step(
                 idx.table, self.acc, codes_j, lens_j, idx.k, idx.w,
                 idx.small_chunk)
+            return
+        if self.pallas:
+            self._feed_pallas(codes_j, lens_j)
             return
         if idx.mid:
             tblocks, _perm, p_bits = idx.hash_partitions()
@@ -298,6 +349,13 @@ class FilteredCounter:
     def result(self):
         """int64 counts aligned with the index's sorted keys."""
         idx = self.index
+        if self.pallas:
+            _t0, _t1, perm, _p = idx.tile_partitions()
+            acc = np.asarray(self.acc)[:perm.shape[0]]
+            out = np.zeros(idx.n, dtype=np.int64)
+            valid = perm >= 0
+            out[perm[valid]] = acc[valid]
+            return out
         if idx.mid and not idx.small:
             _tblocks, perm, _p_bits = idx.hash_partitions()
             acc = np.asarray(self.acc)
@@ -329,6 +387,21 @@ def scan_reads_for_hits(index, codes, lengths):
             index.table, codes_j, lens_j, index.k, index.w,
             index.small_chunk))
         return found[:codes.shape[0], :codes.shape[1] - index.k + 1]
+    if index.w == 2 and _use_pallas_join():
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        t0, t1, _perm, p = index.tile_partitions()
+        w_part = pj.W_PART
+        found, overflow = pj.join_member_step(
+            t0, t1, codes_j, lens_j, index.k, p, w_part)
+        while bool(overflow) and w_part < pj.MAX_W_PART:
+            w_part = min(w_part * 2, pj.MAX_W_PART)
+            found, overflow = pj.join_member_step(
+                t0, t1, codes_j, lens_j, index.k, p, w_part)
+        if not bool(overflow):
+            found = np.asarray(found)
+            return found[:codes.shape[0],
+                         :codes.shape[1] - index.k + 1]
+        # fall through to the XLA paths at maximum window
     if index.mid:
         tblocks, _perm, p_bits = index.hash_partitions()
         cap_q = 1 << max(4, (2 * n_windows >> p_bits).bit_length())

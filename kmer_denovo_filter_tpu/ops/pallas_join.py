@@ -5,34 +5,32 @@ kmer_utils.py:124–245) at large table sizes.
 Round-1 measurement (PERF.md) showed every XLA mid/large-table path is
 dominated by one pathological op: materialising hash-routed query
 blocks — a 4M-row scatter (~425 ms/batch) or its dynamic-slice
-equivalent (~3 µs per slice).  The sort itself is cheap (17.5 ms for
-4.3M windows) and VPU broadcast-equality runs at ~550 G pairs/s.  This
-module keeps the sort in XLA and replaces block-building AND compare
-with one Pallas kernel exploiting the alignment between the sorted
-sides:
+equivalent (~3 µs per slice).  The sort itself is cheap (~18 ms for
+4.3M windows) and VPU broadcast-equality runs at ~550 G pairs/s when
+no operand needs an in-loop relayout.  This module keeps the sort in
+XLA and replaces block-building AND compare with one Pallas kernel
+built around two layout decisions:
 
-* The table is hash-partitioned at build time into **(8, 128) tiles**:
-  plane ``t0``/``t1`` row range [8p, 8p+8) holds partition *p*'s key
-  words (≤1024 keys, sentinel padded).  Making the partition the
-  hardware tile means every DMA and in-VMEM offset is a multiple of 8
-  rows — the Mosaic HBM-slice divisibility constraint holds by
-  construction.
-* Each batch's window keys are sorted by (partition, key) in XLA, so
-  any 4096-row chunk touches a short contiguous partition range.  The
-  kernel DMAs that whole table window (and the matching tally window)
-  into VMEM **once per chunk** — 4 DMAs total, ~100 ns each when
-  batched — then walks the chunk's 32 sublane sub-chunks, comparing
-  each sub-chunk's 128 queries against its partitions' tiles with
-  3-D broadcast equality, looping partitions with a *dynamic-trip*
-  ``fori_loop`` bounded by the sub-chunk's actual partition span (so
-  degenerate batches cost time, never correctness, and there is no
-  per-sub-chunk overflow case).
-* ``--if`` tallies accumulate into the VMEM tally window and RMW back
-  to HBM; the anchoring scan emits per-row membership flags instead.
+* **Lane-major partition tiles.**  The table is hash-partitioned at
+  build time into planes of shape (P_pad, 1024): row *p* holds
+  partition *p*'s ≤1024 key words along lanes (sentinel padded).  A
+  partition is then a single dynamically-indexable row, and the whole
+  window of partitions a chunk needs is two sequential row-slab DMAs.
+* **Sublane-major queries.**  Each batch's window keys are sorted by
+  (partition, key) in XLA, so a 4096-row chunk touches a short
+  contiguous partition range and each 128-query sub-chunk spans ~1–3
+  partitions.  The kernel transposes a sub-chunk's queries to (128, 1)
+  once, then loops its *actual* partition span with a dynamic-trip
+  ``fori_loop``; the compare ``(128,1) == (1,1024)`` broadcasts with
+  no relayout anywhere in the loop.
 
-The only static capacity is the per-chunk partition window ``w_part``;
-chunks whose span exceeds it raise an overflow flag computed in XLA
-and the engine retries with a doubled window (a cached recompile).
+``--if`` tallies accumulate into a VMEM window slab and RMW back to
+HBM once per chunk; the anchoring scan emits per-row membership flags
+instead.  The only static capacity is the per-chunk partition window
+``w_part``; chunks spanning more raise an overflow flag computed in
+XLA and the engine retries with a doubled window (cached recompile).
+Degenerate batches (huge spans from near-empty partitions) cost loop
+iterations, never correctness.
 
 Key-width support: W == 2 words (k ≤ 31).  Wider keys fall back to the
 XLA hash-partitioned sweep (ops/device.py).
@@ -53,10 +51,10 @@ SENTINEL = np.uint32(0xFFFFFFFF)
 CHUNK_ROWS = 4096          # query rows per grid step ((32, 128) block)
 SUB_ROWS = 128             # rows per sub-chunk (one sublane)
 NSUB = CHUNK_ROWS // SUB_ROWS
-TILE_KEYS = 1024           # keys per partition tile ((8, 128))
+TILE_KEYS = 1024           # keys per partition row
 MEAN_FILL = 768            # target mean keys/partition at build time
-W_PART = 64                # default partition window per chunk
-MAX_W_PART = 1024          # give up (fall back to XLA path) beyond this
+W_PART = 48                # default partition-window rows per chunk
+MAX_W_PART = 1024          # planes are padded by this many partitions
 
 
 def num_partitions(m):
@@ -76,12 +74,13 @@ def _tile_hash(w0, w1, p):
 
 
 def build_tile_partitions(keys_np, p=None):
-    """Host-side: hash-partition table keys into (8, 128) tiles.
+    """Host-side: hash-partition table keys into lane-major tiles.
 
-    Returns ``(t0, t1, perm, p)``: planes of shape (8·(p + pad), 128)
-    uint32 (sentinel padded; pad = MAX_W_PART partitions so any window
-    DMA stays in bounds) and ``perm`` of shape (p, TILE_KEYS) mapping
-    tile slots back to original table rows (-1 = padding).
+    Returns ``(t0, t1, perm, p)``: planes of shape (p + pad, 1024)
+    uint32 (sentinel padded; pad = 1 sentinel partition + MAX_W_PART
+    so any window DMA stays in bounds) and ``perm`` of shape
+    (p, TILE_KEYS) mapping tile slots back to original table rows
+    (-1 = padding).
     """
     m, w = keys_np.shape
     if w != 2:
@@ -93,21 +92,20 @@ def build_tile_partitions(keys_np, p=None):
     part = tile_hash_np(w0, w1, p)
     counts = np.bincount(part, minlength=p)
     if int(counts.max()) > TILE_KEYS:
-        # extremely skewed hash (shouldn't happen for unique keys) —
-        # grow the partition count until every tile fits
+        # extremely skewed hash (unique keys make this vanishingly
+        # rare) — grow the partition count until every tile fits
         return build_tile_partitions(keys_np, p=p * 2)
     rows = p + 1 + MAX_W_PART
-    t0 = np.full((8 * rows, 128), SENTINEL, dtype=np.uint32)
-    t1 = np.full((8 * rows, 128), SENTINEL, dtype=np.uint32)
+    t0 = np.full((rows, TILE_KEYS), SENTINEL, dtype=np.uint32)
+    t1 = np.full((rows, TILE_KEYS), SENTINEL, dtype=np.uint32)
     perm = np.full((p, TILE_KEYS), -1, dtype=np.int64)
     order = np.argsort(part, kind="stable")
     sp = part[order]
     first = np.searchsorted(sp, np.arange(p))
     slot = np.arange(m) - first[sp]
-    flat_idx = sp * TILE_KEYS + slot
-    t0.reshape(-1)[flat_idx] = w0[order]
-    t1.reshape(-1)[flat_idx] = w1[order]
-    perm.reshape(-1)[flat_idx] = order
+    t0[sp, slot] = w0[order]
+    t1[sp, slot] = w1[order]
+    perm[sp, slot] = order
     return t0, t1, perm, p
 
 
@@ -115,9 +113,9 @@ def _route(flat, p, with_idx):
     """XLA routing: hash → sort by (partition, key) → chunk metadata.
 
     Returns (s0, s1, sp) as (n/128, 128) arrays plus per-chunk
-    ``base`` (first partition), per-sub ``sub_start``/``sub_span``,
-    the chunk window requirement ``need`` (max partitions any chunk
-    touches), and the sort permutation when *with_idx*.
+    8-aligned window ``base``, per-sub ``sub_start``/``sub_span``, the
+    window requirement ``need`` (max partitions any chunk touches,
+    alignment margin included), and the sort permutation if asked.
     """
     pad = (-flat.shape[0]) % CHUNK_ROWS
     if pad:
@@ -144,9 +142,9 @@ def _route(flat, p, with_idx):
     sub_span = jnp.where(real[:, 0],
                          mx - sub_start + 1,
                          0).astype(jnp.int32)
-    base = sub_start.reshape(nc, NSUB)[:, 0]
-    last = jnp.maximum(mx.reshape(nc, NSUB).max(axis=1),
-                       base)  # ≥ base even for pure-sentinel chunks
+    first = sub_start.reshape(nc, NSUB)[:, 0]
+    base = (first // 8) * 8  # HBM slab starts must be 8-row aligned
+    last = jnp.maximum(mx.reshape(nc, NSUB).max(axis=1), first)
     need = jnp.max(last - base + 1)
     s0r = s0.reshape(n // 128, 128)
     s1r = s1.reshape(n // 128, 128)
@@ -158,28 +156,27 @@ def _join_kernel(meta_ref, t0_hbm, t1_hbm, s0_ref, s1_ref, sp_ref,
                  acc_in_hbm, acc_out_hbm, t0w, t1w, accw,
                  sem_t0, sem_t1, sem_in, sem_out,
                  *, w_part, member):
-    """One chunk: DMA table/tally windows, join 32 sub-chunks.
+    """One chunk: DMA the partition window, join 32 sub-chunks.
 
     meta_ref layout (scalar prefetch, int32):
-      [c]                  → window base partition of chunk c
+      [c]                  → 8-aligned window base partition of chunk c
       [nc + i]             → sub_start (global sub index i)
       [nc + nc·NSUB + i]   → sub_span
-    When *member*, ``acc_*`` are absent and the per-row flags write to
-    the blocked output instead.
+    When *member*, ``acc_*``/``accw`` are unused and per-row flags
+    write to the blocked (NSUB, 128) output instead.
     """
     c = pl.program_id(0)
     nc = pl.num_programs(0)
-    base = meta_ref[c]
-    row0 = pl.multiple_of(base * 8, 8)
+    base = pl.multiple_of(meta_ref[c], 8)
     d0 = pltpu.make_async_copy(
-        t0_hbm.at[pl.ds(row0, 8 * w_part), :], t0w, sem_t0)
+        t0_hbm.at[pl.ds(base, w_part), :], t0w, sem_t0)
     d1 = pltpu.make_async_copy(
-        t1_hbm.at[pl.ds(row0, 8 * w_part), :], t1w, sem_t1)
+        t1_hbm.at[pl.ds(base, w_part), :], t1w, sem_t1)
     d0.start()
     d1.start()
     if not member:
         din = pltpu.make_async_copy(
-            acc_out_hbm.at[pl.ds(row0, 8 * w_part), :], accw, sem_in)
+            acc_out_hbm.at[pl.ds(base, w_part), :], accw, sem_in)
         din.start()
         din.wait()
     d0.wait()
@@ -188,41 +185,39 @@ def _join_kernel(meta_ref, t0_hbm, t1_hbm, s0_ref, s1_ref, sp_ref,
     for s in range(NSUB):
         st = meta_ref[nc + c * NSUB + s]
         span = meta_ref[nc + nc * NSUB + c * NSUB + s]
-        qs0 = s0_ref[s, :]
-        qs1 = s1_ref[s, :]
-        rel = sp_ref[s, :] - st
+        # sublane-major copies, hoisted out of the partition loop so
+        # the compare below needs no relayout per iteration
+        q0t = s0_ref[s, :].reshape(SUB_ROWS, 1)
+        q1t = s1_ref[s, :].reshape(SUB_ROWS, 1)
+        relt = sp_ref[s, :].reshape(SUB_ROWS, 1) - st
 
         if member:
             def body(t, fnd):
-                off = pl.multiple_of((st - base + t) * 8, 8)
-                tile0 = t0w[pl.ds(off, 8), :]
-                tile1 = t1w[pl.ds(off, 8), :]
-                eq = ((tile0[:, :, None] == qs0[None, None, :])
-                      & (tile1[:, :, None] == qs1[None, None, :]))
-                hit_q = jnp.any(eq, axis=(0, 1)) & (rel == t)
-                return fnd | hit_q.astype(jnp.int32)
+                row = st - base + t
+                eq = ((q0t == t0w[pl.ds(row, 1), :])
+                      & (q1t == t1w[pl.ds(row, 1), :]))
+                hit = (jnp.any(eq, axis=1, keepdims=True)
+                       & (relt == t))
+                return fnd | hit.astype(jnp.int32)
 
             fnd = jax.lax.fori_loop(
-                0, span, body, jnp.zeros((SUB_ROWS,), jnp.int32))
-            acc_out_hbm[s, :] = fnd  # blocked (NSUB,128) output ref
+                0, span, body, jnp.zeros((SUB_ROWS, 1), jnp.int32))
+            acc_out_hbm[s, :] = fnd.reshape(SUB_ROWS)
         else:
             def body(t, _):
-                off = pl.multiple_of((st - base + t) * 8, 8)
-                tile0 = t0w[pl.ds(off, 8), :]
-                tile1 = t1w[pl.ds(off, 8), :]
-                mask = rel == t
-                eq = ((tile0[:, :, None] == qs0[None, None, :])
-                      & (tile1[:, :, None] == qs1[None, None, :])
-                      & mask[None, None, :])
-                accw[pl.ds(off, 8), :] += eq.sum(axis=2,
-                                                 dtype=jnp.int32)
+                row = st - base + t
+                eq = ((q0t == t0w[pl.ds(row, 1), :])
+                      & (q1t == t1w[pl.ds(row, 1), :])
+                      & (relt == t))
+                accw[pl.ds(row, 1), :] += eq.sum(
+                    axis=0, keepdims=True, dtype=jnp.int32)
                 return 0
 
             jax.lax.fori_loop(0, span, body, 0)
 
     if not member:
         dout = pltpu.make_async_copy(
-            accw, acc_out_hbm.at[pl.ds(row0, 8 * w_part), :], sem_out)
+            accw, acc_out_hbm.at[pl.ds(base, w_part), :], sem_out)
         dout.start()
         dout.wait()
 
@@ -238,8 +233,8 @@ def join_tally_step(t0, t1, acc, codes, lengths, k, p, w_part=W_PART,
     """Fused parent-scan step: extract → route → Pallas tile-join tally.
 
     ``acc`` is int32 with the planes' shape; returns (acc', overflow)
-    where overflow means a chunk spanned more than *w_part* partitions
-    (retry with doubled w_part).
+    where overflow means some chunk needs more than *w_part* window
+    rows (retry with doubled w_part).
     """
     keys, _valid = dev.extract_canonical_windows(codes, lengths, k)
     flat = keys.reshape(-1, 2)
@@ -265,9 +260,9 @@ def join_tally_step(t0, t1, acc, codes, lengths, k, p, w_part=W_PART,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((8 * w_part, 128), jnp.uint32),
-            pltpu.VMEM((8 * w_part, 128), jnp.uint32),
-            pltpu.VMEM((8 * w_part, 128), jnp.int32),
+            pltpu.VMEM((w_part, TILE_KEYS), jnp.uint32),
+            pltpu.VMEM((w_part, TILE_KEYS), jnp.uint32),
+            pltpu.VMEM((w_part, TILE_KEYS), jnp.int32),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
@@ -325,8 +320,8 @@ def join_member_step(t0, t1, codes, lengths, k, p, w_part=W_PART,
         out_specs=pl.BlockSpec((NSUB, 128), lambda c, m: (c, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((8 * w_part, 128), jnp.uint32),
-            pltpu.VMEM((8 * w_part, 128), jnp.uint32),
+            pltpu.VMEM((w_part, TILE_KEYS), jnp.uint32),
+            pltpu.VMEM((w_part, TILE_KEYS), jnp.uint32),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
     )

@@ -1,0 +1,159 @@
+"""Pallas tile-join: bit-exact parity vs the host oracle (interpreter).
+
+The Mosaic-compiled path is exercised on real TPU hardware by
+bench.py and the pipelines; here the same kernels run under the
+Pallas interpreter on the CPU test mesh and must match the pure
+Python/numpy oracle exactly.
+"""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from kmer_denovo_filter_tpu import engine as eng
+from kmer_denovo_filter_tpu.ops import device as dev
+from kmer_denovo_filter_tpu.ops import pallas_join as pj
+
+
+def _reads(n, length, k, with_n=True, seed=0):
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=(n, length), dtype=np.uint8)
+    if with_n:
+        codes[rng.random((n, length)) < 0.02] = 4
+    lengths = rng.integers(k, length + 1, size=n).astype(np.int32)
+    return codes, lengths
+
+
+def _window_keys64(codes, lengths, k):
+    """Oracle canonical window keys via the validated device op."""
+    codes_p, lens_p = eng.pad_read_batch(codes, lengths)
+    keys, valid = dev.extract_canonical_windows(
+        jnp.asarray(codes_p), jnp.asarray(lens_p), k)
+    keys = np.asarray(keys)
+    valid = np.asarray(valid)
+    k64 = (keys[:, :, 0].astype(np.uint64) << 32) | keys[:, :, 1]
+    return codes_p, lens_p, k64, valid
+
+
+def _table_from_reads(k, seed):
+    codes, lengths = _reads(80, 64, k, with_n=False, seed=seed)
+    _cp, _lp, k64, valid = _window_keys64(codes, lengths, k)
+    return np.unique(k64[valid])
+
+
+def _split_words(k64):
+    return np.stack([(k64 >> np.uint64(32)).astype(np.uint32),
+                     k64.astype(np.uint32)], axis=1)
+
+
+@pytest.mark.parametrize("k", [17, 31])
+def test_join_tally_matches_oracle(k):
+    table64 = _table_from_reads(k, seed=3)
+    table = _split_words(table64)
+    t0, t1, perm, p = pj.build_tile_partitions(table)
+
+    codes, lengths = _reads(96, 64, k, seed=4)
+    # splice some table-origin reads in so real hits exist
+    tc, tl = _reads(80, 64, k, with_n=False, seed=3)
+    codes[:40] = tc[:40]
+    lengths[:40] = tl[:40]
+    codes_p, lens_p, k64, valid = _window_keys64(codes, lengths, k)
+
+    acc0 = jnp.zeros(t0.shape, jnp.int32)
+    acc, ovf = pj.join_tally_step(
+        jnp.asarray(t0), jnp.asarray(t1), acc0,
+        jnp.asarray(codes_p), jnp.asarray(lens_p), k, p,
+        interpret=True)
+    assert not bool(ovf)
+
+    counts = Counter(k64[valid].tolist())
+    expected = np.array([counts.get(int(v), 0) for v in table64],
+                        dtype=np.int64)
+    got = np.zeros(table.shape[0], dtype=np.int64)
+    cells = np.asarray(acc)[:perm.shape[0]]
+    ok = perm >= 0
+    got[perm[ok]] = cells[ok]
+    assert (expected > 0).sum() > 0  # the test has real overlap
+    assert np.array_equal(got, expected)
+
+
+@pytest.mark.parametrize("k", [31])
+def test_join_member_matches_oracle(k):
+    table64 = _table_from_reads(k, seed=5)
+    table = _split_words(table64)
+    t0, t1, _perm, p = pj.build_tile_partitions(table)
+
+    codes, lengths = _reads(64, 64, k, seed=6)
+    tc, tl = _reads(80, 64, k, with_n=False, seed=5)
+    codes[:20] = tc[:20]
+    lengths[:20] = tl[:20]
+    codes_p, lens_p, k64, valid = _window_keys64(codes, lengths, k)
+
+    found, ovf = pj.join_member_step(
+        jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(codes_p),
+        jnp.asarray(lens_p), k, p, interpret=True)
+    assert not bool(ovf)
+    found = np.asarray(found)
+
+    tset = set(table64.tolist())
+    expected = np.zeros_like(found)
+    bb, ss = valid.shape
+    for b in range(bb):
+        for s in range(ss):
+            if valid[b, s]:
+                expected[b, s] = int(k64[b, s]) in tset
+    assert expected.any()
+    assert np.array_equal(found, expected)
+
+
+def test_join_overflow_flag_on_tiny_window():
+    """A 1-partition window cannot cover a many-partition batch."""
+    k = 31
+    table64 = _table_from_reads(k, seed=7)
+    table = _split_words(table64)
+    # force many partitions so chunks span > w_part
+    t0, t1, _perm, p = pj.build_tile_partitions(table, p=4096)
+    codes, lengths = _reads(64, 64, k, seed=8)
+    codes_p, lens_p, _k64, _valid = _window_keys64(codes, lengths, k)
+    acc0 = jnp.zeros(t0.shape, jnp.int32)
+    _acc, ovf = pj.join_tally_step(
+        jnp.asarray(t0), jnp.asarray(t1), acc0,
+        jnp.asarray(codes_p), jnp.asarray(lens_p), k, p,
+        w_part=16, interpret=True)
+    assert bool(ovf)
+
+
+def test_homopolymer_batch_single_partition():
+    """All-identical k-mers land in one partition; spans stay tiny and
+    the tally equals the total valid window count."""
+    k = 17
+    codes = np.zeros((8, 64), dtype=np.uint8)  # poly-A
+    lengths = np.full(8, 64, dtype=np.int32)
+    codes_p, lens_p, k64, valid = _window_keys64(codes, lengths, k)
+    key = np.unique(k64[valid])
+    assert key.shape[0] == 1
+    table = _split_words(key)
+    t0, t1, perm, p = pj.build_tile_partitions(table)
+    acc0 = jnp.zeros(t0.shape, jnp.int32)
+    acc, ovf = pj.join_tally_step(
+        jnp.asarray(t0), jnp.asarray(t1), acc0,
+        jnp.asarray(codes_p), jnp.asarray(lens_p), k, p,
+        interpret=True)
+    assert not bool(ovf)
+    cells = np.asarray(acc)[:perm.shape[0]]
+    assert cells[perm >= 0].sum() == int(valid.sum())
+
+
+def test_build_tile_partitions_grows_on_hot_tile():
+    """>1024 identical-hash keys force a partition-count doubling."""
+    rng = np.random.default_rng(0)
+    k64 = np.unique(rng.integers(0, 2**62, size=3000,
+                                 dtype=np.uint64))
+    table = _split_words(k64)
+    t0, t1, perm, p = pj.build_tile_partitions(table, p=1)
+    # p=1 puts all 3000 keys in one tile (>1024) → doubled until fit
+    assert p >= 4
+    assert (perm >= 0).sum() == table.shape[0]
