@@ -1,29 +1,31 @@
 #!/usr/bin/env python3
 """Headline benchmark: parent-scan filtered k-mer counting throughput.
 
-Measures the hot device step of the flagship ``kmer-denovo`` VCF-mode
-pipeline on one TPU chip: canonical 31-mer window extraction over
-packed read batches + filtered tally against the child candidate
-k-mer table (BASELINE.json configs[0]).  Child candidate tables are
-small by construction (1,484 k-mers in the GIAB example; thousands of
-candidate sites give tens of thousands), which selects the engine's
-gather-free all-pairs VPU sweep (ops/device.py:small_tally_step).
-PERF.md records the WGS-discovery-scale path (16M-key table, bucketed
-binary-search probe) and the measurement-methodology caveats of the
-axon relay.
+Measures three tiers of the flagship parent-scan path (the reference's
+``samtools fasta | jellyfish count -C --if`` pipe, reference
+core/jellyfish_wrappers.py:115–283, ~1.0 M reads/s for 150 bp reads on
+a 16-core host) and prints ONE JSON line whose headline is the
+VCF-mode device step, with the other tiers under ``details``:
+
+* ``parent_scan_reads_per_s`` (headline) — canonical 31-mer window
+  extraction + filtered tally against a VCF-mode-scale child candidate
+  table (4,096 keys → the gather-free all-pairs VPU sweep,
+  ops/device.py:small_tally_step).  Batches pre-staged on device; the
+  production input pipeline overlaps host decode with device steps.
+* ``wgs_scale_reads_per_s`` — the same step against a 16.8M-key table
+  (WGS discovery Module 2 scale) via the Pallas tile-join
+  (ops/pallas_join.py): sort-route in XLA + lane-major partition-tile
+  join kernel.
+* ``end_to_end_reads_per_s`` — host BGZF/BAM decode (htsio kdf_native)
+  → 4-bit pack → device transfer → unpack + tally, on a synthetic
+  BGZF BAM.  NOTE: on this relay-attached chip host↔device moves at
+  ~35 MB/s (vs ≥16 GB/s PCIe on a real v5e host), so this tier is
+  transfer-bound here and NOT representative of production hosts;
+  it exists to prove the full path and catch regressions in it.
 
 Reads are sampled position-locally from a synthetic genome at ~40×
 coverage with 0.3% error — the locality profile of a coordinate-sorted
-WGS BAM.  Batches are pre-staged on device (the production input
-pipeline overlaps host BAM decode with device steps; the relay's
-~40 MB/s host↔device path would otherwise dominate and is not
-representative of real PCIe hosts).
-
-Baseline: the reference's parent scan is ``samtools fasta | jellyfish
-count -C --if`` (reference core/jellyfish_wrappers.py:115–283) at
-~1.0 M reads/s for 150 bp reads on a 16-core host (≈150 Mbase/s
-end-to-end including the BAM-decode pipe).  ``vs_baseline`` is
-measured reads/s over that estimate.
+WGS BAM.
 """
 
 import json
@@ -36,7 +38,10 @@ W = 2
 READ_LEN = 152
 BATCH_READS = 32768
 TABLE_M = 4096              # VCF-mode child candidate table scale
+WGS_TABLE_M = 1 << 24       # discovery parent-filter scale
 N_BATCHES = 16
+N_BATCHES_WGS = 6
+N_BATCHES_E2E = 4
 COVERAGE = 40
 GENOME_MB = 4
 BASELINE_READS_PER_S = 1.0e6
@@ -55,46 +60,177 @@ def synth_reads(rng, genome, n_reads, read_len):
     return reads
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from kmer_denovo_filter_tpu.ops import device as dev
-    from kmer_denovo_filter_tpu.ops import encode as enc
-
-    rng = np.random.default_rng(0)
-    genome = rng.integers(0, 4, GENOME_MB << 20, dtype=np.uint8)
-
+def bench_small(jnp, dev, enc, rng, genome):
     t = rng.integers(0, 2 ** 32, (TABLE_M, W), dtype=np.uint32)
     t[:, 1] &= 0xFFFFFFFC
     t = t[enc.lexsort_keys(t)]
     table = jnp.asarray(t)
     acc = jnp.zeros(TABLE_M, dtype=jnp.int32)
     chunk = 16384
-
     lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
     batches = [jnp.asarray(synth_reads(rng, genome, BATCH_READS,
                                        READ_LEN))
                for _ in range(N_BATCHES)]
-
     # Warm-up (compile + first run); device→host transfer forces a
     # real sync (block_until_ready does not, through the axon relay).
     acc = dev.small_tally_step(table, acc, batches[0], lengths, K, W,
                                chunk)
     np.asarray(acc[:1])
-
     start = time.perf_counter()
     for b in batches:
         acc = dev.small_tally_step(table, acc, b, lengths, K, W, chunk)
     np.asarray(acc[:1])
     elapsed = time.perf_counter() - start
+    return BATCH_READS * N_BATCHES / elapsed
 
-    reads_per_s = BATCH_READS * N_BATCHES / elapsed
+
+def bench_wgs(jnp, pj, rng, genome):
+    k64 = np.unique(rng.integers(0, 2 ** 62, size=WGS_TABLE_M,
+                                 dtype=np.uint64))
+    keys = np.stack([(k64 >> 32).astype(np.uint32),
+                     k64.astype(np.uint32)], 1)
+    t0, t1, _perm, p = pj.build_tile_partitions(keys)
+    t0j, t1j = jnp.asarray(t0), jnp.asarray(t1)
+    acc = jnp.zeros(t0.shape, jnp.int32)
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+    batches = [jnp.asarray(synth_reads(rng, genome, BATCH_READS,
+                                       READ_LEN))
+               for _ in range(N_BATCHES_WGS)]
+    acc, _ovf = pj.join_tally_step(t0j, t1j, acc, batches[0], lengths,
+                                   K, p)
+    np.asarray(acc[:1, :1])
+    start = time.perf_counter()
+    for b in batches:
+        acc, _ovf = pj.join_tally_step(t0j, t1j, acc, b, lengths, K, p)
+    np.asarray(acc[:1, :1])
+    elapsed = time.perf_counter() - start
+    return BATCH_READS * N_BATCHES_WGS / elapsed
+
+
+def bench_end_to_end(jax, jnp, dev, enc, rng, genome, tmpdir):
+    """Host BAM decode → 4-bit pack → transfer → device tally."""
+    import functools
+    import os
+
+    from kmer_denovo_filter_tpu.htsio import native
+    from kmer_denovo_filter_tpu.htsio.bam import BamWriter, encode_read
+
+    # synthetic coordinate-sorted BAM, N_BATCHES_E2E batches long
+    n_reads = BATCH_READS * N_BATCHES_E2E
+    reads = synth_reads(rng, genome, n_reads, READ_LEN)
+    path = os.path.join(tmpdir, "bench.bam")
+    header = ("@HD\tVN:1.6\tSO:coordinate\n"
+              f"@SQ\tSN:chr1\tLN:{len(genome)}\n")
+    w = BamWriter(path, header, [("chr1", len(genome))])
+    bases = np.array(list("ACGT"), dtype="U1")
+    quals = [40] * READ_LEN
+    cigar = [(0, READ_LEN)]
+    for i in range(n_reads):
+        seq = "".join(bases[reads[i]])
+        raw = encode_read(f"r{i}", 0, 0, 1000 + i, 60, cigar, seq,
+                          quals)
+        w.write_raw(0, 1000 + i, raw)
+    w.close()
+
+    t = rng.integers(0, 2 ** 32, (TABLE_M, W), dtype=np.uint32)
+    t[:, 1] &= 0xFFFFFFFC
+    t = t[enc.lexsort_keys(t)]
+    table = jnp.asarray(t)
+    acc0 = jnp.zeros(TABLE_M, dtype=jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def packed_tally(table, acc, packed, lengths):
+        hi = (packed >> 4).astype(jnp.uint8)
+        lo = (packed & 0xF).astype(jnp.uint8)
+        codes = jnp.stack([hi, lo], axis=-1).reshape(
+            packed.shape[0], -1)[:, :READ_LEN]
+        return dev.small_tally_step(table, acc, codes, lengths, K, W,
+                                    16384)
+
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+
+    def decode_all():
+        raw = native.bgzf_inflate(path)
+        if raw is None:
+            from kmer_denovo_filter_tpu.htsio.bgzf import BgzfReader
+            raw = BgzfReader(path).read()
+        # locate alignment section
+        import struct
+        off = 4
+        l_text = struct.unpack("<i", raw[off:off + 4])[0]
+        off += 4 + l_text
+        n_ref = struct.unpack("<i", raw[off:off + 4])[0]
+        off += 4
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", raw[off:off + 4])[0]
+            off += 4 + l_name + 4
+        scan = native.bam_scan(raw, off)
+        codes_flat, offs = native.bam_codes(raw, scan, 0xD00)
+        return scan, codes_flat, offs
+
+    # warm-up compile
+    scan, codes_flat, offs = decode_all()
+    packed0 = np.zeros((BATCH_READS, (READ_LEN + 1) // 2),
+                       dtype=np.uint8)
+    acc = packed_tally(table, acc0, jnp.asarray(packed0), lengths)
+    np.asarray(acc[:1])
+
+    start = time.perf_counter()
+    scan, codes_flat, offs = decode_all()
+    kept = offs >= 0
+    starts = offs[kept]
+    acc = acc0
+    for bi in range(N_BATCHES_E2E):
+        rows = starts[bi * BATCH_READS:(bi + 1) * BATCH_READS]
+        idx = rows[:, None] + np.arange(READ_LEN)[None, :]
+        codes = codes_flat[idx]
+        packed = ((codes[:, 0::2] << 4)
+                  | codes[:, 1::2]).astype(np.uint8)
+        acc = packed_tally(table, acc, jnp.asarray(packed), lengths)
+    np.asarray(acc[:1])
+    elapsed = time.perf_counter() - start
+    return BATCH_READS * N_BATCHES_E2E / elapsed
+
+
+def main():
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from kmer_denovo_filter_tpu.ops import device as dev
+    from kmer_denovo_filter_tpu.ops import encode as enc
+    from kmer_denovo_filter_tpu.ops import pallas_join as pj
+
+    rng = np.random.default_rng(0)
+    genome = rng.integers(0, 4, GENOME_MB << 20, dtype=np.uint8)
+
+    headline = bench_small(jnp, dev, enc, rng, genome)
+    details = {}
+    try:
+        wgs = bench_wgs(jnp, pj, rng, genome)
+        details["wgs_scale_reads_per_s"] = round(wgs, 1)
+        details["wgs_scale_vs_baseline"] = round(
+            wgs / BASELINE_READS_PER_S, 3)
+    except Exception as e:  # keep the headline alive on any failure
+        details["wgs_scale_error"] = str(e)[:200]
+    try:
+        with tempfile.TemporaryDirectory() as tmpdir:
+            e2e = bench_end_to_end(jax, jnp, dev, enc, rng, genome,
+                                   tmpdir)
+        details["end_to_end_reads_per_s"] = round(e2e, 1)
+        details["end_to_end_note"] = (
+            "transfer-bound through the ~35 MB/s axon relay; "
+            "not representative of PCIe hosts")
+    except Exception as e:
+        details["end_to_end_error"] = str(e)[:200]
+
     print(json.dumps({
         "metric": "parent_scan_reads_per_s",
-        "value": round(reads_per_s, 1),
+        "value": round(headline, 1),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+        "vs_baseline": round(headline / BASELINE_READS_PER_S, 3),
+        "details": details,
     }))
 
 

@@ -388,6 +388,7 @@ def _scan_child_reads(child_source, proband_index, kmer_size,
     """
     (read_hits, reads_seen, read_sv_meta,
      kmer_coverage, read_coverage) = state
+    scanner = eng.make_scanner(proband_index)
     unmapped_informative = 0
     total_scanned = 0
     batch = []
@@ -403,7 +404,7 @@ def _scan_child_reads(child_source, proband_index, kmer_size,
                         dtype=np.uint8)
         for i, c in enumerate(codes_list):
             codes[i, :len(c)] = c
-        found = eng.scan_reads_for_hits(proband_index, codes, lengths)
+        found = scanner(codes, lengths)
         hit_rows = np.nonzero(found.any(axis=1))[0]
         for i in hit_rows:
             read = batch[i]
@@ -1031,6 +1032,7 @@ def _write_informative_reads_discovery(child_source, proband_index,
     log_memory("before informative reads scan")
     writer = BamWriter(output_bam, child_source.header_text,
                        child_source.refs)
+    scanner = eng.make_scanner(proband_index)
     written = set()
     batch = []
 
@@ -1044,7 +1046,7 @@ def _write_informative_reads_discovery(child_source, proband_index,
                         dtype=np.uint8)
         for i, c in enumerate(codes_list):
             codes[i, :len(c)] = c
-        found = eng.scan_reads_for_hits(proband_index, codes, lengths)
+        found = scanner(codes, lengths)
         for i in np.nonzero(found.any(axis=1))[0]:
             read = batch[i]
             dedup_key = (read.query_name, read.is_supplementary)

@@ -426,22 +426,66 @@ def scan_reads_for_hits(index, codes, lengths):
     return found[:codes.shape[0], :codes.shape[1] - index.k + 1]
 
 
+# Tables above this key count auto-shard on multi-device meshes (the
+# per-shard table then amortises the all-to-all; tiny tables are
+# faster replicated on one chip).
+_SHARD_AUTO_N = 1 << 20
+
+
+def _shard_dispatch(index):
+    """True when the sharded engine should serve this index."""
+    mode = os.environ.get("KDF_SHARDED")
+    if mode == "0":
+        return False
+    if len(jax.devices()) < 2:
+        return False
+    return mode == "1" or index.n > _SHARD_AUTO_N
+
+
 def make_filtered_counter(index):
     """Single-chip :class:`FilteredCounter`, or the multi-chip
-    :class:`~kmer_denovo_filter_tpu.parallel.ShardedFilteredCounter`
-    under ``KDF_SHARDED=1`` on a multi-device mesh."""
-    import os
-    if os.environ.get("KDF_SHARDED") == "1":
-        if len(jax.devices()) > 1:
-            from kmer_denovo_filter_tpu.parallel import (
-                ShardedFilteredCounter,
-                make_mesh,
-            )
-            logger.info("  sharded engine: %d-device mesh",
-                        len(jax.devices()))
-            return ShardedFilteredCounter(index.keys_np, index.k,
-                                          make_mesh())
+    :class:`~kmer_denovo_filter_tpu.parallel.ShardedFilteredCounter`.
+
+    Sharding is automatic on multi-device meshes for tables above
+    ``_SHARD_AUTO_N`` keys; ``KDF_SHARDED=1`` forces it for any size
+    and ``KDF_SHARDED=0`` disables it.
+    """
+    if _shard_dispatch(index):
+        from kmer_denovo_filter_tpu.parallel import (
+            ShardedFilteredCounter,
+            make_mesh,
+        )
+        logger.info("  sharded engine: %d-device mesh",
+                    len(jax.devices()))
+        return ShardedFilteredCounter(index.keys_np, index.k,
+                                      make_mesh())
     return FilteredCounter(index)
+
+
+def make_scanner(index):
+    """Anchoring-scan callable for *index*: the single-chip
+    :func:`scan_reads_for_hits` or its sharded analog under the same
+    dispatch rule as :func:`make_filtered_counter` (discovery
+    Module 3 on >1 chip)."""
+    if _shard_dispatch(index):
+        from kmer_denovo_filter_tpu.parallel import (
+            ShardedKmerIndex,
+            make_mesh,
+            sharded_scan_reads_for_hits,
+        )
+        logger.info("  sharded anchoring scan: %d-device mesh",
+                    len(jax.devices()))
+        sharded = ShardedKmerIndex(index.keys_np, index.k, make_mesh())
+
+        def scan(codes, lengths):
+            return sharded_scan_reads_for_hits(sharded, codes, lengths)
+
+        return scan
+
+    def scan(codes, lengths):
+        return scan_reads_for_hits(index, codes, lengths)
+
+    return scan
 
 
 def count_reads(read_batches, k):

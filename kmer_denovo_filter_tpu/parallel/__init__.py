@@ -5,4 +5,5 @@ from kmer_denovo_filter_tpu.parallel.sharded import (  # noqa: F401
     ShardedKmerIndex,
     make_mesh,
     sharded_count,
+    sharded_scan_reads_for_hits,
 )

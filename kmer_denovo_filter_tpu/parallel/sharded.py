@@ -243,27 +243,139 @@ class ShardedFilteredCounter:
     """Multi-chip ``--if`` filtered counter over a sharded table.
 
     The drop-in multi-device analog of ``engine.FilteredCounter``:
-    extraction runs data-parallel, window keys route to their owner
-    shard via all-to-all, and tallies accumulate owner-side.  Enabled
-    in the pipelines with ``KDF_SHARDED=1`` when a multi-device mesh
-    is available.
+    the whole step — window extraction (data-parallel over reads),
+    all-to-all routing of window keys to their hash owner, and the
+    owner-side tally — is ONE ``shard_map`` program per batch; no key
+    ever visits the host.
     """
 
     def __init__(self, keys_np, k, mesh):
         self.index = ShardedKmerIndex(keys_np, k, mesh)
         self.k = k
         self.w = self.index.w
+        self._step_cache = {}
 
-    def feed(self, codes, lengths):
-        from kmer_denovo_filter_tpu.ops import device as dev
+    def _step_fn(self, cap):
+        if cap in self._step_cache:
+            return self._step_cache[cap]
+        idx = self.index
+        k, w, n_shards, m_cap = self.k, self.w, idx.n_shards, idx.m_cap
+        from kmer_denovo_filter_tpu.ops import device as dev_ops
 
-        keys, _valid = dev.extract_canonical_windows(
-            jnp.asarray(codes), jnp.asarray(lengths), self.k)
-        flat = np.asarray(keys).reshape(-1, self.w)
-        self.index.tally_batch(flat)
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=idx.mesh,
+            in_specs=(P(AXIS, None, None), P(AXIS, None),
+                      P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS, None), P(AXIS)),
+            check_vma=False)
+        def step(table_shard, acc_shard, codes_shard, lens_shard):
+            keys, _valid = dev_ops.extract_canonical_windows(
+                codes_shard, lens_shard, k)
+            flat = keys.reshape(-1, w)
+            buckets, _slot, ovf = _bucketize(flat, n_shards, cap, w)
+            routed = jax.lax.all_to_all(
+                buckets, AXIS, split_axis=0, concat_axis=0)
+            q = routed.reshape(n_shards * cap, w)
+            i, found = dev_ops.lookup_sorted(table_shard[0], q, w)
+            i = jnp.clip(i, 0, m_cap - 1)
+            acc = acc_shard.at[0, i].add(found.astype(jnp.int32))
+            return acc, ovf[None]
+
+        self._step_cache[cap] = step
+        return step
+
+    def _shard_reads(self, codes, lengths):
+        idx = self.index
+        b = codes.shape[0]
+        per = -(-b // idx.n_shards)
+        pad_b = per * idx.n_shards
+        codes_p = np.full((pad_b, codes.shape[1]), 4, dtype=np.uint8)
+        codes_p[:b] = codes
+        lens_p = np.zeros(pad_b, dtype=np.int32)
+        lens_p[:b] = lengths
+        codes_d = jax.device_put(
+            jnp.asarray(codes_p), NamedSharding(idx.mesh, P(AXIS, None)))
+        lens_d = jax.device_put(
+            jnp.asarray(lens_p), NamedSharding(idx.mesh, P(AXIS)))
+        s = codes.shape[1] - self.k + 1
+        return codes_d, lens_d, per, s
+
+    def feed(self, codes, lengths, slack=4.0):
+        idx = self.index
+        codes_d, lens_d, per, s = self._shard_reads(codes, lengths)
+        cap = max(16, int(per * s / idx.n_shards * slack))
+        acc, overflow = self._step_fn(cap)(
+            idx.table, idx._tally, codes_d, lens_d)
+        while bool(np.asarray(overflow).any()):
+            cap *= 2
+            acc, overflow = self._step_fn(cap)(
+                idx.table, idx._tally, codes_d, lens_d)
+        idx._tally = acc
 
     def result(self):
         return self.index.tally_result()
+
+
+def sharded_scan_reads_for_hits(counter_or_index, codes, lengths,
+                                slack=4.0):
+    """Multi-chip window hit mask (``engine.scan_reads_for_hits``
+    analog): reads data-parallel, keys routed to owner shards, and
+    verdicts routed back — one shard_map program per batch.
+
+    Returns (B, S) bool numpy, identical to the single-device scan.
+    """
+    index = getattr(counter_or_index, "index", counter_or_index)
+    from kmer_denovo_filter_tpu.ops import device as dev_ops
+
+    k, w, n_shards, mesh = index.k, index.w, index.n_shards, index.mesh
+    b, length = codes.shape
+    s = length - k + 1
+    per = -(-b // n_shards)
+    pad_b = per * n_shards
+    codes_p = np.full((pad_b, length), 4, dtype=np.uint8)
+    codes_p[:b] = codes
+    lens_p = np.zeros(pad_b, dtype=np.int32)
+    lens_p[:b] = lengths
+    codes_d = jax.device_put(
+        jnp.asarray(codes_p), NamedSharding(mesh, P(AXIS, None)))
+    lens_d = jax.device_put(
+        jnp.asarray(lens_p), NamedSharding(mesh, P(AXIS)))
+    cap = max(16, int(per * s / n_shards * slack))
+
+    def make(cap):
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS, None), P(AXIS)),
+            check_vma=False)
+        def scan(table_shard, codes_shard, lens_shard):
+            keys, valid = dev_ops.extract_canonical_windows(
+                codes_shard, lens_shard, k)
+            flat = keys.reshape(-1, w)
+            buckets, slot_of_key, ovf = _bucketize(
+                flat, n_shards, cap, w)
+            routed = jax.lax.all_to_all(
+                buckets, AXIS, split_axis=0, concat_axis=0)
+            q = routed.reshape(n_shards * cap, w)
+            _i, found = dev_ops.lookup_sorted(table_shard[0], q, w)
+            back = jax.lax.all_to_all(
+                found.reshape(n_shards, cap), AXIS,
+                split_axis=0, concat_axis=0)
+            fl = back.reshape(n_shards * cap)
+            ic = jnp.clip(slot_of_key, 0, n_shards * cap - 1)
+            hit = jnp.where(slot_of_key >= 0, fl[ic], False)
+            return (hit.reshape(codes_shard.shape[0], s) & valid,
+                    ovf[None])
+
+        return scan
+
+    found, overflow = make(cap)(index.table, codes_d, lens_d)
+    while bool(np.asarray(overflow).any()):
+        cap *= 2
+        found, overflow = make(cap)(index.table, codes_d, lens_d)
+    return np.asarray(found)[:b]
 
 
 def sharded_count(codes, lengths, k, mesh, cap_per_shard=None):

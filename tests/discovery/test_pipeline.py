@@ -337,3 +337,27 @@ def test_ref_cache_staleness_rebuild(tmp_path, caplog):
     # refreshed cache is reused on the next call
     idx3 = ensure_ref_index(ref, K)
     assert np.array_equal(idx3.keys_np, idx2.keys_np)
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 2,
+    reason="needs a multi-device mesh")
+def test_discovery_sharded_module3_byte_identical(disco, tmp_path,
+                                                  monkeypatch):
+    """Full discovery with KDF_SHARDED=1 (anchoring scan + parent
+    filters on the virtual mesh) produces byte-identical outputs."""
+    monkeypatch.setenv("KDF_SHARDED", "0")
+    base = _run(disco, tmp_path / "single")
+    monkeypatch.setenv("KDF_SHARDED", "1")
+    shard = _run(disco, tmp_path / "mesh")
+    for suffix in (".bed", ".kmer_coverage.bedgraph",
+                   ".read_coverage.bed", ".sv.bedpe"):
+        a = open(base + suffix, "rb").read()
+        b = open(shard + suffix, "rb").read()
+        assert a == b, f"{suffix} differs under sharding"
+    ja = json.load(open(base + ".metrics.json"))
+    jb = json.load(open(shard + ".metrics.json"))
+    for key in ("candidate_regions", "proband_unique_kmers",
+                "informative_reads"):
+        assert ja[key] == jb[key]
+    assert ja["candidate_regions"] >= 1

@@ -181,3 +181,78 @@ def test_sharded_count_homopolymer_overflow_retry():
     got = {enc.keys_to_kmers(keys[i:i + 1], k)[0]: int(counts[i])
            for i in range(keys.shape[0])}
     assert got == dict(expected)
+
+
+@needs_mesh
+def test_sharded_filtered_counter_device_feed_parity():
+    """Device-side sharded feed (no host round-trip of window keys)
+    must match the single-device FilteredCounter exactly."""
+    from kmer_denovo_filter_tpu import engine as eng
+    from kmer_denovo_filter_tpu.parallel import ShardedFilteredCounter
+
+    k = 31
+    table_reads = random_reads(40, 64, with_n=False, seed=11)
+    kmers = sorted({km for s in table_reads
+                    for km in oracle_counts([s], k)})
+    keys = enc.kmers_to_keys(kmers, k)
+    index = eng.KmerIndex(keys, k)
+
+    reads = random_reads(60, 64, seed=12) + table_reads[:10]
+    codes, lengths = pack_reads(reads)
+
+    single = eng.FilteredCounter(index)
+    single.feed(codes, lengths)
+    expected = single.result()
+
+    sharded = ShardedFilteredCounter(keys, k, make_mesh())
+    sharded.feed(codes, lengths)
+    got = sharded.result()
+    assert np.array_equal(got, expected)
+    assert expected.sum() > 0
+
+
+@needs_mesh
+def test_sharded_scan_reads_for_hits_parity():
+    from kmer_denovo_filter_tpu import engine as eng
+    from kmer_denovo_filter_tpu.parallel import (
+        ShardedKmerIndex,
+        sharded_scan_reads_for_hits,
+    )
+
+    k = 31
+    table_reads = random_reads(40, 64, with_n=False, seed=13)
+    kmers = sorted({km for s in table_reads
+                    for km in oracle_counts([s], k)})
+    keys = enc.kmers_to_keys(kmers, k)
+    index = eng.KmerIndex(keys, k)
+
+    reads = random_reads(50, 64, seed=14) + table_reads[:8]
+    codes, lengths = pack_reads(reads)
+
+    expected = eng.scan_reads_for_hits(index, codes, lengths)
+    sharded = ShardedKmerIndex(keys, k, make_mesh())
+    got = sharded_scan_reads_for_hits(sharded, codes, lengths)
+    assert got.shape == expected.shape
+    assert np.array_equal(got, expected)
+    assert expected.any()
+
+
+@needs_mesh
+def test_make_scanner_sharded_dispatch(monkeypatch):
+    """KDF_SHARDED=1 routes the anchoring scan through the mesh with
+    identical results; KDF_SHARDED=0 never shards."""
+    from kmer_denovo_filter_tpu import engine as eng
+
+    k = 31
+    table_reads = random_reads(30, 64, with_n=False, seed=15)
+    kmers = sorted({km for s in table_reads
+                    for km in oracle_counts([s], k)})
+    index = eng.KmerIndex(enc.kmers_to_keys(kmers, k), k)
+    reads = random_reads(20, 64, seed=16) + table_reads[:5]
+    codes, lengths = pack_reads(reads)
+
+    monkeypatch.setenv("KDF_SHARDED", "0")
+    base = eng.make_scanner(index)(codes, lengths)
+    monkeypatch.setenv("KDF_SHARDED", "1")
+    sharded = eng.make_scanner(index)(codes, lengths)
+    assert np.array_equal(base, sharded)
