@@ -82,6 +82,39 @@ def _bucketize(keys, n_shards, cap, w):
             jnp.where(valid, flat_idx, -1), overflow)
 
 
+def make_count_program(mesh, n_shards, k, w, cap):
+    """shard_map program: distributed canonical count of a read batch.
+
+    Shared by the single-host :func:`sharded_count` and the
+    multi-host :func:`~kmer_denovo_filter_tpu.parallel.multihost.
+    sharded_count_multihost` — one definition, both deployments.
+    """
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS)),
+        out_specs=(P(AXIS, None, None), P(AXIS, None),
+                   P(AXIS, None), P(AXIS)),
+        check_vma=False)
+    def count(codes_shard, lens_shard):
+        keys, _valid = dev.extract_canonical_windows(
+            codes_shard, lens_shard, k)
+        flat = keys.reshape(-1, w)
+        buckets, _slot, ovf = _bucketize(flat, n_shards, cap, w)
+        routed = jax.lax.all_to_all(
+            buckets, AXIS, split_axis=0, concat_axis=0)
+        q = routed.reshape(n_shards * cap, w)
+        skeys, starts, counts = dev.sort_count(q, w)
+        sent = jnp.ones(q.shape[0], dtype=bool)
+        for j in range(w):
+            sent = sent & (skeys[:, j] == jnp.uint32(0xFFFFFFFF))
+        starts = starts & ~sent
+        return (skeys[None], starts[None], counts[None], ovf[None])
+
+    return count
+
+
 class ShardedKmerIndex:
     """A canonical k-mer table sharded across a device mesh."""
 
@@ -398,31 +431,6 @@ def sharded_count(codes, lengths, k, mesh, cap_per_shard=None):
     if cap_per_shard is None:
         cap_per_shard = max(16, int(per_shard * s / n_shards * 4))
 
-    def make_count(cap):
-        @jax.jit
-        @functools.partial(
-            shard_map, mesh=mesh,
-            in_specs=(P(AXIS, None), P(AXIS)),
-            out_specs=(P(AXIS, None, None), P(AXIS, None),
-                       P(AXIS, None), P(AXIS)),
-            check_vma=False)
-        def count(codes_shard, lens_shard):
-            keys, _valid = dev.extract_canonical_windows(
-                codes_shard, lens_shard, k)
-            flat = keys.reshape(-1, w)
-            buckets, _slot, ovf = _bucketize(flat, n_shards, cap, w)
-            routed = jax.lax.all_to_all(
-                buckets, AXIS, split_axis=0, concat_axis=0)
-            q = routed.reshape(n_shards * cap, w)
-            skeys, starts, counts = dev.sort_count(q, w)
-            sent = jnp.ones(q.shape[0], dtype=bool)
-            for j in range(w):
-                sent = sent & (skeys[:, j] == jnp.uint32(0xFFFFFFFF))
-            starts = starts & ~sent
-            return (skeys[None], starts[None], counts[None], ovf[None])
-
-        return count
-
     sharding = NamedSharding(mesh, P(AXIS, None))
     codes_dev = jax.device_put(jnp.asarray(codes_p), sharding)
     lens_dev = jax.device_put(jnp.asarray(lens_p),
@@ -431,8 +439,8 @@ def sharded_count(codes, lengths, k, mesh, cap_per_shard=None):
     # owner shard — detect route-bucket overflow and retry with doubled
     # capacity rather than silently undercount
     while True:
-        skeys, starts, counts, overflow = make_count(cap_per_shard)(
-            codes_dev, lens_dev)
+        skeys, starts, counts, overflow = make_count_program(
+            mesh, n_shards, k, w, cap_per_shard)(codes_dev, lens_dev)
         if not bool(np.asarray(overflow).any()):
             break
         cap_per_shard *= 2

@@ -1,0 +1,110 @@
+"""2-process CPU multi-host harness: sharded_count across processes.
+
+Spawns two worker processes that join a jax.distributed runtime
+(Gloo collectives over localhost), each feeding HALF the reads from
+its own process — the per-host BAM-shard input model — and asserts
+the merged distributed count is identical on both hosts and equal to
+the single-process oracle (SURVEY.md §4 "multi-host tests on a
+simulated mesh"; BASELINE.md 2-host target).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import os, sys
+import numpy as np
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+outdir = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+# join the runtime BEFORE any jax call initialises the backend
+# (importing the package creates device constants)
+os.environ["KDF_COORDINATOR"] = f"localhost:{port}"
+os.environ["KDF_NUM_PROCESSES"] = str(nproc)
+os.environ["KDF_PROCESS_ID"] = str(pid)
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=nproc, process_id=pid)
+
+from kmer_denovo_filter_tpu.parallel import multihost
+
+assert multihost.initialize()   # idempotent no-op once joined
+assert jax.device_count() == 2 * nproc
+
+K = 31
+rng = np.random.default_rng(7)           # same stream on both procs
+codes_all = rng.integers(0, 4, size=(16, 64), dtype=np.uint8)
+codes_all[rng.random(codes_all.shape) < 0.02] = 4
+lengths_all = rng.integers(K, 65, size=16).astype(np.int32)
+
+half = 8
+codes = codes_all[pid * half:(pid + 1) * half]
+lengths = lengths_all[pid * half:(pid + 1) * half]
+
+keys, counts = multihost.sharded_count_multihost(codes, lengths, K)
+np.savez(os.path.join(outdir, f"result_{pid}.npz"),
+         keys=keys, counts=counts)
+print(f"[{pid}] distinct={keys.shape[0]} total={counts.sum()}")
+"""
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.skipif(os.environ.get("KDF_SKIP_MULTIHOST") == "1",
+                    reason="multihost harness disabled")
+def test_two_process_sharded_count(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), "2", str(port),
+         str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(2)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+
+    r0 = np.load(tmp_path / "result_0.npz")
+    r1 = np.load(tmp_path / "result_1.npz")
+    # identical merged result on every host
+    assert np.array_equal(r0["keys"], r1["keys"])
+    assert np.array_equal(r0["counts"], r1["counts"])
+
+    # equals the single-process oracle over the full read set
+    from collections import Counter
+
+    from kmer_denovo_filter_tpu.kmer import extract_read_kmers
+    from kmer_denovo_filter_tpu.ops import encode as enc
+
+    K = 31
+    rng = np.random.default_rng(7)
+    codes_all = rng.integers(0, 4, size=(16, 64), dtype=np.uint8)
+    codes_all[rng.random(codes_all.shape) < 0.02] = 4
+    lengths_all = rng.integers(K, 65, size=16).astype(np.int32)
+    bases = np.array(list("ACGTN"))
+    expected = Counter()
+    for row, ln in zip(codes_all, lengths_all):
+        seq = "".join(bases[row[:ln]])
+        per_pos, _ = extract_read_kmers(seq, K)
+        expected.update(per_pos.values())
+    got_kmers = enc.keys_to_kmers(r0["keys"], K)
+    got = dict(zip(got_kmers, r0["counts"].tolist()))
+    assert got == dict(expected)
