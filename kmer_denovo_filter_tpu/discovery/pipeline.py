@@ -36,7 +36,7 @@ from kmer_denovo_filter_tpu.htsio.bam import (
 from kmer_denovo_filter_tpu.htsio.fasta import read_fasta
 from kmer_denovo_filter_tpu.htsio.jellyfish import (
     JellyfishParseError,
-    load_sorted_jf,
+    load_jf,
 )
 from kmer_denovo_filter_tpu.kmer import canonicalize
 from kmer_denovo_filter_tpu.memory_utils import (
@@ -90,7 +90,7 @@ def ensure_ref_index(ref_fasta, kmer_size, ref_jf=None):
             return eng.KmerIndex.from_keys_counts(
                 data["keys"], data["counts"], kmer_size)
         try:
-            keys, counts, k = load_sorted_jf(ref_jf, expect_k=kmer_size)
+            keys, counts, k = load_jf(ref_jf, expect_k=kmer_size)
             order = enc.lexsort_keys(keys)
             logger.info("Reference Jellyfish index loaded: %s (%d k-mers)",
                         ref_jf, keys.shape[0])

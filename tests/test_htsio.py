@@ -416,3 +416,115 @@ class TestJellyfishWriter:
         with pytest.raises(JellyfishParseError):
             write_sorted_jf(str(tmp_path / "big.jf"),
                             np.zeros((1, 3), np.uint32), [1], 33)
+
+
+class TestJellyfishHashFormat:
+    """binary/hash .jf (quotiented matrix-hash) reader/writer."""
+
+    def _table(self, n=300, k=31, seed=0):
+        import numpy as np
+        from kmer_denovo_filter_tpu.ops import encode as enc
+        rng = np.random.default_rng(seed)
+        kmers = sorted({"".join(np.array(list("ACGT"))[
+            rng.integers(0, 4, k)]) for _ in range(n)})
+        keys = enc.kmers_to_keys(kmers, k)
+        counts = rng.integers(1, 1000, keys.shape[0]).astype("int64")
+        return keys, counts
+
+    def test_roundtrip(self, tmp_path):
+        import numpy as np
+        from kmer_denovo_filter_tpu.htsio import jellyfish as jf
+        from kmer_denovo_filter_tpu.ops import encode as enc
+        keys, counts = self._table()
+        path = str(tmp_path / "t.jf")
+        jf.write_hash_jf(path, keys, counts, 31)
+        k2, c2, k = jf.load_hash_jf(path, expect_k=31)
+        assert k == 31
+        order = enc.lexsort_keys(k2)
+        o = enc.lexsort_keys(keys)
+        assert np.array_equal(k2[order], keys[o])
+        assert np.array_equal(c2[order], counts[o])
+
+    def test_format_conformance(self, tmp_path):
+        """Header fields + slot layout match the documented format."""
+        import json
+
+        import numpy as np
+        from kmer_denovo_filter_tpu.htsio import jellyfish as jf
+        keys, counts = self._table(n=20, k=17, seed=1)
+        path = str(tmp_path / "t.jf")
+        jf.write_hash_jf(path, keys, counts, 17)
+        raw = open(path, "rb").read()
+        hlen = int(raw[:9])
+        meta = json.loads(raw[9:9 + hlen])
+        assert meta["format"] == "binary/hash"
+        assert meta["key_len"] == 34
+        assert meta["canonical"] is True
+        assert meta["size"] & (meta["size"] - 1) == 0
+        assert len(meta["matrix1"]["columns"]) == 34
+        assert meta["reprobes"][0] == 0
+        l = meta["size"].bit_length() - 1
+        q_bytes = max(1, (meta["key_len"] - l + 7) // 8)
+        slot_nb = 2 + q_bytes + meta["val_len"]
+        data = raw[9 + hlen:]
+        assert len(data) == meta["size"] * slot_nb
+        occupied = sum(data[s * slot_nb] == 1
+                       for s in range(meta["size"]))
+        assert occupied == keys.shape[0]
+        # every status byte is 0 or 1
+        assert set(data[s * slot_nb] for s in range(meta["size"])) \
+            <= {0, 1}
+
+    def test_load_jf_dispatches_by_format(self, tmp_path):
+        import numpy as np
+        from kmer_denovo_filter_tpu.htsio import jellyfish as jf
+        from kmer_denovo_filter_tpu.ops import encode as enc
+        keys, counts = self._table(n=50, seed=2)
+        sorted_path = str(tmp_path / "s.jf")
+        hash_path = str(tmp_path / "h.jf")
+        order = enc.lexsort_keys(keys)
+        jf.write_sorted_jf(sorted_path, keys[order], counts[order], 31)
+        jf.write_hash_jf(hash_path, keys, counts, 31)
+        ks, cs, _ = jf.load_jf(sorted_path)
+        kh, ch, _ = jf.load_jf(hash_path)
+        oh = enc.lexsort_keys(kh)
+        os_ = enc.lexsort_keys(ks)
+        assert np.array_equal(kh[oh], ks[os_])
+        assert np.array_equal(ch[oh], cs[os_])
+
+    def test_k_mismatch_raises(self, tmp_path):
+        import pytest as _pytest
+
+        from kmer_denovo_filter_tpu.htsio import jellyfish as jf
+        keys, counts = self._table(n=10, k=17, seed=3)
+        path = str(tmp_path / "t.jf")
+        jf.write_hash_jf(path, keys, counts, 17)
+        with _pytest.raises(jf.JellyfishParseError,
+                            match="k=17 index"):
+            jf.load_hash_jf(path, expect_k=31)
+
+    def test_truncated_raises(self, tmp_path):
+        import pytest as _pytest
+
+        from kmer_denovo_filter_tpu.htsio import jellyfish as jf
+        keys, counts = self._table(n=10, seed=4)
+        path = str(tmp_path / "t.jf")
+        jf.write_hash_jf(path, keys, counts, 31)
+        raw = open(path, "rb").read()
+        open(path, "wb").write(raw[:len(raw) - 64])
+        with _pytest.raises(jf.JellyfishParseError, match="truncated"):
+            jf.load_hash_jf(path)
+
+    def test_ref_jf_hash_format_accepted_by_discovery(self, tmp_path):
+        """ensure_ref_index ingests a binary/hash --ref-jf."""
+        import numpy as np
+        from kmer_denovo_filter_tpu.discovery.pipeline import (
+            ensure_ref_index)
+        from kmer_denovo_filter_tpu.htsio import jellyfish as jf
+        keys, counts = self._table(n=80, seed=5)
+        path = str(tmp_path / "ref.jf")
+        jf.write_hash_jf(path, keys, counts, 31)
+        index = ensure_ref_index(str(tmp_path / "absent.fa"), 31,
+                                 ref_jf=path)
+        assert index.n == keys.shape[0]
+        assert index.membership(keys).all()
