@@ -14,6 +14,8 @@ WORKDIR /opt/kdf
 COPY pyproject.toml README.md ./
 COPY kmer_denovo_filter_tpu ./kmer_denovo_filter_tpu
 COPY scripts ./scripts
+# synthetic-data builders for in-image smoke tests (docker.yml)
+COPY tests/helpers.py ./testsupport/helpers.py
 
 RUN pip install --no-cache-dir .
 

@@ -538,6 +538,28 @@ def _write_bed(regions, region_reads, region_kmers, bed_path,
     logger.info("BED file written: %s (%d regions)", bed_path, len(regions))
 
 
+def _value_runs(values_by_pos):
+    """Collapse a {position: value} map into (start, end, value) runs.
+
+    Consecutive positions carrying the same value merge into one
+    half-open interval; any gap (missing or filtered position) or
+    value change starts a new run.  Shared by the bedGraph and
+    read-coverage writers (their reference counterparts each inline
+    this merge, ref :1197–1348).
+    """
+    run_start = run_end = run_val = None
+    for pos in sorted(values_by_pos):
+        val = values_by_pos[pos]
+        if run_start is not None and pos == run_end and val == run_val:
+            run_end = pos + 1
+            continue
+        if run_start is not None:
+            yield run_start, run_end, run_val
+        run_start, run_end, run_val = pos, pos + 1, val
+    if run_start is not None:
+        yield run_start, run_end, run_val
+
+
 def _write_bedgraph(kmer_coverage, bedgraph_path, read_coverage=None,
                     min_reads=3):
     """Run-length-merged k-mer coverage bedGraph (ref :1197–1278)."""
@@ -550,30 +572,15 @@ def _write_bedgraph(kmer_coverage, bedgraph_path, read_coverage=None,
             f"overlaps per position, min_reads>={min_reads})\"\n")
         for chrom in sorted(kmer_coverage):
             positions = kmer_coverage[chrom]
-            if not positions:
-                continue
             rc = read_coverage.get(chrom, {}) if read_coverage else None
-            run_start = run_val = run_end = None
-            for pos in sorted(positions):
-                if rc is not None and rc.get(pos, 0) < min_reads:
-                    total_filtered += 1
-                    if run_start is not None:
-                        fh.write(f"{chrom}\t{run_start}\t{run_end}"
-                                 f"\t{run_val}\n")
-                        total_intervals += 1
-                        run_start = None
-                    continue
-                val = positions[pos]
-                if run_start is None:
-                    run_start, run_val, run_end = pos, val, pos + 1
-                elif pos == run_end and val == run_val:
-                    run_end = pos + 1
-                else:
-                    fh.write(f"{chrom}\t{run_start}\t{run_end}\t{run_val}\n")
-                    total_intervals += 1
-                    run_start, run_val, run_end = pos, val, pos + 1
-            if run_start is not None:
-                fh.write(f"{chrom}\t{run_start}\t{run_end}\t{run_val}\n")
+            if rc is None:
+                kept = positions
+            else:
+                kept = {pos: val for pos, val in positions.items()
+                        if rc.get(pos, 0) >= min_reads}
+                total_filtered += len(positions) - len(kept)
+            for start, end, val in _value_runs(kept):
+                fh.write(f"{chrom}\t{start}\t{end}\t{val}\n")
                 total_intervals += 1
     if total_filtered:
         logger.info(
@@ -597,31 +604,59 @@ def _write_read_coverage_bed(kmer_coverage, read_coverage, bed_path,
         for chrom in sorted(read_coverage):
             rc = read_coverage[chrom]
             kc = kmer_coverage.get(chrom, {})
-            filtered = {}
-            for pos, n_reads in rc.items():
-                if n_reads >= min_reads:
-                    filtered[pos] = (n_reads,
-                                     round(kc.get(pos, 0) / n_reads, 1))
-            if not filtered:
-                continue
-            sorted_pos = sorted(filtered)
-            run_start = sorted_pos[0]
-            run_val = filtered[run_start]
-            run_end = run_start + 1
-            for pos in sorted_pos[1:]:
-                val = filtered[pos]
-                if pos == run_end and val == run_val:
-                    run_end = pos + 1
-                else:
-                    fh.write(f"{chrom}\t{run_start}\t{run_end}"
-                             f"\t{run_val[0]}\t{run_val[1]}\n")
-                    total_intervals += 1
-                    run_start, run_val, run_end = pos, val, pos + 1
-            fh.write(f"{chrom}\t{run_start}\t{run_end}"
-                     f"\t{run_val[0]}\t{run_val[1]}\n")
-            total_intervals += 1
+            kept = {pos: (n_reads, round(kc.get(pos, 0) / n_reads, 1))
+                    for pos, n_reads in rc.items()
+                    if n_reads >= min_reads}
+            for start, end, (n_reads, avg) in _value_runs(kept):
+                fh.write(f"{chrom}\t{start}\t{end}"
+                         f"\t{n_reads}\t{avg}\n")
+                total_intervals += 1
     logger.info("Read coverage BED written: %s (%d intervals)",
                 bed_path, total_intervals)
+
+
+class _RegionLocator:
+    """Point-in-region queries over the clustered region set.
+
+    Per-chromosome sorted starts + binary search; regions never
+    overlap after clustering, so at most one can contain a position.
+    """
+
+    def __init__(self, regions):
+        self._by_chrom = {}
+        for region in sorted(regions):
+            self._by_chrom.setdefault(region[0], []).append(region)
+        self._starts = {chrom: [r[1] for r in rs]
+                        for chrom, rs in self._by_chrom.items()}
+
+    def region_at(self, chrom, pos):
+        """The (chrom, start, end) region containing *pos*, or None."""
+        starts = self._starts.get(chrom)
+        if not starts:
+            return None
+        i = bisect.bisect_right(starts, pos) - 1
+        if i < 0:
+            return None
+        region = self._by_chrom[chrom][i]
+        return region if pos < region[2] else None
+
+
+def _sa_breakpoints(sa_str):
+    """(chrom, 0-based pos) per supplementary alignment in an SA tag.
+
+    SA is ``rname,pos,strand,CIGAR,mapQ,NM;`` repeated; malformed
+    entries are skipped.
+    """
+    if not sa_str:
+        return
+    for entry in sa_str.rstrip(";").split(";"):
+        fields = entry.split(",")
+        if len(fields) < 3:
+            continue
+        try:
+            yield fields[0], int(fields[1]) - 1
+        except ValueError:
+            continue
 
 
 def _annotate_and_link_from_metadata(regions, region_reads, read_sv_meta):
@@ -659,45 +694,22 @@ def _annotate_and_link_from_metadata(regions, region_reads, read_sv_meta):
             if meta["max_clip"] > ann["max_clip_len"]:
                 ann["max_clip_len"] = meta["max_clip"]
 
-    region_by_chrom = {}
-    for r in regions:
-        region_by_chrom.setdefault(r[0], []).append(r)
-    chrom_starts = {}
-    chrom_regions_sorted = {}
-    for chrom, rlist in region_by_chrom.items():
-        rlist.sort(key=lambda x: x[1])
-        chrom_starts[chrom] = [r[1] for r in rlist]
-        chrom_regions_sorted[chrom] = rlist
+    locator = _RegionLocator(regions)
 
     sa_bridges = {}
     for dedup_key, meta in read_sv_meta.items():
         qname = dedup_key[0]
-        sa_str = meta.get("sa_str")
-        if not sa_str or qname not in read_to_regions:
+        if qname not in read_to_regions:
             continue
         primary_regions = read_to_regions[qname]
-        for sa_entry in sa_str.rstrip(";").split(";"):
-            parts = sa_entry.split(",")
-            if len(parts) < 3:
+        for sa_chrom, sa_pos in _sa_breakpoints(meta.get("sa_str")):
+            target = locator.region_at(sa_chrom, sa_pos)
+            if target is None:
                 continue
-            sa_chrom = parts[0]
-            try:
-                sa_pos = int(parts[1]) - 1
-            except ValueError:
-                continue
-            if sa_chrom not in chrom_starts:
-                continue
-            starts = chrom_starts[sa_chrom]
-            sorted_regions = chrom_regions_sorted[sa_chrom]
-            idx = bisect.bisect_right(starts, sa_pos) - 1
-            if idx >= 0:
-                t_chrom, t_start, t_end = sorted_regions[idx]
-                if t_start <= sa_pos < t_end:
-                    target = (t_chrom, t_start, t_end)
-                    for p_region in primary_regions:
-                        if p_region != target:
-                            key = tuple(sorted([p_region, target]))
-                            sa_bridges.setdefault(key, set()).add(qname)
+            for p_region in primary_regions:
+                if p_region != target:
+                    key = tuple(sorted([p_region, target]))
+                    sa_bridges.setdefault(key, set()).add(qname)
 
     for qname, rset in read_to_regions.items():
         if len(rset) >= 2:
@@ -755,38 +767,26 @@ def _classify_regions(regions, region_annotations, sv_links):
 
 
 def _parse_candidate_summary(summary_path, dka_dkt_min=0.25, dka_min=10):
-    """High-quality candidates from a VCF-mode summary (ref :1549–1606)."""
+    """High-quality candidates from a VCF-mode summary (ref :1549–1606).
+
+    Delegates the Per-Variant table parsing to the report module's
+    loader (one parser for the format) and applies the discovery
+    HQ thresholds on top.
+    """
+    from kmer_denovo_filter_tpu.report import _load_summary_variants
+
     candidates = []
-    in_table = False
-    with open(summary_path) as fh:
-        for line in fh:
-            line = line.rstrip()
-            if line.strip().startswith("Variant") and "DKU" in line:
-                in_table = True
-                continue
-            if in_table and line.strip().startswith("-------"):
-                continue
-            if in_table and line.strip() == "":
-                break
-            if in_table and line.strip().startswith("="):
-                break
-            if in_table:
-                parts = line.split()
-                if len(parts) < 12:
-                    continue
-                variant = parts[0]
-                ref_alt = parts[1]
-                dka = int(parts[4])
-                dka_dkt = float(parts[6])
-                call = parts[-1]
-                chrom, pos_str = variant.rsplit(":", 1)
-                ref, alt = ref_alt.split(">")
-                if dka_dkt > dka_dkt_min and dka > dka_min:
-                    candidates.append({
-                        "chrom": chrom, "pos": int(pos_str),
-                        "ref": ref, "alt": alt,
-                        "dka": dka, "dka_dkt": dka_dkt, "call": call,
-                    })
+    for v in _load_summary_variants(summary_path):
+        if not (v["dka_dkt"] > dka_dkt_min and v["dka"] > dka_min):
+            continue
+        chrom, pos_str = v["variant"].split(" ")[0].rsplit(":", 1)
+        ref, _, alt = v["label"].partition(">")
+        candidates.append({
+            "chrom": chrom, "pos": int(pos_str),
+            "ref": ref, "alt": alt,
+            "dka": v["dka"], "dka_dkt": v["dka_dkt"],
+            "call": v["call"],
+        })
     return candidates
 
 
