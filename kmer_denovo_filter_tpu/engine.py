@@ -33,11 +33,19 @@ logger = logging.getLogger(__name__)
 
 
 def _use_pallas_join():
-    """The Pallas tile-join runs on real TPU Mosaic only (the
-    interpreter covers it in tests); ``KDF_NO_PALLAS=1`` disables."""
+    """The Pallas tile-join runs on real TPU Mosaic only;
+    ``KDF_NO_PALLAS=1`` disables it there, and
+    ``KDF_PALLAS_INTERPRET=1`` enables the (slow) Pallas interpreter
+    on other backends so tests can drive the engine's dispatch."""
     if os.environ.get("KDF_NO_PALLAS") == "1":
         return False
+    if os.environ.get("KDF_PALLAS_INTERPRET") == "1":
+        return True
     return jax.default_backend() == "tpu"
+
+
+def _pallas_interpret():
+    return os.environ.get("KDF_PALLAS_INTERPRET") == "1"
 
 _SENTINEL32 = np.uint32(0xFFFFFFFF)
 
@@ -293,12 +301,13 @@ class FilteredCounter:
         # io-alias gets a fresh XLA copy because the caller still
         # holds the input buffer, so retrying from self.acc is exact.
         acc, overflow = pj.join_tally_step(
-            t0, t1, self.acc, codes_j, lens_j, idx.k, p, self.w_part)
+            t0, t1, self.acc, codes_j, lens_j, idx.k, p, self.w_part,
+            interpret=_pallas_interpret())
         while bool(overflow):
             self.w_part = min(self.w_part * 2, pj.MAX_W_PART)
             acc, overflow = pj.join_tally_step(
                 t0, t1, self.acc, codes_j, lens_j, idx.k, p,
-                self.w_part)
+                self.w_part, interpret=_pallas_interpret())
             if bool(overflow) and self.w_part >= pj.MAX_W_PART:
                 raise RuntimeError(
                     "tile-join window overflow at maximum w_part")
@@ -392,11 +401,13 @@ def scan_reads_for_hits(index, codes, lengths):
         t0, t1, _perm, p = index.tile_partitions()
         w_part = pj.W_PART
         found, overflow = pj.join_member_step(
-            t0, t1, codes_j, lens_j, index.k, p, w_part)
+            t0, t1, codes_j, lens_j, index.k, p, w_part,
+            interpret=_pallas_interpret())
         while bool(overflow) and w_part < pj.MAX_W_PART:
             w_part = min(w_part * 2, pj.MAX_W_PART)
             found, overflow = pj.join_member_step(
-                t0, t1, codes_j, lens_j, index.k, p, w_part)
+                t0, t1, codes_j, lens_j, index.k, p, w_part,
+                interpret=_pallas_interpret())
         if not bool(overflow):
             found = np.asarray(found)
             return found[:codes.shape[0],

@@ -1106,16 +1106,105 @@ class CramWriter:
         self._fh.close()
 
 
+#: records per spill chunk for the external-sort conversion path
+_CRAM_SPILL_RECORDS = 500_000
+
+
 def cram_to_bam(cram_path, bam_path, reference_filename=None,
                 sort=True, index=True):
-    """One-pass CRAM -> BAM conversion (the compatibility bridge that
-    lets every streaming/indexed BAM consumer accept CRAM input)."""
+    """Streaming CRAM -> BAM conversion (the compatibility bridge that
+    lets every streaming/indexed BAM consumer accept CRAM input).
+
+    Memory is bounded at WGS scale: records spill to temporary sorted
+    BAM chunks every ``_CRAM_SPILL_RECORDS`` records and a k-way merge
+    writes the final coordinate-sorted, indexed BAM — the pipelines
+    auto-convert CRAM inputs up front, so the conversion must never
+    hold the whole dataset in RAM (CRAM slices are usually already
+    coordinate-sorted, making each chunk sort nearly free).
+    """
+    import heapq
+
     reader = CramReader(cram_path, reference_filename)
-    writer = BamWriter(bam_path, reader.header_text, reader.refs)
-    for read in reader.records:
-        writer.write(read)
-    writer.close(sort=sort, index=index)
-    return bam_path
+
+    def _chunks():
+        buf = []
+        for read in reader.records:
+            buf.append((read.tid, read.pos, read.to_raw()))
+            if len(buf) >= _CRAM_SPILL_RECORDS:
+                yield buf
+                buf = []
+        yield buf
+
+    def _sort_key(rec):
+        tid, pos, _raw = rec
+        return (tid if tid >= 0 else 1 << 30, pos)
+
+    chunk_paths = []
+    tmpdir = tempfile.mkdtemp(prefix="kdf_cram2bam_")
+    try:
+        first = None
+        for i, buf in enumerate(_chunks()):
+            if sort:
+                buf.sort(key=_sort_key)
+            if i == 0:
+                first = buf
+                continue
+            # second chunk arrived: spill the first too
+            if len(chunk_paths) == 0 and first is not None:
+                chunk_paths.append(
+                    _spill_chunk(tmpdir, 0, first, reader))
+                first = None
+            chunk_paths.append(_spill_chunk(tmpdir, i, buf, reader))
+
+        writer = BamWriter(bam_path, reader.header_text, reader.refs)
+        if first is not None:
+            # everything fit one chunk — write directly
+            for tid, pos, raw in first:
+                writer.write_raw(tid, pos, raw)
+            writer.close(sort=False, index=index)
+            return bam_path
+
+        streams = [_iter_chunk(p_, reader) for p_ in chunk_paths]
+        if sort:
+            merged = heapq.merge(*streams, key=_sort_key)
+        else:
+            merged = (rec for st in streams for rec in st)
+        for tid, pos, raw in merged:
+            writer.write_raw(tid, pos, raw)
+        writer.close(sort=False, index=index)
+        return bam_path
+    finally:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def _spill_chunk(tmpdir, i, buf, reader):
+    """Write one sorted record chunk as a headerless temp BAM body."""
+    path = os.path.join(tmpdir, f"chunk_{i:05d}.bgz")
+    from kmer_denovo_filter_tpu.htsio.bgzf import BgzfWriter
+    import struct as _struct
+    with BgzfWriter(path) as out:
+        for tid, pos, raw in buf:
+            out.write(_struct.pack("<iii", tid, pos, len(raw)) + raw)
+    return path
+
+
+def _iter_chunk(path, reader):
+    """Stream one spilled chunk block-at-a-time (the k-way merge holds
+    one BGZF block per chunk in memory, never a whole chunk)."""
+    import struct as _struct
+
+    from kmer_denovo_filter_tpu.htsio.bgzf import BgzfReader
+    fh = BgzfReader(path)
+    while True:
+        head = fh.read(12)
+        if len(head) < 12:
+            return
+        tid, pos, ln = _struct.unpack("<iii", head)
+        raw = fh.read(ln)
+        if len(raw) < ln:
+            return
+        yield tid, pos, raw
 
 
 def converted_bam_path(cram_path, reference_filename=None):

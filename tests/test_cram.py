@@ -429,3 +429,41 @@ class TestWriterVariants:
         assert len(back) == len(br.records)
         for a, b in zip(br.records, back):
             _assert_same(a, b)
+
+
+def test_cram_to_bam_spill_merge_matches_in_memory(tmp_path,
+                                                   monkeypatch):
+    """The external-sort spill path (WGS memory bound) produces a BAM
+    identical to the single-chunk path."""
+    from kmer_denovo_filter_tpu.htsio import cram as cram_mod
+
+    ref_path = str(tmp_path / "ref.fa")
+    seq = create_ref_fasta(ref_path, "chr1", 600)
+    # unsorted on purpose so the merge actually has to sort
+    reads = [(f"r{i}", pos, seq[pos:pos + 60])
+             for i, pos in enumerate([500, 20, 340, 90, 250, 410, 5,
+                                      170, 300, 60, 450, 130])]
+    bam = str(tmp_path / "in.bam")
+    create_bam(bam, "chr1", reads, ref_length=600)
+    br = BamReader(bam)
+    cram = str(tmp_path / "in.cram")
+    cw = CramWriter(cram, br.header_text, br.refs)
+    cw.set_reference(ref_path)
+    for rec in br.records:
+        cw.write(rec)
+    cw.close()
+
+    big = str(tmp_path / "one_chunk.bam")
+    cram_to_bam(cram, big, ref_path)
+
+    monkeypatch.setattr(cram_mod, "_CRAM_SPILL_RECORDS", 3)
+    spilled = str(tmp_path / "spilled.bam")
+    cram_mod.cram_to_bam(cram, spilled, ref_path)
+
+    a = [(r.query_name, r.pos, r.query_sequence)
+         for r in BamReader(big).records]
+    b = [(r.query_name, r.pos, r.query_sequence)
+         for r in BamReader(spilled).records]
+    assert a == b
+    assert [p for _n, p, _s in a] == sorted(p for _n, p, _s in a)
+    assert os.path.exists(spilled + ".bai")

@@ -316,3 +316,83 @@ def test_partitioned_scan_hits_cap_overflow_retry():
         cap, _ = K.extract_read_kmers(s, k)
         expected = {p for p, c in cap.items() if c in target}
         assert set(np.nonzero(found[i])[0].tolist()) == expected
+
+
+class TestOverflowRetries:
+    """Capacity-overflow retry paths across engine backends."""
+
+    def _index_and_batch(self, k=31, n_table=60, seed=21):
+        reads = random_reads(n_table, 64, with_n=False, seed=seed)
+        kmers = sorted({km for s in reads
+                        for km in oracle_counts([s], k)})
+        keys = enc.kmers_to_keys(kmers, k)
+        index = eng.KmerIndex(keys, k)
+        batch = random_reads(40, 64, seed=seed + 1) + reads[:10]
+        codes, lengths = pack_reads(batch)
+        return index, keys, codes, lengths, batch
+
+    def test_dedup_cap_defeat_retries_bucketed(self, monkeypatch):
+        """A cap too small for the batch's unique keys must trigger
+        the full-capacity retry and still produce exact tallies."""
+        index, keys, codes, lengths, batch = self._index_and_batch()
+        monkeypatch.setattr(eng, "_dedup_cap", lambda n: 4)
+        monkeypatch.setattr(eng, "_SMALL_TABLE_M", 0)
+        monkeypatch.setattr(eng, "_MID_TABLE_M", 0)  # force bucketed
+        index.small = False
+        index.mid = False
+        fc = eng.FilteredCounter(index)
+        fc.feed(codes, lengths)
+        got = fc.result()
+        expected = _expected_tally(batch, keys, index.k)
+        assert np.array_equal(got, expected)
+
+    def test_partitioned_cap_q_doubling(self, monkeypatch):
+        """Homopolymer batches concentrate every window in one
+        partition, defeating the initial cap_q."""
+        k = 31
+        reads = ["A" * 64] * 20
+        kmers = sorted(oracle_counts(reads, k))
+        keys = enc.kmers_to_keys(kmers, k)
+        index = eng.KmerIndex(keys, k)
+        monkeypatch.setattr(eng, "_SMALL_TABLE_M", 0)  # force mid
+        monkeypatch.setenv("KDF_NO_PALLAS", "1")
+        index.small = False
+        index.mid = True
+        codes, lengths = pack_reads(reads)
+        fc = eng.FilteredCounter(index)
+        fc.feed(codes, lengths)
+        got = fc.result()
+        expected = _expected_tally(reads, keys, k)
+        assert np.array_equal(got, expected)
+
+    def test_pallas_w_part_doubling(self, monkeypatch):
+        """Tiny w_part must double until chunks fit (interpreter)."""
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        index, keys, codes, lengths, batch = self._index_and_batch(
+            seed=23)
+        monkeypatch.setenv("KDF_PALLAS_INTERPRET", "1")
+        monkeypatch.setattr(eng, "_SMALL_TABLE_M", 0)
+        index.small = False
+        index.mid = True
+        # many partitions so chunks span far beyond the initial window
+        t0, t1, perm, p = pj.build_tile_partitions(index.keys_np,
+                                                   p=512)
+        import jax.numpy as jnp
+        index._tile_parts = (jnp.asarray(t0), jnp.asarray(t1), perm, p)
+        fc = eng.FilteredCounter(index)
+        fc.w_part = 4
+        fc.feed(codes, lengths)
+        assert fc.w_part > 4  # the retry loop actually widened it
+        got = fc.result()
+        expected = _expected_tally(batch, keys, index.k)
+        assert np.array_equal(got, expected)
+
+
+def _expected_tally(reads, keys, k):
+    from collections import Counter
+    counts = Counter()
+    for s in reads:
+        counts.update(oracle_counts([s], k))
+    kmers = enc.keys_to_kmers(keys, k)
+    return np.array([counts.get(km, 0) for km in kmers],
+                    dtype=np.int64)

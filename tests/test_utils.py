@@ -71,3 +71,138 @@ class TestTmpDir:
 
     def test_is_tmpfs_nonexistent(self):
         assert is_tmpfs("/definitely/not/a/path") in (True, False)
+
+
+# ── validation matrix (reference tests/vcf/test_pipeline.py:1793–1895) ──
+
+
+class TestValidationMatrix:
+    """Every validate_inputs rejection path, one case per rule."""
+
+    @staticmethod
+    def _trio(tmp_path, with_vcf=True):
+        import sys
+        sys.path.insert(0, str(tmp_path))
+        from tests.helpers import (create_bam, create_ref_fasta,
+                                   create_vcf)
+        ref = str(tmp_path / "ref.fa")
+        seq = create_ref_fasta(ref, "chr1", 200)
+        paths = {}
+        for name in ("child", "mother", "father"):
+            p = str(tmp_path / f"{name}.bam")
+            create_bam(p, "chr1", [(f"{name}0", 10, seq[10:70])], 200)
+            paths[name] = p
+        if with_vcf:
+            vcf = str(tmp_path / "v.vcf.gz")
+            create_vcf(vcf, "chr1", [(20, seq[19], "A" if seq[19] != "A"
+                                      else "C")])
+            paths["vcf"] = vcf
+        paths["ref_fasta"] = ref
+        return paths
+
+    def _args(self, tmp_path, **overrides):
+        from kmer_denovo_filter_tpu.cli import parse_args
+        trio = self._trio(tmp_path)
+        argv = ["--child", trio["child"], "--mother", trio["mother"],
+                "--father", trio["father"], "--vcf", trio["vcf"],
+                "--output", str(tmp_path / "o.vcf.gz")]
+        args = parse_args(argv)
+        for key, val in overrides.items():
+            setattr(args, key, val)
+        return args
+
+    def _expect_exit(self, args, caplog, needle):
+        import logging
+
+        import pytest as _pytest
+
+        from kmer_denovo_filter_tpu.utils import validate_inputs
+        with caplog.at_level(logging.ERROR):
+            with _pytest.raises(SystemExit):
+                validate_inputs(args)
+        assert needle in caplog.text
+
+    def test_valid_inputs_pass(self, tmp_path):
+        from kmer_denovo_filter_tpu.utils import validate_inputs
+        validate_inputs(self._args(tmp_path))  # no exit
+
+    def test_missing_child(self, tmp_path, caplog):
+        self._expect_exit(self._args(tmp_path, child="/nope.bam"),
+                          caplog, "file not found")
+
+    def test_missing_vcf(self, tmp_path, caplog):
+        self._expect_exit(self._args(tmp_path, vcf="/nope.vcf.gz"),
+                          caplog, "Input VCF")
+
+    def test_missing_ref_fasta(self, tmp_path, caplog):
+        self._expect_exit(self._args(tmp_path, ref_fasta="/nope.fa"),
+                          caplog, "Reference FASTA")
+
+    def test_cram_without_ref(self, tmp_path, caplog):
+        args = self._args(tmp_path)
+        cram = str(tmp_path / "c.cram")
+        open(cram, "wb").write(b"")
+        args.child = cram
+        self._expect_exit(args, caplog,
+                          "CRAM file but --ref-fasta was not provided")
+
+    def test_missing_bam_index(self, tmp_path, caplog):
+        args = self._args(tmp_path)
+        import os as _os
+        _os.unlink(args.mother + ".bai")
+        self._expect_exit(args, caplog, "no index found")
+
+    def test_kmer_size_too_small(self, tmp_path, caplog):
+        self._expect_exit(self._args(tmp_path, kmer_size=1), caplog,
+                          "must be >= 3")
+
+    def test_kmer_size_too_large(self, tmp_path, caplog):
+        self._expect_exit(self._args(tmp_path, kmer_size=203), caplog,
+                          "must be <= 201")
+
+    def test_kmer_size_even(self, tmp_path, caplog):
+        self._expect_exit(self._args(tmp_path, kmer_size=30), caplog,
+                          "odd")
+
+    def test_negative_baseq(self, tmp_path, caplog):
+        self._expect_exit(self._args(tmp_path, min_baseq=-1), caplog,
+                          "--min-baseq")
+
+    def test_negative_mapq(self, tmp_path, caplog):
+        self._expect_exit(self._args(tmp_path, min_mapq=-2), caplog,
+                          "--min-mapq")
+
+    def test_zero_threads(self, tmp_path, caplog):
+        self._expect_exit(self._args(tmp_path, threads=0), caplog,
+                          "--threads")
+
+    def test_discovery_needs_reference(self, tmp_path, caplog):
+        args = self._args(tmp_path, vcf=None, ref_fasta=None)
+        self._expect_exit(args, caplog, "Discovery mode requires")
+
+    def test_discovery_missing_ref_jf(self, tmp_path, caplog):
+        args = self._args(tmp_path, vcf=None)
+        args.ref_jf = "/nope.jf"
+        self._expect_exit(args, caplog, "--ref-jf")
+
+    def test_discovery_min_child_count(self, tmp_path, caplog):
+        args = self._args(tmp_path, vcf=None)
+        args.min_child_count = 0
+        self._expect_exit(args, caplog, "--min-child-count")
+
+    def test_all_errors_reported_together(self, tmp_path, caplog):
+        """Multiple problems surface in one pass (fail-fast but
+        complete, like the reference's error list)."""
+        import logging
+
+        import pytest as _pytest
+
+        from kmer_denovo_filter_tpu.utils import validate_inputs
+        args = self._args(tmp_path, child="/nope.bam", kmer_size=4,
+                          threads=0)
+        with caplog.at_level(logging.ERROR):
+            with _pytest.raises(SystemExit):
+                validate_inputs(args)
+        assert "file not found" in caplog.text
+        assert "odd" in caplog.text
+        assert "--threads" in caplog.text
