@@ -132,7 +132,8 @@ with gzip.open(path + '.gz', 'wb') as fh:
 os.unlink(path)
 """)
     _write_stub(str(bindir), "tabix", common + """
-open(sys.argv[-1] + '.tbi', 'wb').write(b'FAKETBI')
+if sys.argv[1:2] != ['--version']:
+    open(sys.argv[-1] + '.tbi', 'wb').write(b'FAKETBI')
 """)
     env = dict(os.environ)
     env["PATH"] = f"{bindir}:{env['PATH']}"
