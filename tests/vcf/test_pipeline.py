@@ -264,3 +264,311 @@ class TestOutputs:
         assert text.startswith("<!DOCTYPE html>")
         assert "svg" in text
         assert "filtering cascade" in text
+
+
+class TestSelectAltFromGt:
+    """Unit tests for GT→ALT selection (htsio/vcf._select_alt_from_gt),
+    mirroring reference vcf/pipeline.py:730–744 behavior."""
+
+    def _sel(self, alts, gt):
+        from kmer_denovo_filter_tpu.htsio.vcf import _select_alt_from_gt
+        return _select_alt_from_gt(alts, gt)
+
+    def test_het_first_alt(self):
+        alt, idx = self._sel(("T", "G"), (0, 1))
+        assert alt == "T" and idx == [1]
+
+    def test_het_second_alt(self):
+        alt, idx = self._sel(("T", "G"), (0, 2))
+        assert alt == "G" and idx == [2]
+
+    def test_het_non_ref_picks_first_listed(self):
+        alt, idx = self._sel(("T", "G"), (2, 1))
+        assert alt == "T" and idx == [1, 2]
+
+    def test_hom_ref_falls_back_to_first_alt(self):
+        alt, idx = self._sel(("T", "G"), (0, 0))
+        assert alt == "T" and idx == []
+
+    def test_missing_gt(self):
+        alt, idx = self._sel(("T", "G"), None)
+        assert alt == "T" and idx == []
+
+    def test_partial_missing_gt_uses_known_allele(self):
+        alt, idx = self._sel(("T", "G"), (None, 2))
+        assert alt == "G" and idx == [2]
+
+    def test_hom_alt2(self):
+        alt, idx = self._sel(("T", "G"), (2, 2))
+        assert alt == "G" and idx == [2]
+
+    def test_no_alts_fallback_case(self):
+        """Empty *alts* returns None in the fallback paths
+        (reference vcf/pipeline.py:737 docstring)."""
+        alt, idx = self._sel((), (0, 0))
+        assert alt is None and idx == []
+        alt, idx = self._sel((), None)
+        assert alt is None and idx == []
+
+
+class TestParseVcfMultiallelic:
+    """_parse_vcf_variants GT-informed ALT selection + fallbacks."""
+
+    def _parse(self, tmp_path, alts, gts, proband=None, sample="HG002"):
+        from kmer_denovo_filter_tpu.vcf.pipeline import _parse_vcf_variants
+        vcf = str(tmp_path / "multi.vcf.gz")
+        create_vcf(vcf, "chr1", [(11, "A", alts)], sample=sample,
+                   gts=gts)
+        return _parse_vcf_variants(vcf, proband_id=proband)
+
+    def test_proband_carries_alt2(self, tmp_path):
+        (v,) = self._parse(tmp_path, "T,G", ["0/2"], proband="HG002")
+        assert v["alt"] == "G"
+        assert v["alts"] == ("T", "G")
+
+    def test_proband_het_non_ref_uses_first_alt(self, tmp_path, caplog):
+        import logging
+        with caplog.at_level(logging.WARNING):
+            (v,) = self._parse(tmp_path, "T,G", ["1/2"],
+                               proband="HG002")
+        assert v["alt"] == "T"
+        assert any("het non-ref" in r.message for r in caplog.records)
+
+    def test_no_proband_id_fallback(self, tmp_path, caplog):
+        import logging
+        with caplog.at_level(logging.WARNING):
+            (v,) = self._parse(tmp_path, "T,G", ["0/2"])
+        assert v["alt"] == "T"
+        assert any("only the first ALT" in r.message
+                   for r in caplog.records)
+
+    def test_proband_hom_ref_fallback(self, tmp_path, caplog):
+        import logging
+        with caplog.at_level(logging.WARNING):
+            (v,) = self._parse(tmp_path, "T,G", ["0/0"],
+                               proband="HG002")
+        assert v["alt"] == "T"
+
+    def test_proband_not_in_vcf_fallback(self, tmp_path):
+        (v,) = self._parse(tmp_path, "T,G", ["0/2"], proband="HG999",
+                           sample="HG002")
+        assert v["alt"] == "T"
+
+    def test_single_alt_no_change(self, tmp_path):
+        (v,) = self._parse(tmp_path, "T", ["0/1"], proband="HG002")
+        assert v["alt"] == "T"
+        assert v["pos"] == 10  # 0-based
+
+
+class TestDeletionVariants:
+    def _deletion_child(self, trio, dpos, dlen, every=1):
+        """Child reads where every *every*-th spanning read carries a
+        deletion of *dlen* bases after dpos (0-based anchor base)."""
+        seq = trio["seq"]
+        reads = []
+        for i, pos in enumerate(range(60, 180, 6)):
+            sub = seq[pos:pos + READ_LEN]
+            off = dpos - pos
+            if 0 <= off < READ_LEN - dlen - 1 and i % every == 0:
+                newseq = sub[:off + 1] + sub[off + 1 + dlen:]
+                cigar = [(0, off + 1), (2, dlen),
+                         (0, len(sub) - off - 1 - dlen)]
+                reads.append((f"cd{i}", pos, newseq, None, cigar))
+            else:
+                reads.append((f"cd{i}", pos, sub))
+        create_bam(trio["child"], "chr1", reads)
+
+    def test_deletion_dka_positive(self, trio, tmp_path):
+        seq = trio["seq"]
+        dpos, dlen = 120, 5
+        self._deletion_child(trio, dpos, dlen)
+        vcf = str(tmp_path / "del.vcf.gz")
+        create_vcf(vcf, "chr1",
+                   [(dpos + 1, seq[dpos:dpos + dlen + 1], seq[dpos])])
+        out, _, _ = _run(trio, tmp_path, ["--proband-id", "HG002"],
+                         vcf=vcf)
+        fields = _read_vcf_fields(out)
+        assert int(fields[0]["DKU"]) > 0
+        assert int(fields[0]["DKA"]) > 0
+        assert int(fields[0]["DKA"]) <= int(fields[0]["DKT"])
+
+    def test_deletion_dka_is_allele_specific(self, trio, tmp_path):
+        """Child reads with a DIFFERENT de novo allele at the same locus
+        contribute unique k-mers (DKU/DKT) but must not count toward
+        the deletion's DKA."""
+        seq = trio["seq"]
+        dpos, dlen = 120, 5
+        snv_alt = next(b for b in "ACGT" if b != seq[dpos + 2])
+        reads = []
+        for i, pos in enumerate(range(60, 180, 6)):
+            sub = seq[pos:pos + READ_LEN]
+            off = dpos - pos
+            if 0 <= off < READ_LEN - dlen - 1:
+                if i % 2 == 0:  # deletion-carrying read
+                    newseq = sub[:off + 1] + sub[off + 1 + dlen:]
+                    cigar = [(0, off + 1), (2, dlen),
+                             (0, len(sub) - off - 1 - dlen)]
+                    reads.append((f"cd{i}", pos, newseq, None, cigar))
+                else:  # SNV-carrying read at dpos+2 (also de novo)
+                    moff = off + 2
+                    newseq = sub[:moff] + snv_alt + sub[moff + 1:]
+                    reads.append((f"cs{i}", pos, newseq))
+            else:
+                reads.append((f"cd{i}", pos, sub))
+        create_bam(trio["child"], "chr1", reads)
+        vcf = str(tmp_path / "del.vcf.gz")
+        create_vcf(vcf, "chr1",
+                   [(dpos + 1, seq[dpos:dpos + dlen + 1], seq[dpos])])
+        out, _, _ = _run(trio, tmp_path, ["--proband-id", "HG002"],
+                         vcf=vcf)
+        fields = _read_vcf_fields(out)
+        dku, dka = int(fields[0]["DKU"]), int(fields[0]["DKA"])
+        assert dka > 0
+        assert dka < dku, (
+            "SNV-carrying fragments must inflate DKU but not DKA")
+
+    def test_insertion_dka_is_allele_specific(self, trio, tmp_path):
+        seq = trio["seq"]
+        ipos, ins = 120, "GGTT"
+        snv_alt = next(b for b in "ACGT" if b != seq[ipos + 3])
+        reads = []
+        for i, pos in enumerate(range(60, 180, 6)):
+            sub = seq[pos:pos + READ_LEN]
+            off = ipos - pos
+            if 0 <= off < READ_LEN - 1:
+                if i % 2 == 0:
+                    newseq = sub[:off + 1] + ins + sub[off + 1:]
+                    cigar = [(0, off + 1), (1, len(ins)),
+                             (0, len(sub) - off - 1)]
+                    reads.append((f"ci{i}", pos, newseq, None, cigar))
+                else:
+                    moff = off + 3
+                    newseq = sub[:moff] + snv_alt + sub[moff + 1:]
+                    reads.append((f"cs{i}", pos, newseq))
+            else:
+                reads.append((f"ci{i}", pos, sub))
+        create_bam(trio["child"], "chr1", reads)
+        vcf = str(tmp_path / "ins.vcf.gz")
+        create_vcf(vcf, "chr1",
+                   [(ipos + 1, seq[ipos], seq[ipos] + ins)])
+        out, _, _ = _run(trio, tmp_path, ["--proband-id", "HG002"],
+                         vcf=vcf)
+        fields = _read_vcf_fields(out)
+        dku, dka = int(fields[0]["DKU"]), int(fields[0]["DKA"])
+        assert 0 < dka < dku
+
+    def test_decomposed_indel_allele_specific_dka(self, trio, tmp_path):
+        """Two candidate rows at one locus (decomposed multiallelic):
+        each row's DKA reflects only its own allele's supporting reads."""
+        seq = trio["seq"]
+        dpos, dlen = 120, 5
+        ins = "GGTT"
+        reads = []
+        for i, pos in enumerate(range(60, 180, 6)):
+            sub = seq[pos:pos + READ_LEN]
+            off = dpos - pos
+            if 0 <= off < READ_LEN - dlen - 1:
+                if i % 2 == 0:
+                    newseq = sub[:off + 1] + sub[off + 1 + dlen:]
+                    cigar = [(0, off + 1), (2, dlen),
+                             (0, len(sub) - off - 1 - dlen)]
+                    reads.append((f"cd{i}", pos, newseq, None, cigar))
+                else:
+                    newseq = sub[:off + 1] + ins + sub[off + 1:]
+                    cigar = [(0, off + 1), (1, len(ins)),
+                             (0, len(sub) - off - 1)]
+                    reads.append((f"ci{i}", pos, newseq, None, cigar))
+            else:
+                reads.append((f"cd{i}", pos, sub))
+        create_bam(trio["child"], "chr1", reads)
+        vcf = str(tmp_path / "both.vcf.gz")
+        create_vcf(vcf, "chr1", [
+            (dpos + 1, seq[dpos:dpos + dlen + 1], seq[dpos]),
+            (dpos + 1, seq[dpos], seq[dpos] + ins),
+        ])
+        out, _, _ = _run(trio, tmp_path, ["--proband-id", "HG002"],
+                         vcf=vcf)
+        fields = _read_vcf_fields(out)
+        assert len(fields) == 2
+        del_dka = int(fields[0]["DKA"])
+        ins_dka = int(fields[1]["DKA"])
+        assert del_dka > 0 and ins_dka > 0
+        # each allele's DKA is a strict subset of the locus's DKU
+        assert del_dka < int(fields[0]["DKU"])
+        assert ins_dka < int(fields[1]["DKU"])
+
+
+class TestEmptyVcf:
+    def test_empty_vcf_writes_valid_outputs(self, trio, tmp_path):
+        """Early-exit path: annotated VCF header + minimal metrics,
+        no summary (matches reference vcf/pipeline.py:1524–1534)."""
+        vcf = str(tmp_path / "empty.vcf.gz")
+        create_vcf(vcf, "chr1", [])
+        out, metrics, summary = _run(trio, tmp_path,
+                                     ["--proband-id", "HG002"], vcf=vcf)
+        with open(metrics) as fh:
+            m = json.load(fh)
+        assert m == {"total_variants": 0}
+        header = [l for l in gzip.open(out, "rt").read().split("\n")
+                  if l.startswith("#")]
+        assert any(l.startswith("#CHROM") for l in header)
+        assert not os.path.exists(summary)
+
+
+class TestProgressLogging:
+    def test_pipeline_logs_step_markers(self, trio, tmp_path, caplog):
+        import logging
+        with caplog.at_level(logging.INFO):
+            _run(trio, tmp_path, ["--proband-id", "HG002"])
+        text = "\n".join(r.message for r in caplog.records)
+        for step in range(1, 6):
+            assert f"[Step {step}/5]" in text, f"missing step {step}"
+
+
+class TestModuleSeparation:
+    """Layering contract (reference tests/vcf/test_pipeline.py:2045)."""
+
+    def test_discovery_does_not_import_vcf(self):
+        import kmer_denovo_filter_tpu.discovery.pipeline as dp
+        src = open(dp.__file__).read()
+        assert "from kmer_denovo_filter_tpu.vcf" not in src
+        assert "import kmer_denovo_filter_tpu.vcf" not in src
+
+    def test_core_engine_is_domain_agnostic(self):
+        import kmer_denovo_filter_tpu.engine as eng
+        src = open(eng.__file__).read()
+        for banned in ("argparse", "vcf", "discovery"):
+            assert f"import {banned}" not in src, banned
+
+    def test_subpackages_exist(self):
+        import kmer_denovo_filter_tpu.vcf.pipeline as vp
+        import kmer_denovo_filter_tpu.discovery.pipeline as dp
+        assert callable(vp.run_pipeline)
+        assert callable(dp.run_discovery_pipeline)
+
+    def test_backward_compat_pipeline_reexports(self):
+        import kmer_denovo_filter_tpu.pipeline as shim
+        assert callable(shim.run_pipeline)
+        assert callable(shim.run_discovery_pipeline)
+        assert hasattr(shim, "_parse_vcf_variants")
+        assert hasattr(shim, "_collect_child_kmers")
+
+
+class TestSummaryFields:
+    def test_summary_includes_pkc_fields(self, trio, tmp_path):
+        _, _, summary = _run(trio, tmp_path, ["--proband-id", "HG002"])
+        text = open(summary).read()
+        for col in ("MAX_PKC", "AVG_PKC", "MIN_PKC", "MAX_PKC_ALT",
+                    "DKU", "DKT", "DKA"):
+            assert col in text, col
+
+    def test_info_annotation_when_proband_unmatched(self, trio,
+                                                    tmp_path):
+        """--proband-id not matching any VCF sample → INFO fields."""
+        out, _, _ = _run(trio, tmp_path, ["--proband-id", "NOT_THERE"])
+        lines = gzip.open(out, "rt").read().split("\n")
+        assert any(l.startswith("##INFO=<ID=DKU,") for l in lines)
+        assert not any(l.startswith("##FORMAT=<ID=DKU,")
+                       for l in lines)
+        data = [l for l in lines if l and not l.startswith("#")]
+        assert "DKU=" in data[0].split("\t")[7]
