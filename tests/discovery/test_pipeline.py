@@ -361,3 +361,355 @@ def test_discovery_sharded_module3_byte_identical(disco, tmp_path,
                 "informative_reads"):
         assert ja[key] == jb[key]
     assert ja["candidate_regions"] >= 1
+
+
+# ──────────────────────────────────────────────────────────────────
+# Pure unit tests for the host-side helpers (no pipeline run)
+# ──────────────────────────────────────────────────────────────────
+
+from kmer_denovo_filter_tpu.discovery.pipeline import (  # noqa: E402
+    SULOVARI_DNM_REGIONS,
+    _RegionLocator,
+    _classify_regions,
+    _compare_candidates_to_regions,
+    _evaluate_dnm_regions,
+    _parse_candidate_summary,
+    _sa_breakpoints,
+    _value_runs,
+    _write_bedgraph,
+    _write_bedpe,
+    _write_read_coverage_bed,
+)
+
+
+class TestValueRuns:
+    def test_consecutive_equal_values_merge(self):
+        runs = list(_value_runs({10: 2, 11: 2, 12: 2}))
+        assert runs == [(10, 13, 2)]
+
+    def test_value_change_starts_new_run(self):
+        runs = list(_value_runs({10: 2, 11: 3, 12: 3}))
+        assert runs == [(10, 11, 2), (11, 13, 3)]
+
+    def test_gap_starts_new_run(self):
+        runs = list(_value_runs({10: 2, 12: 2}))
+        assert runs == [(10, 11, 2), (12, 13, 2)]
+
+    def test_empty(self):
+        assert list(_value_runs({})) == []
+
+    def test_single_position(self):
+        assert list(_value_runs({7: 9})) == [(7, 8, 9)]
+
+    def test_unsorted_input_is_sorted(self):
+        runs = list(_value_runs({12: 1, 10: 1, 11: 1}))
+        assert runs == [(10, 13, 1)]
+
+
+class TestWriteBedgraphUnits:
+    def _read(self, path):
+        lines = open(path).read().rstrip("\n").split("\n")
+        assert lines[0].startswith("#track type=bedGraph")
+        return [l.split("\t") for l in lines[1:] if l]
+
+    def test_basic_merge(self, tmp_path):
+        out = str(tmp_path / "a.bedgraph")
+        _write_bedgraph({"chr1": {5: 3, 6: 3, 7: 3}}, out)
+        assert self._read(out) == [["chr1", "5", "8", "3"]]
+
+    def test_different_values_not_merged(self, tmp_path):
+        out = str(tmp_path / "a.bedgraph")
+        _write_bedgraph({"chr1": {5: 3, 6: 4}}, out)
+        assert self._read(out) == [["chr1", "5", "6", "3"],
+                                   ["chr1", "6", "7", "4"]]
+
+    def test_multi_chrom_sorted(self, tmp_path):
+        out = str(tmp_path / "a.bedgraph")
+        _write_bedgraph({"chr2": {1: 1}, "chr1": {9: 2}}, out)
+        rows = self._read(out)
+        assert [r[0] for r in rows] == ["chr1", "chr2"]
+
+    def test_empty_coverage(self, tmp_path):
+        out = str(tmp_path / "a.bedgraph")
+        _write_bedgraph({}, out)
+        assert self._read(out) == []
+
+    def test_min_reads_filter_against_read_coverage(self, tmp_path):
+        out = str(tmp_path / "a.bedgraph")
+        _write_bedgraph({"chr1": {5: 9, 6: 9}}, out,
+                        read_coverage={"chr1": {5: 5, 6: 1}},
+                        min_reads=3)
+        assert self._read(out) == [["chr1", "5", "6", "9"]]
+
+    def test_header_mentions_min_reads(self, tmp_path):
+        out = str(tmp_path / "a.bedgraph")
+        _write_bedgraph({}, out, min_reads=7)
+        assert "min_reads>=7" in open(out).readline()
+
+
+class TestWriteReadCoverageBed:
+    def test_avg_kmers_and_filter(self, tmp_path):
+        out = str(tmp_path / "a.bed")
+        _write_read_coverage_bed(
+            kmer_coverage={"chr1": {5: 12, 6: 12, 7: 1}},
+            read_coverage={"chr1": {5: 4, 6: 4, 7: 1}},
+            bed_path=out, min_reads=3)
+        lines = [l for l in open(out) if not l.startswith("#")]
+        assert lines == ["chr1\t5\t7\t4\t3.0\n"]
+
+    def test_header(self, tmp_path):
+        out = str(tmp_path / "a.bed")
+        _write_read_coverage_bed({}, {}, out)
+        head = open(out).read()
+        assert "read_count\tavg_kmers_per_read" in head
+
+
+class TestRegionLocator:
+    REGIONS = [("chr1", 10, 20), ("chr1", 30, 40), ("chr2", 0, 5)]
+
+    def test_inside(self):
+        loc = _RegionLocator(self.REGIONS)
+        assert loc.region_at("chr1", 15) == ("chr1", 10, 20)
+        assert loc.region_at("chr1", 10) == ("chr1", 10, 20)
+
+    def test_end_exclusive(self):
+        loc = _RegionLocator(self.REGIONS)
+        assert loc.region_at("chr1", 20) is None
+
+    def test_between_regions(self):
+        loc = _RegionLocator(self.REGIONS)
+        assert loc.region_at("chr1", 25) is None
+
+    def test_before_first(self):
+        loc = _RegionLocator(self.REGIONS)
+        assert loc.region_at("chr1", 5) is None
+
+    def test_unknown_chrom(self):
+        loc = _RegionLocator(self.REGIONS)
+        assert loc.region_at("chrX", 15) is None
+
+
+class TestSaBreakpoints:
+    def test_parses_entries(self):
+        got = list(_sa_breakpoints("chr2,100,+,60M,60,0;chr3,7,-,30M,5,1;"))
+        assert got == [("chr2", 99), ("chr3", 6)]
+
+    def test_empty_and_none(self):
+        assert list(_sa_breakpoints("")) == []
+        assert list(_sa_breakpoints(None)) == []
+
+    def test_malformed_entries_skipped(self):
+        got = list(_sa_breakpoints("chr2;chr3,notanint,+;chr4,8,+;"))
+        assert got == [("chr4", 7)]
+
+
+class TestClassifyRegionsUnit:
+    def _classify(self, ann, links=()):
+        key = ("chr1", 0, 10)
+        anns = {key: dict(ann)}
+        _classify_regions([key], anns, list(links))
+        return anns[key]["class"]
+
+    def test_split_reads_sv(self):
+        assert self._classify({"split_reads": 2}) == "SV"
+
+    def test_discordant_sv(self):
+        assert self._classify({"discordant_pairs": 3}) == "SV"
+
+    def test_unmapped_mates_sv(self):
+        assert self._classify({"unmapped_mates": 2}) == "SV"
+
+    def test_linked_region_sv(self):
+        link = {"region_a": ("chr1", 0, 10), "region_b": ("chr2", 0, 5)}
+        assert self._classify({}, [link]) == "SV"
+
+    def test_clean_region_small(self):
+        assert self._classify({"split_reads": 0, "discordant_pairs": 0,
+                               "unmapped_mates": 0}) == "SMALL"
+
+    def test_single_split_read_ambiguous(self):
+        assert self._classify({"split_reads": 1}) == "AMBIGUOUS"
+
+
+class TestWriteBedpeFormat:
+    def test_format(self, tmp_path):
+        out = str(tmp_path / "a.bedpe")
+        _write_bedpe([{
+            "region_a": ("chr1", 100, 200),
+            "region_b": ("chr5", 900, 950),
+            "supporting_reads": {"r1", "r2", "r3"},
+            "sv_type_hint": "translocation",
+        }], out)
+        lines = open(out).read().rstrip("\n").split("\n")
+        assert lines[0].startswith("#chrom1\tstart1")
+        assert lines[1] == ("chr1\t100\t200\tchr5\t900\t950"
+                            "\tSV_1\t3\ttranslocation")
+
+    def test_empty(self, tmp_path):
+        out = str(tmp_path / "a.bedpe")
+        _write_bedpe([], out)
+        assert len(open(out).read().rstrip("\n").split("\n")) == 1
+
+
+class TestParseCandidateSummary:
+    TABLE = "\n".join([
+        "=" * 60,
+        "  kmer-denovo  —  De Novo Variant Summary",
+        "=" * 60,
+        "",
+        "Per-Variant Results",
+        "-" * 120,
+        "  Variant                          DKU   DKT   DKA  DKU_DKT"
+        "  DKA_DKT  MAX_PKC  AVG_PKC  MIN_PKC  MAX_PKC_ALT  AVG_PKC_ALT"
+        "  MIN_PKC_ALT  Call",
+        "  -------                          ---   ---   ---  -------"
+        "  -------  -------  -------  -------  -----------  -----------"
+        "  -----------  ----",
+        "  chr1:100 A>T                      29    64    21   0.4531"
+        "   0.3281      141   102.63       26          141       135.16"
+        "          124  DE_NOVO",
+        "  chr1:200 C>G                       1    40     1   0.0250"
+        "   0.0250       75    49.05       24           30        26.65"
+        "           24  DE_NOVO",
+        "",
+    ])
+
+    def test_hq_thresholds(self, tmp_path):
+        p = tmp_path / "summary.txt"
+        p.write_text(self.TABLE)
+        cands = _parse_candidate_summary(str(p))
+        assert len(cands) == 1
+        c = cands[0]
+        assert (c["chrom"], c["pos"]) == ("chr1", 100)
+        assert (c["ref"], c["alt"]) == ("A", "T")
+        assert c["dka"] == 21 and c["dka_dkt"] == 0.3281
+        assert c["call"] == "DE_NOVO"
+
+    def test_custom_thresholds_capture_both(self, tmp_path):
+        p = tmp_path / "summary.txt"
+        p.write_text(self.TABLE)
+        cands = _parse_candidate_summary(str(p), dka_dkt_min=0.01,
+                                         dka_min=0)
+        assert len(cands) == 2
+
+    def test_missing_file(self):
+        assert _parse_candidate_summary("/nonexistent/summary.txt") == []
+
+
+class TestCompareCandidatesToRegions:
+    CAND = {"chrom": "chr1", "pos": 150, "ref": "A", "alt": "T",
+            "dka": 21, "dka_dkt": 0.4, "call": "DE_NOVO"}
+
+    def test_candidate_inside_region(self):
+        (r,) = _compare_candidates_to_regions(
+            [dict(self.CAND)], [("chr1", 100, 200)])
+        assert r["captured"] is True
+        assert r["region"] == "chr1:101-200"
+
+    def test_candidate_outside_region(self):
+        (r,) = _compare_candidates_to_regions(
+            [dict(self.CAND)], [("chr1", 300, 400)])
+        assert r["captured"] is False and r["region"] is None
+
+    def test_candidate_wrong_chrom(self):
+        (r,) = _compare_candidates_to_regions(
+            [dict(self.CAND)], [("chr9", 100, 200)])
+        assert r["captured"] is False
+
+    def test_boundary_semantics(self):
+        """Capture uses start < pos <= end (1-based VCF pos)."""
+        cand = dict(self.CAND, pos=200)
+        (r,) = _compare_candidates_to_regions(
+            [cand], [("chr1", 100, 200)])
+        assert r["captured"] is True
+        cand = dict(self.CAND, pos=100)
+        (r,) = _compare_candidates_to_regions(
+            [cand], [("chr1", 100, 200)])
+        assert r["captured"] is False
+
+
+class TestEvaluateDnmRegions:
+    def _detail(self, key, **kw):
+        base = {"chrom": key[0], "start": key[1], "end": key[2],
+                "reads": 5, "unique_kmers": 50, "max_clip_len": 10,
+                "unmapped_mates": 0, "discordant_pairs": 0,
+                "split_reads": 0, "class": "SMALL"}
+        base.update(kw)
+        return base
+
+    def test_point_event_overlap(self):
+        """size=None events evaluate as 1 bp intervals."""
+        region = ("chr14", 23280700, 23280800)
+        res = _evaluate_dnm_regions(
+            [region], [self._detail(region)],
+            dnm_regions=[("chr14", 23280711, None,
+                          "microsatellite_expansion")])
+        assert res[0]["detected"] is True
+        assert res[0]["assessment"] == "DETECTED"
+
+    def test_no_overlap(self):
+        res = _evaluate_dnm_regions(
+            [("chr17", 1000, 1100)], [],
+            dnm_regions=[("chr17", 53340465, 107, "deletion")])
+        assert res[0]["detected"] is False
+        assert res[0]["assessment"] == "NOT_DETECTED"
+        assert res[0]["sv_class"] == "NONE"
+        assert res[0]["kmer_signal"] == 0.0
+
+    def test_adjacent_not_overlapping(self):
+        """A region ending exactly at the locus start doesn't count."""
+        res = _evaluate_dnm_regions(
+            [("chr17", 53340365, 53340465)], [],
+            dnm_regions=[("chr17", 53340465, 107, "deletion")])
+        assert res[0]["detected"] is False
+
+    def test_multi_region_overlap_aggregates(self):
+        ra = ("chr7", 142786000, 142790000)
+        rb = ("chr7", 142790100, 142796900)
+        res = _evaluate_dnm_regions(
+            [ra, rb],
+            [self._detail(ra, reads=3, unique_kmers=30),
+             self._detail(rb, reads=4, unique_kmers=40,
+                          split_reads=2, **{"class": "SV"})],
+            dnm_regions=[("chr7", 142786222, 10607, "deletion")])
+        r = res[0]
+        assert r["detected"] is True
+        assert len(r["discovery_regions"]) == 2
+        assert r["total_reads"] == 7
+        assert r["total_unique_kmers"] == 70
+        assert r["split_reads"] == 2
+
+    def test_sv_class_priority(self):
+        """SV > AMBIGUOUS > SMALL across matched regions."""
+        ra = ("chr3", 85552300, 85552400)
+        rb = ("chr3", 85552400, 85552500)
+        res = _evaluate_dnm_regions(
+            [ra, rb],
+            [self._detail(ra, **{"class": "SMALL"}),
+             self._detail(rb, **{"class": "AMBIGUOUS"})],
+            dnm_regions=[("chr3", 85552367, 64, "sv_like")])
+        assert res[0]["sv_class"] == "AMBIGUOUS"
+
+    def test_kmer_signal_normalised_by_span(self):
+        region = ("chr5", 97089276, 97089376)
+        res = _evaluate_dnm_regions(
+            [region], [self._detail(region, unique_kmers=50)],
+            dnm_regions=[("chr5", 97089276, 43, "sv_like")])
+        assert res[0]["kmer_signal"] == round(50 / 100, 4)
+
+    def test_default_loci_are_sulovari(self):
+        res = _evaluate_dnm_regions([], [])
+        assert len(res) == len(SULOVARI_DNM_REGIONS) == 7
+        assert {r["event_type"] for r in res} >= {
+            "deletion", "sv_like", "microsatellite_expansion"}
+
+    def test_result_fields(self):
+        (r,) = _evaluate_dnm_regions(
+            [], [], dnm_regions=[("chr18", 62805217, 34, "sv_like")])
+        for field in ("locus", "event_type", "event_size", "detected",
+                      "discovery_regions", "total_reads",
+                      "total_unique_kmers", "max_clip_len",
+                      "unmapped_mates", "discordant_pairs",
+                      "split_reads", "sv_class", "kmer_signal",
+                      "assessment"):
+            assert field in r, field
