@@ -203,3 +203,151 @@ class TestKmerVotes:
         got = Kraken2Runner.extract_taxids_from_kmer_string(
             "562:10 |:| 9606:2 A:3 bogus")
         assert got == {562, 9606}
+
+
+class TestCommandConstruction:
+    """The kraken2 invocation itself (flags, FASTQ hand-off)."""
+
+    def _capture(self, db, runner_kwargs, reads):
+        captured = {}
+
+        def fake_popen(cmd, **kw):
+            captured["cmd"] = cmd
+            fastq = cmd[-1]
+            captured["fastq"] = open(fastq).read()
+            proc = mock.MagicMock()
+            proc.returncode = 0
+            proc.pid = 4242
+            proc.communicate.return_value = (b"", b"")
+            return proc
+
+        kr = Kraken2Runner(db, **runner_kwargs)
+        with mock.patch("subprocess.Popen", side_effect=fake_popen):
+            kr.classify_sequences(reads)
+        return captured
+
+    def test_default_flags(self, db):
+        cap = self._capture(db, {}, {"r1": "ACGT"})
+        cmd = cap["cmd"]
+        assert cmd[0] == "kraken2"
+        assert cmd[cmd.index("--db") + 1] == db
+        assert cmd[cmd.index("--confidence") + 1] == "0.0"
+        assert cmd[cmd.index("--threads") + 1] == "1"
+        assert "--memory-mapping" not in cmd
+        assert cmd[cmd.index("--output") + 1] == "/dev/stdout"
+
+    def test_confidence_and_threads_forwarded(self, db):
+        cap = self._capture(db, {"confidence": 0.25, "threads": 7},
+                            {"r1": "ACGT"})
+        cmd = cap["cmd"]
+        assert cmd[cmd.index("--confidence") + 1] == "0.25"
+        assert cmd[cmd.index("--threads") + 1] == "7"
+
+    def test_memory_mapping_forwarded(self, db):
+        cap = self._capture(db, {"memory_mapping": True}, {"r1": "ACGT"})
+        assert "--memory-mapping" in cap["cmd"]
+        # fastq path stays the last argument
+        assert cap["cmd"][-1].endswith(".fq")
+
+    def test_fastq_contents(self, db):
+        cap = self._capture(db, {}, [("readA", "ACGTAC"),
+                                     ("readB", "GG")])
+        assert cap["fastq"] == ("@readA\nACGTAC\n+\nIIIIII\n"
+                                "@readB\nGG\n+\nII\n")
+
+    def test_temp_fastq_deleted(self, db, tmp_path):
+        captured = {}
+
+        def fake_popen(cmd, **kw):
+            captured["fastq"] = cmd[-1]
+            proc = mock.MagicMock()
+            proc.returncode = 0
+            proc.pid = 4242
+            proc.communicate.return_value = (b"", b"")
+            return proc
+
+        kr = Kraken2Runner(db)
+        with mock.patch("subprocess.Popen", side_effect=fake_popen):
+            kr.classify_sequences({"r": "ACGT"}, tmpdir=str(tmp_path))
+        assert captured["fastq"].startswith(str(tmp_path))
+        import os as _os
+        assert not _os.path.exists(captured["fastq"])
+
+
+class TestTallyRobustness:
+    def test_short_and_blank_lines_skipped(self, db):
+        lines = ["", "C\tonly_two", "C\tr1\t562\t100\t562:66", "   "]
+        res = _mock_run(db, lines, {"r1": "ACGT"})
+        assert res.classified == 1
+
+    def test_non_integer_taxid_skipped(self, db):
+        lines = ["C\tr1\tnotanum\t100\t", "C\tr2\t562\t100\t562:66"]
+        res = _mock_run(db, lines, {"r1": "ACGT", "r2": "ACGT"})
+        assert res.classified == 1
+        assert res.bacterial_read_names == {"r2"}
+
+    def test_missing_kmer_column_tolerated(self, db):
+        lines = ["C\tr1\t562\t100"]
+        res = _mock_run(db, lines, {"r1": "ACGT"})
+        assert res.bacterial_read_names == {"r1"}
+        assert res.per_read_detail["r1"]["kmer_string"] == ""
+
+    def test_fallback_without_taxonomy(self, tmp_path):
+        """No nodes.dmp → exact-taxid matching only, with a warning."""
+        import struct as _struct
+        with open(tmp_path / "opts.k2d", "wb") as fh:
+            fh.write(_struct.pack("<Q", 35) + b"\x00" * 24)
+        db_no_tax = str(tmp_path)
+        lines = [
+            f"C\tr_b\t{BACTERIA_TAXID}\t100\t",   # exact domain taxid
+            "C\tr_sub\t562\t100\t",               # species: unmatched
+            f"C\tr_h\t{HUMAN_TAXID}\t100\t",
+        ]
+        res = _mock_run(db_no_tax, lines,
+                        {"r_b": "A", "r_sub": "A", "r_h": "A"})
+        assert res.bacterial_read_names == {"r_b"}
+        # species-level taxid still counts as nonhuman in fallback
+        assert "r_sub" in res.nonhuman_read_names
+        assert res.human_count == 1
+
+    def test_guard_status_labels(self, db):
+        lines = [
+            f"C\tr_hum\t{HUMAN_TAXID}\t100\t9606:66",
+            "C\tr_pass\t562\t100\t562:66",
+        ]
+        res = _mock_run(db, lines, {"r_hum": "A", "r_pass": "A"})
+        assert res.per_read_detail["r_hum"]["guard_status"] == "HUMAN"
+        assert res.per_read_detail["r_pass"]["guard_status"] == "PASS"
+
+
+class TestOptsK2d:
+    def test_short_file_returns_none(self, tmp_path):
+        (tmp_path / "opts.k2d").write_bytes(b"\x01\x02")
+        assert Kraken2Runner.read_kmer_length(str(tmp_path)) is None
+
+    def test_missing_file_returns_none(self, tmp_path):
+        assert Kraken2Runner.read_kmer_length(str(tmp_path)) is None
+
+    def test_implausible_k_rejected(self, tmp_path):
+        with open(tmp_path / "opts.k2d", "wb") as fh:
+            fh.write(struct.pack("<Q", 9999) + b"\x00" * 24)
+        assert Kraken2Runner.read_kmer_length(str(tmp_path)) is None
+
+
+class TestResultSummary:
+    def test_summary_and_fractions(self, db):
+        lines = [
+            "C\tr1\t562\t100\t562:66",
+            "C\tr2\t9606\t100\t9606:66",
+            "U\tr3\t0\t100\t",
+            "U\tr4\t0\t100\t",
+        ]
+        res = _mock_run(db, lines, {f"r{i}": "A" for i in range(1, 5)})
+        assert res.bacterial_fraction == 0.25
+        text = res.summary()
+        assert "4" in text  # total appears
+        nhf = len(res.nonhuman_read_names) / res.total
+        ucf = len(res.univec_core_read_names) / res.total
+        hlf = len(res.human_lineage_read_names) / res.total
+        uf = len(res.unclassified_read_names) / res.total
+        assert nhf + ucf + hlf + uf == pytest.approx(1.0)
