@@ -85,8 +85,17 @@ def bench_small(jnp, dev, enc, rng, genome):
 
 
 def bench_wgs(jnp, pj, rng, genome):
-    k64 = np.unique(rng.integers(0, 2 ** 62, size=WGS_TABLE_M,
-                                 dtype=np.uint64))
+    # mostly random keys + a genome-derived slice so the join has real
+    # hits (an all-miss bench can't detect a broken compare)
+    from kmer_denovo_filter_tpu.ops import device as _dev
+    gcodes = jnp.asarray(genome.reshape(-1, 256))
+    glens = jnp.full(gcodes.shape[0], 256, dtype=np.int32)
+    gkeys, gvalid = _dev.extract_canonical_windows(gcodes, glens, K)
+    gk = np.asarray(gkeys)[np.asarray(gvalid)]
+    g64 = (gk[:, 0].astype(np.uint64) << 32) | gk[:, 1]
+    k64 = np.unique(np.concatenate([
+        rng.integers(0, 2 ** 62, size=WGS_TABLE_M, dtype=np.uint64),
+        g64]))
     keys = np.stack([(k64 >> 32).astype(np.uint32),
                      k64.astype(np.uint32)], 1)
     t0, t1, _perm, p = pj.build_tile_partitions(keys)
@@ -104,6 +113,8 @@ def bench_wgs(jnp, pj, rng, genome):
         acc, _ovf = pj.join_tally_step(t0j, t1j, acc, b, lengths, K, p)
     np.asarray(acc[:1, :1])
     elapsed = time.perf_counter() - start
+    total = int(np.asarray(jnp.sum(acc)))
+    assert total > 0, "WGS bench produced zero hits — compare broken?"
     return BATCH_READS * N_BATCHES_WGS / elapsed
 
 

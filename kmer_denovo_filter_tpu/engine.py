@@ -286,7 +286,7 @@ class FilteredCounter:
             t0, _t1, _perm, _p = index.tile_partitions()
             from kmer_denovo_filter_tpu.ops import pallas_join as pj
             self.acc = jnp.zeros(t0.shape, dtype=jnp.int32)
-            self.w_part = pj.W_PART
+            self.w_part = pj.W_PART_TALLY
         elif index.mid and not index.small:
             tblocks, _perm, _p_bits = index.hash_partitions()
             self.acc = jnp.zeros(tblocks.shape[:2], dtype=jnp.int32)
@@ -304,11 +304,11 @@ class FilteredCounter:
             t0, t1, self.acc, codes_j, lens_j, idx.k, p, self.w_part,
             interpret=_pallas_interpret())
         while bool(overflow):
-            self.w_part = min(self.w_part * 2, pj.MAX_W_PART)
+            self.w_part = min(self.w_part * 2, pj.MAX_W_PART_TALLY)
             acc, overflow = pj.join_tally_step(
                 t0, t1, self.acc, codes_j, lens_j, idx.k, p,
                 self.w_part, interpret=_pallas_interpret())
-            if bool(overflow) and self.w_part >= pj.MAX_W_PART:
+            if bool(overflow) and self.w_part >= pj.MAX_W_PART_TALLY:
                 raise RuntimeError(
                     "tile-join window overflow at maximum w_part")
         self.acc = acc

@@ -48,13 +48,23 @@ from kmer_denovo_filter_tpu.ops import device as dev
 
 SENTINEL = np.uint32(0xFFFFFFFF)
 
-CHUNK_ROWS = 4096          # query rows per grid step ((32, 128) block)
+CHUNK_ROWS = 4096          # member-scan query rows per grid step
 SUB_ROWS = 128             # rows per sub-chunk (one sublane)
 NSUB = CHUNK_ROWS // SUB_ROWS
 TILE_KEYS = 1024           # keys per partition row
 MEAN_FILL = 768            # target mean keys/partition at build time
-W_PART = 48                # default partition-window rows per chunk
+W_PART = 48                # member: partition-window rows per chunk
 MAX_W_PART = 1024          # planes are padded by this many partitions
+
+# Tally path (round 2): larger chunks amortise per-chunk costs, the
+# partition window arrives as two auto-pipelined BlockSpec blocks
+# (double-buffered by Pallas, hiding the window DMA behind compute),
+# and the per-partition tally reduction runs on the MXU as
+# dot((relt==t)·1f, eq·1f) instead of a cross-sublane vector sum.
+CHUNK_T = 8192             # tally query rows per grid step
+NSUB_T = CHUNK_T // SUB_ROWS
+W_PART_TALLY = 96          # tally window block rows (covers 2 blocks)
+MAX_W_PART_TALLY = 512     # retry ceiling: 2 blocks ≤ plane padding
 
 
 def num_partitions(m):
@@ -153,17 +163,14 @@ def _route(flat, p, with_idx):
 
 
 def _join_kernel(meta_ref, t0_hbm, t1_hbm, s0_ref, s1_ref, sp_ref,
-                 acc_in_hbm, acc_out_hbm, t0w, t1w, accw,
-                 sem_t0, sem_t1, sem_in, sem_out,
-                 *, w_part, member):
-    """One chunk: DMA the partition window, join 32 sub-chunks.
+                 found_ref, t0w, t1w, sem_t0, sem_t1, *, w_part):
+    """One member-scan chunk: DMA the partition window, join sub-chunks.
 
     meta_ref layout (scalar prefetch, int32):
       [c]                  → 8-aligned window base partition of chunk c
       [nc + i]             → sub_start (global sub index i)
       [nc + nc·NSUB + i]   → sub_span
-    When *member*, ``acc_*``/``accw`` are unused and per-row flags
-    write to the blocked (NSUB, 128) output instead.
+    Per-row membership flags write to the blocked (NSUB, 128) output.
     """
     c = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -174,11 +181,6 @@ def _join_kernel(meta_ref, t0_hbm, t1_hbm, s0_ref, s1_ref, sp_ref,
         t1_hbm.at[pl.ds(base, w_part), :], t1w, sem_t1)
     d0.start()
     d1.start()
-    if not member:
-        din = pltpu.make_async_copy(
-            acc_out_hbm.at[pl.ds(base, w_part), :], accw, sem_in)
-        din.start()
-        din.wait()
     d0.wait()
     d1.wait()
 
@@ -191,98 +193,177 @@ def _join_kernel(meta_ref, t0_hbm, t1_hbm, s0_ref, s1_ref, sp_ref,
         q1t = s1_ref[s, :].reshape(SUB_ROWS, 1)
         relt = sp_ref[s, :].reshape(SUB_ROWS, 1) - st
 
-        if member:
-            def body(t, fnd):
-                row = st - base + t
-                eq = ((q0t == t0w[pl.ds(row, 1), :])
-                      & (q1t == t1w[pl.ds(row, 1), :]))
-                hit = (jnp.any(eq, axis=1, keepdims=True)
-                       & (relt == t))
-                return fnd | hit.astype(jnp.int32)
+        def body(t, fnd, q0t=q0t, q1t=q1t, relt=relt, st=st):
+            row = st - base + t
+            eq = ((q0t == t0w[pl.ds(row, 1), :])
+                  & (q1t == t1w[pl.ds(row, 1), :]))
+            hit = (jnp.any(eq, axis=1, keepdims=True)
+                   & (relt == t))
+            return fnd | hit.astype(jnp.int32)
 
-            fnd = jax.lax.fori_loop(
-                0, span, body, jnp.zeros((SUB_ROWS, 1), jnp.int32))
-            acc_out_hbm[s, :] = fnd.reshape(SUB_ROWS)
-        else:
-            def body(t, _):
-                row = st - base + t
-                eq = ((q0t == t0w[pl.ds(row, 1), :])
-                      & (q1t == t1w[pl.ds(row, 1), :])
-                      & (relt == t))
-                accw[pl.ds(row, 1), :] += eq.sum(
-                    axis=0, keepdims=True, dtype=jnp.int32)
-                return 0
-
-            jax.lax.fori_loop(0, span, body, 0)
-
-    if not member:
-        dout = pltpu.make_async_copy(
-            accw, acc_out_hbm.at[pl.ds(base, w_part), :], sem_out)
-        dout.start()
-        dout.wait()
+        fnd = jax.lax.fori_loop(
+            0, span, body, jnp.zeros((SUB_ROWS, 1), jnp.int32))
+        found_ref[s, :] = fnd.reshape(SUB_ROWS)
 
 
 def _pack_meta(base, sub_start, sub_span):
     return jnp.concatenate([base, sub_start, sub_span])
 
 
+def _tally_kernel(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
+                  sp_ref, acc_in_hbm, acc_out_hbm, accw, sem_in,
+                  sem_out, *, w_part):
+    """One tally chunk over auto-pipelined window blocks.
+
+    meta layout (scalar prefetch, int32):
+      [c]                    → window block index of chunk c
+      [nc + c]               → 8-aligned acc slab base partition
+      [2nc + i]              → sub_start (global sub index i)
+      [2nc + nc·NSUB_T + i]  → sub_span
+    The partition window is the two consecutive (w_part, TILE_KEYS)
+    blocks starting at block meta[c]; sub-chunks whose span stays in
+    the lo block take a single-ref fast path (the straddle case is
+    rare: spans are ~2 partitions vs w_part ≥ 96).
+    """
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    baseb = meta_ref[c] * w_part
+    base8 = pl.multiple_of(meta_ref[nc + c], 8)
+    din = pltpu.make_async_copy(
+        acc_out_hbm.at[pl.ds(base8, w_part), :], accw, sem_in)
+    din.start()
+    din.wait()
+
+    for s in range(NSUB_T):
+        st = meta_ref[2 * nc + c * NSUB_T + s]
+        span = meta_ref[2 * nc + nc * NSUB_T + c * NSUB_T + s]
+        q0t = s0_ref[s, :].reshape(SUB_ROWS, 1)
+        q1t = s1_ref[s, :].reshape(SUB_ROWS, 1)
+        relt = sp_ref[s, :].reshape(SUB_ROWS, 1) - st
+
+        def tally(eq2, t, arow, _relt=relt):
+            # MXU reduction: the partition mask rides the dot's LHS,
+            # f32 accumulation is exact for counts ≤ 2^24
+            maskv = (_relt == t).astype(jnp.float32).reshape(
+                1, SUB_ROWS)
+            cnt = jax.lax.dot_general(
+                maskv, eq2.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            accw[pl.ds(arow, 1), :] += cnt.astype(jnp.int32)
+
+        @pl.when(st - baseb + span <= w_part)
+        def _fast(q0t=q0t, q1t=q1t, st=st, span=span):
+            def body(t, _):
+                row = st - baseb + t
+                eq2 = ((q0t == t0lo[pl.ds(row, 1), :])
+                       & (q1t == t1lo[pl.ds(row, 1), :]))
+                tally(eq2, t, st - base8 + t)
+                return 0
+            jax.lax.fori_loop(0, span, body, 0)
+
+        @pl.when(st - baseb + span > w_part)
+        def _straddle(q0t=q0t, q1t=q1t, st=st, span=span):
+            def body(t, _):
+                row = st - baseb + t
+                rlo = jnp.minimum(row, w_part - 1)
+                rhi = jnp.maximum(row - w_part, 0)
+                in_lo = row < w_part
+                v0 = jnp.where(in_lo, t0lo[pl.ds(rlo, 1), :],
+                               t0hi[pl.ds(rhi, 1), :])
+                v1 = jnp.where(in_lo, t1lo[pl.ds(rlo, 1), :],
+                               t1hi[pl.ds(rhi, 1), :])
+                eq2 = (q0t == v0) & (q1t == v1)
+                tally(eq2, t, st - base8 + t)
+                return 0
+            jax.lax.fori_loop(0, span, body, 0)
+
+    dout = pltpu.make_async_copy(
+        accw, acc_out_hbm.at[pl.ds(base8, w_part), :], sem_out)
+    dout.start()
+    dout.wait()
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "p", "w_part", "interpret"))
-def join_tally_step(t0, t1, acc, codes, lengths, k, p, w_part=W_PART,
-                    interpret=False):
+def join_tally_step(t0, t1, acc, codes, lengths, k, p,
+                    w_part=W_PART_TALLY, interpret=False):
     """Fused parent-scan step: extract → route → Pallas tile-join tally.
 
     ``acc`` is int32 with the planes' shape; returns (acc', overflow)
-    where overflow means some chunk needs more than *w_part* window
-    rows (retry with doubled w_part).
+    where overflow means some chunk's partition span does not fit the
+    two *w_part*-row window blocks (or the acc slab) — retry with
+    doubled w_part, up to MAX_W_PART_TALLY.
     """
     keys, _valid = dev.extract_canonical_windows(codes, lengths, k)
     flat = keys.reshape(-1, 2)
-    s0r, s1r, spr, base, sub_start, sub_span, need, _sidx, _n = _route(
-        flat, p, with_idx=False)
-    overflow = need > w_part
-    nc = base.shape[0]
-    meta = _pack_meta(base, sub_start, sub_span)
+    pad = (-flat.shape[0]) % CHUNK_T
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.full((pad, 2), jnp.uint32(0xFFFFFFFF))], axis=0)
+    n = flat.shape[0]
+    w0, w1 = flat[:, 0], flat[:, 1]
+    sent = (w0 == jnp.uint32(0xFFFFFFFF)) & (w1 == jnp.uint32(0xFFFFFFFF))
+    part = jnp.where(sent, p, _tile_hash(w0, w1, p))
+    spart, s0, s1 = jax.lax.sort((part, w0, w1), num_keys=1)
+    nc = n // CHUNK_T
+    sp2 = spart.reshape(nc * NSUB_T, SUB_ROWS)
+    sub_start = sp2[:, 0]
+    real = sp2 < p
+    mx = jnp.max(jnp.where(real, sp2, -1), axis=1)
+    sub_span = jnp.where(real[:, 0], mx - sub_start + 1,
+                         0).astype(jnp.int32)
+    first = sub_start.reshape(nc, NSUB_T)[:, 0]
+    blk = first // w_part
+    base8 = (first // 8) * 8
+    last = jnp.maximum(mx.reshape(nc, NSUB_T).max(axis=1), first)
+    overflow = ((jnp.max(last - blk * w_part + 1) > 2 * w_part)
+                | (jnp.max(last - base8 + 1) > w_part))
+    meta = jnp.concatenate([blk, base8, sub_start, sub_span])
+    s0r = s0.reshape(n // 128, 128)
+    s1r = s1.reshape(n // 128, 128)
+    spr = spart.reshape(n // 128, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # t0 planes
-            pl.BlockSpec(memory_space=pltpu.ANY),      # t1 planes
-            pl.BlockSpec((NSUB, 128), lambda c, m: (c, 0),
+            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),     # t0 window lo
+            pl.BlockSpec((w_part, TILE_KEYS),
+                         lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),     # t0 window hi
+            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),     # t1 window lo
+            pl.BlockSpec((w_part, TILE_KEYS),
+                         lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),     # t1 window hi
+            pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
                          memory_space=pltpu.VMEM),     # s0
-            pl.BlockSpec((NSUB, 128), lambda c, m: (c, 0),
+            pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
                          memory_space=pltpu.VMEM),     # s1
-            pl.BlockSpec((NSUB, 128), lambda c, m: (c, 0),
+            pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
                          memory_space=pltpu.VMEM),     # spart
             pl.BlockSpec(memory_space=pltpu.ANY),      # acc (aliased)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((w_part, TILE_KEYS), jnp.uint32),
-            pltpu.VMEM((w_part, TILE_KEYS), jnp.uint32),
             pltpu.VMEM((w_part, TILE_KEYS), jnp.int32),
-            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
     )
     acc_out = pl.pallas_call(
-        functools.partial(_join_kernel, w_part=w_part, member=False),
+        functools.partial(_tally_kernel, w_part=w_part),
         out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.int32),
         grid_spec=grid_spec,
-        input_output_aliases={6: 0},
+        input_output_aliases={8: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(meta, t0, t1, s0r, s1r, spr, acc)
+    )(meta, t0, t0, t1, t1, s0r, s1r, spr, acc)
     return acc_out, overflow
 
 
-def _member_kernel(meta_ref, t0_hbm, t1_hbm, s0_ref, s1_ref, sp_ref,
-                   found_ref, t0w, t1w, sem_t0, sem_t1, *, w_part):
-    _join_kernel(meta_ref, t0_hbm, t1_hbm, s0_ref, s1_ref, sp_ref,
-                 None, found_ref, t0w, t1w, None, sem_t0, sem_t1,
-                 None, None, w_part=w_part, member=True)
+_member_kernel = _join_kernel
 
 
 @functools.partial(
