@@ -40,7 +40,7 @@ BATCH_READS = 32768
 TABLE_M = 4096              # VCF-mode child candidate table scale
 WGS_TABLE_M = 1 << 24       # discovery parent-filter scale
 N_BATCHES = 16
-N_BATCHES_WGS = 6
+N_BATCHES_WGS = 16
 N_BATCHES_E2E = 4
 COVERAGE = 40
 GENOME_MB = 4
