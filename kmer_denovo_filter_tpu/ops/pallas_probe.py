@@ -11,13 +11,20 @@ HBM traffic beyond the one streaming pass over the reads, no gathers
 anywhere.
 
 Status: bit-exact against the XLA reference under the Pallas
-interpreter (covered by tests/test_pallas_probe.py).  The Mosaic TPU
-compiler on this round's toolchain rejects the sweep's layout
-(minor-dim flatten → "unsupported shape cast"; 3-D broadcast →
-"invalid vector register cast"), so the production engine keeps the
-XLA sweep — which already sits at the dispatch floor for headline
-sizes (PERF.md).  Re-landing this kernel with an (8, 128)-native
-key layout is on the round-2 roadmap.
+interpreter (covered by tests/test_pallas_probe.py), kept as the
+blueprint only — round-2 measurement closed the production question.
+The XLA all-pairs sweep is compare-bound within ~15% of the v5e
+VPU's multi-issue ceiling at M=4,096, so a Mosaic kernel running the
+same algorithm has no meaningful headroom, and every cheaper
+algorithm re-introduces a sort or gather that exceeds the sweep's
+whole budget at this scale (PERF.md "Why there is no Pallas
+small-table kernel in production").  Mosaic-compilability of the
+fused extraction was established along the way: it compiles when the
+output block is 128-lane aligned, lengths are (BR, 1)-shaped, packed
+words are wide enough that no window slice clamps, and the N-window
+doubling-OR runs in int32 — constraints recorded here for any future
+revisit.  Large tables take the Pallas tile-join (ops/pallas_join.py)
+instead, where partition routing actually pays.
 """
 
 import functools
