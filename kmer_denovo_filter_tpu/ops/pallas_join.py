@@ -514,7 +514,13 @@ def join_member_step(t0, t1, codes, lengths, k, p, w_part=W_PART,
         grid_spec=grid_spec,
         interpret=interpret,
     )(meta, t0, t1, s0r, s1r, spr)
-    found_flat = jnp.zeros(n, dtype=bool).at[sidx].set(
-        found_sorted.reshape(n) > 0)
+    # Unsort without a scatter: pack each row's found bit into the LSB
+    # of its original index and sort the single packed operand — 9.8 ms
+    # vs 27.5 ms for the permutation scatter at 4.2M rows (PERF.md).
+    assert n < (1 << 30), "member batch too large for packed unsort"
+    packed = (sidx << 1) | (found_sorted.reshape(n) > 0).astype(
+        jnp.int32)
+    ordered = jax.lax.sort(packed)
+    found_flat = (ordered & 1) > 0
     found = found_flat[:n_orig].reshape(b, s) & valid
     return found, overflow
