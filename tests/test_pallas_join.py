@@ -157,3 +157,76 @@ def test_build_tile_partitions_grows_on_hot_tile():
     # p=1 puts all 3000 keys in one tile (>1024) → doubled until fit
     assert p >= 4
     assert (perm >= 0).sum() == table.shape[0]
+
+
+# ── Mixed-key routing internals (round 2) ───────────────────────────
+
+
+def test_mix_keys_bijective_roundtrip():
+    """The Feistel mix must be exactly invertible (pair-equality ⟺
+    raw-equality is what lets planes hold mixed words)."""
+    rng = np.random.default_rng(11)
+    w0 = rng.integers(0, 2**32, 4096, dtype=np.uint32)
+    w1 = rng.integers(0, 2**32, 4096, dtype=np.uint32)
+    h, low = pj.mix_keys_np(w0, w1)
+    r0, r1 = pj._unmix_pair_np(h, low)
+    assert np.array_equal(r0, w0)
+    assert np.array_equal(r1, w1)
+    # no fixed-point degeneracies: mixed words differ from raw ones
+    assert (h != w0).mean() > 0.99
+
+
+def test_device_mix_matches_host_mix():
+    rng = np.random.default_rng(12)
+    w0 = rng.integers(0, 2**32, 2048, dtype=np.uint32)
+    w1 = rng.integers(0, 2**32, 2048, dtype=np.uint32)
+    hh, ll = pj._mix_keys(jnp.asarray(w0), jnp.asarray(w1))
+    h, low = pj.mix_keys_np(w0, w1)
+    assert np.array_equal(np.asarray(hh), h)
+    assert np.array_equal(np.asarray(ll), low)
+
+
+def test_sentinel_preimage_outside_keyspace():
+    """No valid left-aligned W==2 key (low w1 bits clear) can mix to
+    the all-ones sentinel pair."""
+    s = np.array([pj.SENTINEL])
+    _h0, l0 = pj._unmix_pair_np(s, s)
+    assert int(l0[0]) & 3 != 0
+
+
+@pytest.mark.parametrize("p", [1, 3, 7, 777, 21851, 65535, 1 << 17])
+def test_part_from_hi_matches_exact_scale(p):
+    """Both host and device partition maps must equal the exact
+    uint64 fixed-point scale floor(hi·p / 2^32) and be monotone."""
+    rng = np.random.default_rng(13)
+    hi = np.sort(np.concatenate([
+        rng.integers(0, 2**32, 4096, dtype=np.uint32),
+        np.array([0, 1, 2**31, 2**32 - 2, 2**32 - 1], dtype=np.uint32),
+    ]))
+    exact = ((hi.astype(np.uint64) * np.uint64(p))
+             >> np.uint64(32)).astype(np.int64)
+    got = pj._part_from_hi_np(hi, p)
+    assert np.array_equal(got, exact)
+    assert got.max() < p and got.min() >= 0
+    assert (np.diff(got) >= 0).all()  # monotone in hi
+    dev_got = np.asarray(pj._part_from_hi(jnp.asarray(hi), p))
+    assert np.array_equal(dev_got, exact)
+
+
+def test_part_from_hi_large_non_pow2_rejected():
+    hi = np.zeros(4, dtype=np.uint32)
+    with pytest.raises(ValueError):
+        pj._part_from_hi_np(hi, (1 << 17) + 1)
+
+
+def test_num_partitions_pow2_above_16bit():
+    # small tables: exact ceil(m / MEAN_FILL)
+    assert pj.num_partitions(pj.MEAN_FILL * 10) == 10
+    # beyond the 16-bit fixed-point range: forced to a power of two
+    m_big = pj.MEAN_FILL * 100_000
+    p = pj.num_partitions(m_big)
+    assert p > 0xFFFF and p & (p - 1) == 0
+    assert p * pj.TILE_KEYS >= m_big  # still roomy enough to fit
+    # growth helper keeps the pow2 invariant across the boundary
+    g = pj._grow_p(0xFFFF)
+    assert g > 0xFFFF and g & (g - 1) == 0
