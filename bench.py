@@ -14,8 +14,9 @@ VCF-mode device step, with the other tiers under ``details``:
   production input pipeline overlaps host decode with device steps.
 * ``wgs_scale_reads_per_s`` — the same step against a 16.8M-key table
   (WGS discovery Module 2 scale) via the Pallas tile-join
-  (ops/pallas_join.py): sort-route in XLA + lane-major partition-tile
-  join kernel.
+  (ops/pallas_join.py): mixed-key sort-route in XLA + lane-major
+  partition-tile join kernel.  ``wgs_member_reads_per_s`` is the
+  anchoring member scan (discovery Module 3) over the same table.
 * ``end_to_end_reads_per_s`` — host BGZF/BAM decode (htsio kdf_native)
   → 4-bit pack → device transfer → unpack + tally, on a synthetic
   BGZF BAM.  NOTE: on this relay-attached chip host↔device moves at
@@ -115,7 +116,19 @@ def bench_wgs(jnp, pj, rng, genome):
     elapsed = time.perf_counter() - start
     total = int(np.asarray(jnp.sum(acc)))
     assert total > 0, "WGS bench produced zero hits — compare broken?"
-    return BATCH_READS * N_BATCHES_WGS / elapsed
+    tally_rate = BATCH_READS * N_BATCHES_WGS / elapsed
+
+    # anchoring member scan over the same table (discovery Module 3)
+    found, _ovf = pj.join_member_step(t0j, t1j, batches[0], lengths,
+                                      K, p)
+    np.asarray(found[:1, :1])
+    start = time.perf_counter()
+    for b in batches:
+        found, _ovf = pj.join_member_step(t0j, t1j, b, lengths, K, p)
+    np.asarray(found[:1, :1])
+    member_rate = BATCH_READS * N_BATCHES_WGS / (
+        time.perf_counter() - start)
+    return tally_rate, member_rate
 
 
 def bench_end_to_end(jax, jnp, dev, enc, rng, genome, tmpdir):
@@ -219,10 +232,11 @@ def main():
     headline = bench_small(jnp, dev, enc, rng, genome)
     details = {}
     try:
-        wgs = bench_wgs(jnp, pj, rng, genome)
+        wgs, wgs_member = bench_wgs(jnp, pj, rng, genome)
         details["wgs_scale_reads_per_s"] = round(wgs, 1)
         details["wgs_scale_vs_baseline"] = round(
             wgs / BASELINE_READS_PER_S, 3)
+        details["wgs_member_reads_per_s"] = round(wgs_member, 1)
     except Exception as e:  # keep the headline alive on any failure
         details["wgs_scale_error"] = str(e)[:200]
     try:
