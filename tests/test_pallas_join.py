@@ -230,3 +230,55 @@ def test_num_partitions_pow2_above_16bit():
     # growth helper keeps the pow2 invariant across the boundary
     g = pj._grow_p(0xFFFF)
     assert g > 0xFFFF and g & (g - 1) == 0
+
+
+def test_build_tile_partitions_pow2_path():
+    """The >2^16 power-of-two partition map places every key at the
+    slot the device map would route it to, with mixed words stored."""
+    k = 31
+    table64 = _table_from_reads(k, seed=9)
+    table = _split_words(table64)
+    t0, t1, perm, p = pj.build_tile_partitions(table, p=1 << 17)
+    assert p == 1 << 17
+    h, low = pj.mix_keys_np(table[:, 0], table[:, 1])
+    part = pj._part_from_hi_np(h, p)
+    ok = perm >= 0
+    rows = np.nonzero(ok)[0]
+    # every key sits in its own partition row, holding mixed words
+    orig = perm[ok]
+    assert np.array_equal(part[orig], rows)
+    assert np.array_equal(t0[:p][ok], h[orig])
+    assert np.array_equal(t1[:p][ok], low[orig])
+    # device map agrees with the host placement
+    dev_part = np.asarray(pj._part_from_hi(jnp.asarray(h), p))
+    assert np.array_equal(dev_part, part)
+
+
+def test_member_unsort_with_duplicate_keys():
+    """Duplicate window keys across reads must all unsort to their own
+    rows (the packed-LSB unsort has no per-key collapsing)."""
+    k = 17
+    codes, lengths = _reads(12, 48, k, with_n=False, seed=14)
+    codes[6:] = codes[:6]  # exact duplicate reads
+    lengths[6:] = lengths[:6]
+    codes_p, lens_p, k64, valid = _window_keys64(codes, lengths, k)
+    tset64 = np.unique(k64[valid])[::3]  # every third key a member
+    table = _split_words(tset64)
+    t0, t1, _perm, p = pj.build_tile_partitions(table)
+    found, ovf = pj.join_member_step(
+        jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(codes_p),
+        jnp.asarray(lens_p), k, p, interpret=True)
+    assert not bool(ovf)
+    found = np.asarray(found)
+    tset = set(tset64.tolist())
+    bb, ss = valid.shape
+    expected = np.zeros_like(found)
+    for b in range(bb):
+        for s in range(ss):
+            if valid[b, s]:
+                expected[b, s] = int(k64[b, s]) in tset
+    assert expected.any()
+    assert np.array_equal(found, expected)
+    # duplicate halves agree row-for-row (batch is padded past row 12)
+    assert np.array_equal(found[0:6], found[6:12])
+    assert found[0:6].any()
