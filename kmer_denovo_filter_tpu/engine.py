@@ -292,26 +292,51 @@ class FilteredCounter:
             self.acc = jnp.zeros(tblocks.shape[:2], dtype=jnp.int32)
         else:
             self.acc = jnp.zeros(index.m_pad, dtype=jnp.int32)
+        self._pending = None
+
+    def _resolve_pending(self):
+        """Settle the overflow flag of the previously dispatched batch.
+
+        The flag read is a device sync, so it is deferred one batch:
+        the host decodes batch *i+1* while the device still crunches
+        batch *i*, and the rare overflow replays batch *i* exactly
+        from its saved pre-batch accumulator at a doubled window.
+        """
+        if self._pending is None:
+            return
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        codes_j, lens_j, acc_before, overflow = self._pending
+        self._pending = None
+        if not bool(overflow):
+            return
+        idx = self.index
+        t0, t1, _perm, p = idx.tile_partitions()
+        while True:
+            if self.w_part >= pj.MAX_W_PART_TALLY:
+                raise RuntimeError(
+                    "tile-join window overflow at maximum w_part")
+            self.w_part = min(self.w_part * 2, pj.MAX_W_PART_TALLY)
+            acc, overflow = pj.join_tally_step(
+                t0, t1, acc_before, codes_j, lens_j, idx.k, p,
+                self.w_part, interpret=_pallas_interpret())
+            if not bool(overflow):
+                break
+        self.acc = acc
 
     def _feed_pallas(self, codes_j, lens_j):
         from kmer_denovo_filter_tpu.ops import pallas_join as pj
         idx = self.index
         t0, t1, _perm, p = idx.tile_partitions()
-        # self.acc stays valid across a failed attempt: the kernel's
-        # io-alias gets a fresh XLA copy because the caller still
-        # holds the input buffer, so retrying from self.acc is exact.
+        self._resolve_pending()
+        # acc_before stays valid across a failed attempt: the kernel's
+        # io-alias gets a fresh XLA copy because _pending still holds
+        # the input buffer, so replaying from it is exact.
+        acc_before = self.acc
         acc, overflow = pj.join_tally_step(
-            t0, t1, self.acc, codes_j, lens_j, idx.k, p, self.w_part,
+            t0, t1, acc_before, codes_j, lens_j, idx.k, p, self.w_part,
             interpret=_pallas_interpret())
-        while bool(overflow):
-            self.w_part = min(self.w_part * 2, pj.MAX_W_PART_TALLY)
-            acc, overflow = pj.join_tally_step(
-                t0, t1, self.acc, codes_j, lens_j, idx.k, p,
-                self.w_part, interpret=_pallas_interpret())
-            if bool(overflow) and self.w_part >= pj.MAX_W_PART_TALLY:
-                raise RuntimeError(
-                    "tile-join window overflow at maximum w_part")
         self.acc = acc
+        self._pending = (codes_j, lens_j, acc_before, overflow)
 
     def feed(self, codes, lengths):
         codes_p, lens_p = pad_read_batch(codes, lengths)
@@ -359,6 +384,7 @@ class FilteredCounter:
         """int64 counts aligned with the index's sorted keys."""
         idx = self.index
         if self.pallas:
+            self._resolve_pending()
             _t0, _t1, perm, _p = idx.tile_partitions()
             acc = np.asarray(self.acc)[:perm.shape[0]]
             out = np.zeros(idx.n, dtype=np.int64)

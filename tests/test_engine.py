@@ -382,10 +382,21 @@ class TestOverflowRetries:
         fc = eng.FilteredCounter(index)
         fc.w_part = 4
         fc.feed(codes, lengths)
-        assert fc.w_part > 4  # the retry loop actually widened it
+        # the overflow check is deferred one batch (the flag read is a
+        # device sync; deferring lets host decode overlap the step) —
+        # the pending batch resolves and replays at result()
+        assert fc._pending is not None
         got = fc.result()
+        assert fc.w_part > 4  # the retry loop actually widened it
+        assert fc._pending is None
         expected = _expected_tally(batch, keys, index.k)
         assert np.array_equal(got, expected)
+        # feeding the same batch again resolves the new pending entry
+        # on the next feed, replaying from the *post-batch-1* acc
+        fc.feed(codes, lengths)
+        fc.feed(codes, lengths)
+        got3 = fc.result()
+        assert np.array_equal(got3, expected * 3)
 
 
 def _expected_tally(reads, keys, k):
