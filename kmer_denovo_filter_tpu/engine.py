@@ -300,27 +300,43 @@ class FilteredCounter:
         The flag read is a device sync, so it is deferred one batch:
         the host decodes batch *i+1* while the device still crunches
         batch *i*, and the rare overflow replays batch *i* exactly
-        from its saved pre-batch accumulator at a doubled window.
+        from its saved pre-batch accumulator at a doubled capacity.
         """
         if self._pending is None:
             return
-        from kmer_denovo_filter_tpu.ops import pallas_join as pj
-        codes_j, lens_j, acc_before, overflow = self._pending
+        kind, codes_j, lens_j, acc_before, overflow, cap = self._pending
         self._pending = None
         if not bool(overflow):
             return
         idx = self.index
-        t0, t1, _perm, p = idx.tile_partitions()
-        while True:
-            if self.w_part >= pj.MAX_W_PART_TALLY:
-                raise RuntimeError(
-                    "tile-join window overflow at maximum w_part")
-            self.w_part = min(self.w_part * 2, pj.MAX_W_PART_TALLY)
-            acc, overflow = pj.join_tally_step(
-                t0, t1, acc_before, codes_j, lens_j, idx.k, p,
-                self.w_part, interpret=_pallas_interpret())
-            if not bool(overflow):
-                break
+        if kind == "pallas":
+            from kmer_denovo_filter_tpu.ops import pallas_join as pj
+            t0, t1, _perm, p = idx.tile_partitions()
+            while True:
+                if self.w_part >= pj.MAX_W_PART_TALLY:
+                    raise RuntimeError(
+                        "tile-join window overflow at maximum w_part")
+                self.w_part = min(self.w_part * 2,
+                                  pj.MAX_W_PART_TALLY)
+                acc, overflow = pj.join_tally_step(
+                    t0, t1, acc_before, codes_j, lens_j, idx.k, p,
+                    self.w_part, interpret=_pallas_interpret())
+                if not bool(overflow):
+                    break
+        elif kind == "mid":
+            tblocks, _perm, p_bits = idx.hash_partitions()
+            cap_q = cap
+            while True:
+                cap_q *= 2
+                acc, overflow = dev.partitioned_tally_step(
+                    tblocks, acc_before, codes_j, lens_j, idx.k,
+                    idx.w, p_bits, cap_q)
+                if not bool(overflow):
+                    break
+        else:  # bucketed: batch defeated dedup — retry at full cap
+            acc, _overflow = dev.filtered_tally_step_bucketed(
+                idx.table, idx.off, acc_before, codes_j, lens_j,
+                idx.k, idx.w, idx.m_pad, cap, idx.p_bits, idx.rounds)
         self.acc = acc
 
     def _feed_pallas(self, codes_j, lens_j):
@@ -336,7 +352,8 @@ class FilteredCounter:
             t0, t1, acc_before, codes_j, lens_j, idx.k, p, self.w_part,
             interpret=_pallas_interpret())
         self.acc = acc
-        self._pending = (codes_j, lens_j, acc_before, overflow)
+        self._pending = ("pallas", codes_j, lens_j, acc_before,
+                         overflow, None)
 
     def feed(self, codes, lengths):
         codes_p, lens_p = pad_read_batch(codes, lengths)
@@ -358,33 +375,29 @@ class FilteredCounter:
             tblocks, _perm, p_bits = idx.hash_partitions()
             cap_q = 1 << max(
                 4, (2 * n_windows >> p_bits).bit_length())
+            self._resolve_pending()
+            acc_before = self.acc
             acc, overflow = dev.partitioned_tally_step(
-                tblocks, self.acc, codes_j, lens_j, idx.k, idx.w,
+                tblocks, acc_before, codes_j, lens_j, idx.k, idx.w,
                 p_bits, cap_q)
-            while bool(overflow):
-                cap_q *= 2
-                acc, overflow = dev.partitioned_tally_step(
-                    tblocks, self.acc, codes_j, lens_j, idx.k, idx.w,
-                    p_bits, cap_q)
             self.acc = acc
+            self._pending = ("mid", codes_j, lens_j, acc_before,
+                             overflow, cap_q)
             return
+        self._resolve_pending()
+        acc_before = self.acc
         acc, overflow = dev.filtered_tally_step_bucketed(
-            idx.table, idx.off, self.acc, codes_j, lens_j,
+            idx.table, idx.off, acc_before, codes_j, lens_j,
             idx.k, idx.w, idx.m_pad, cap, idx.p_bits, idx.rounds)
-        if bool(overflow):
-            # batch defeated dedup — retry at full capacity
-            acc, overflow = dev.filtered_tally_step_bucketed(
-                idx.table, idx.off, self.acc, codes_j, lens_j,
-                idx.k, idx.w, idx.m_pad,
-                1 << (n_windows - 1).bit_length(), idx.p_bits,
-                idx.rounds)
         self.acc = acc
+        self._pending = ("bucketed", codes_j, lens_j, acc_before,
+                         overflow, 1 << (n_windows - 1).bit_length())
 
     def result(self):
         """int64 counts aligned with the index's sorted keys."""
         idx = self.index
+        self._resolve_pending()
         if self.pallas:
-            self._resolve_pending()
             _t0, _t1, perm, _p = idx.tile_partitions()
             acc = np.asarray(self.acc)[:perm.shape[0]]
             out = np.zeros(idx.n, dtype=np.int64)
