@@ -287,6 +287,7 @@ class ShardedFilteredCounter:
         self.k = k
         self.w = self.index.w
         self._step_cache = {}
+        self._pending = None
 
     def _step_fn(self, cap):
         if cap in self._step_cache:
@@ -334,19 +335,42 @@ class ShardedFilteredCounter:
         s = codes.shape[1] - self.k + 1
         return codes_d, lens_d, per, s
 
+    def _resolve_pending(self):
+        """Settle the previous batch's route-overflow flag.
+
+        Deferred one batch (the flag read is a device sync) so host
+        decode overlaps the sharded step — same contract as
+        ``engine.FilteredCounter``; the rare overflow replays exactly
+        from the saved pre-batch tally at doubled route capacity.
+        """
+        if self._pending is None:
+            return
+        codes_d, lens_d, tally_before, overflow, cap = self._pending
+        self._pending = None
+        if not bool(np.asarray(overflow).any()):
+            return
+        idx = self.index
+        while True:
+            cap *= 2
+            acc, overflow = self._step_fn(cap)(
+                idx.table, tally_before, codes_d, lens_d)
+            if not bool(np.asarray(overflow).any()):
+                break
+        idx._tally = acc
+
     def feed(self, codes, lengths, slack=4.0):
         idx = self.index
         codes_d, lens_d, per, s = self._shard_reads(codes, lengths)
         cap = max(16, int(per * s / idx.n_shards * slack))
+        self._resolve_pending()
+        tally_before = idx._tally
         acc, overflow = self._step_fn(cap)(
-            idx.table, idx._tally, codes_d, lens_d)
-        while bool(np.asarray(overflow).any()):
-            cap *= 2
-            acc, overflow = self._step_fn(cap)(
-                idx.table, idx._tally, codes_d, lens_d)
+            idx.table, tally_before, codes_d, lens_d)
         idx._tally = acc
+        self._pending = (codes_d, lens_d, tally_before, overflow, cap)
 
     def result(self):
+        self._resolve_pending()
         return self.index.tally_result()
 
 
