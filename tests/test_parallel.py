@@ -256,3 +256,27 @@ def test_make_scanner_sharded_dispatch(monkeypatch):
     monkeypatch.setenv("KDF_SHARDED", "1")
     sharded = eng.make_scanner(index)(codes, lengths)
     assert np.array_equal(base, sharded)
+
+
+def test_sharded_filtered_counter_deferred_overflow_replay():
+    """A tiny route capacity forces overflow; the deferred resolution
+    (settled at the next feed / result) must replay exactly."""
+    from kmer_denovo_filter_tpu.parallel.sharded import (
+        ShardedFilteredCounter,
+    )
+    k = 31
+    mesh = make_mesh()
+    # homopolymer reads: every window is ONE key, so all route traffic
+    # converges on a single owner shard and overflows a small cap
+    stream = ["A" * 60] * 16
+    cap_map, _ = K.extract_read_kmers(stream[0], k)
+    keys = enc.kmers_to_keys(sorted(set(cap_map.values())), k)
+    fc = ShardedFilteredCounter(keys, k, mesh)
+    batch, lens = pack_reads(stream)
+    fc.feed(batch[:8], lens[:8], slack=0.01)
+    assert fc._pending is not None  # sync deferred, not yet settled
+    fc.feed(batch[8:], lens[8:], slack=0.01)
+    res = fc.result()
+    assert fc._pending is None
+    total = int(res.sum())
+    assert total == 16 * (60 - k + 1)  # every valid window tallied
