@@ -1,10 +1,17 @@
 #!/usr/bin/env python3
-"""Compare discovery regions and VCF variants using bedGraph coverage.
+"""Cross-reference the two pipelines' outputs into a concordance summary.
 
 Functional twin of reference scripts/compare_regions.py (390 LoC),
-reimplemented on the package's own VCF reader (no pysam).  Classifies
-each annotated variant as CONCORDANT / VCF_ONLY / NO_SIGNAL and lists
-DISCOVERY_ONLY regions, writing the same summary format.
+rebuilt on the package's own VCF reader (no pysam) and a table-driven
+parser/report structure.  Buckets:
+
+  CONCORDANT      variant has bedGraph signal and a discovery region
+  VCF_ONLY        variant has signal but no overlapping region
+  NO_SIGNAL       variant position has no bedGraph k-mer signal
+  DISCOVERY_ONLY  region contains no VCF variant
+
+Output text is format-pinned to the reference so downstream diffs and
+the committed goldens stay byte-identical.
 """
 
 import argparse
@@ -16,52 +23,63 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from kmer_denovo_filter_tpu.htsio.vcf import VcfReader  # noqa: E402
 
+# Discovery BED column layout after the 3 coordinate columns: the
+# (key, required) spec drives both parsing and default filling.
+_BED_INT_COLS = ("reads", "unique_kmers", "split_reads",
+                 "discordant_pairs", "max_clip_len", "unmapped_mates")
+
+
+def _data_lines(path, skip_track=False):
+    """Stripped, non-comment lines of a tab text file, pre-split."""
+    with open(path) as fh:
+        for raw in fh:
+            text = raw.strip()
+            if not text or text.startswith("#"):
+                continue
+            if skip_track and text.startswith("track"):
+                continue
+            yield text.split("\t")
+
 
 def load_bedgraph(path):
     """{chrom: [(start, end, count), ...]} from a bedGraph file."""
     intervals = collections.defaultdict(list)
-    with open(path) as fh:
-        for line in fh:
-            line = line.strip()
-            if (not line or line.startswith("#")
-                    or line.startswith("track")):
-                continue
-            parts = line.split("\t")
-            intervals[parts[0]].append(
-                (int(parts[1]), int(parts[2]), int(parts[3])))
+    for cols in _data_lines(path, skip_track=True):
+        intervals[cols[0]].append(
+            (int(cols[1]), int(cols[2]), int(cols[3])))
     return dict(intervals)
 
 
 def load_discovery_bed(path):
     """{chrom: [region dicts]} from a discovery BED file."""
-
-    def _int(val, default=0):
-        try:
-            return int(val)
-        except (ValueError, TypeError):
-            return default
-
     regions = collections.defaultdict(list)
-    with open(path) as fh:
-        for line in fh:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            parts = line.split("\t")
-            regions[parts[0]].append({
-                "start": int(parts[1]),
-                "end": int(parts[2]),
-                "reads": _int(parts[3] if len(parts) > 3 else None),
-                "unique_kmers": _int(parts[4] if len(parts) > 4 else None),
-                "split_reads": _int(parts[5] if len(parts) > 5 else None),
-                "discordant_pairs": _int(
-                    parts[6] if len(parts) > 6 else None),
-                "max_clip_len": _int(parts[7] if len(parts) > 7 else None),
-                "unmapped_mates": _int(
-                    parts[8] if len(parts) > 8 else None),
-                "class": parts[9].strip() if len(parts) > 9 else "UNKNOWN",
-            })
+    for cols in _data_lines(path):
+        region = {"start": int(cols[1]), "end": int(cols[2])}
+        for offset, key in enumerate(_BED_INT_COLS, start=3):
+            try:
+                region[key] = int(cols[offset])
+            except (IndexError, ValueError):
+                region[key] = 0
+        cls_col = cols[9].strip() if len(cols) > 9 else ""
+        region["class"] = cls_col or "UNKNOWN"
+        regions[cols[0]].append(region)
     return dict(regions)
+
+
+def _dk_fields(rec, has_samples):
+    """(DKU, DKA) of one VCF record, FORMAT-first with INFO fallback."""
+    pairs = {}
+    if has_samples and rec.format:
+        pairs = dict(zip(rec.format.split(":"),
+                         rec.sample_values[0].split(":")))
+    else:
+        for item in rec.info.split(";"):
+            key, eq, val = item.partition("=")
+            if eq:
+                pairs[key] = val
+    def _get(name):
+        return int(pairs[name]) if name in pairs else None
+    return _get("DKU"), _get("DKA")
 
 
 def load_vcf_variants(path):
@@ -69,21 +87,7 @@ def load_vcf_variants(path):
     vcf = VcfReader(path)
     variants = []
     for rec in vcf:
-        dku = dka = None
-        if vcf.samples and rec.format:
-            keys = rec.format.split(":")
-            vals = rec.sample_values[0].split(":")
-            kv = dict(zip(keys, vals))
-            if "DKU" in kv:
-                dku = int(kv["DKU"])
-            if "DKA" in kv:
-                dka = int(kv["DKA"])
-        else:
-            for item in rec.info.split(";"):
-                if item.startswith("DKU="):
-                    dku = int(item[4:])
-                elif item.startswith("DKA="):
-                    dka = int(item[4:])
+        dku, dka = _dk_fields(rec, bool(vcf.samples))
         variants.append({
             "chrom": rec.chrom,
             "pos0": rec.pos - 1,
@@ -96,171 +100,166 @@ def load_vcf_variants(path):
     return variants
 
 
-def _has_bedgraph_signal(chrom, pos0, bedgraph, window=0):
-    q_start = pos0 - window
-    q_end = pos0 + window + 1
-    for start, end, count in bedgraph.get(chrom, []):
-        if count > 0 and start < q_end and end > q_start:
-            return True
-    return False
+class _Locus:
+    """One VCF position widened by the search window."""
 
+    def __init__(self, chrom, pos0, window):
+        self.chrom = chrom
+        self.lo = pos0 - window
+        self.hi = pos0 + window + 1
 
-def _overlapping_discovery_regions(chrom, pos0, discovery, window=0):
-    q_start = pos0 - window
-    q_end = pos0 + window + 1
-    return [r for r in discovery.get(chrom, [])
-            if r["start"] < q_end and r["end"] > q_start]
+    def has_signal(self, bedgraph):
+        return any(count > 0 and start < self.hi and end > self.lo
+                   for start, end, count in bedgraph.get(self.chrom, []))
 
-
-def _vcf_variants_in_region(chrom, reg_start, reg_end, variants_by_chrom):
-    return [v for v in variants_by_chrom.get(chrom, [])
-            if reg_start <= v["pos0"] < reg_end]
+    def regions(self, discovery):
+        return [r for r in discovery.get(self.chrom, [])
+                if r["start"] < self.hi and r["end"] > self.lo]
 
 
 def compare(bedgraph, discovery, variants, window=0):
     """Classify variants/regions into concordance buckets."""
-    variants_by_chrom = collections.defaultdict(list)
+    by_chrom = collections.defaultdict(list)
+    buckets = {"concordant": [], "vcf_only": [], "no_signal": [],
+               "discovery_only": []}
     for v in variants:
-        variants_by_chrom[v["chrom"]].append(v)
-
-    concordant = []
-    vcf_only = []
-    no_signal = []
-    for v in variants:
-        has_signal = _has_bedgraph_signal(
-            v["chrom"], v["pos0"], bedgraph, window)
-        overlaps = _overlapping_discovery_regions(
-            v["chrom"], v["pos0"], discovery, window)
-        if has_signal and overlaps:
-            concordant.append({"variant": v, "regions": overlaps})
-        elif has_signal and not overlaps:
-            vcf_only.append({"variant": v})
-        else:
-            no_signal.append({
+        by_chrom[v["chrom"]].append(v)
+        locus = _Locus(v["chrom"], v["pos0"], window)
+        overlaps = locus.regions(discovery)
+        if not locus.has_signal(bedgraph):
+            buckets["no_signal"].append({
                 "variant": v,
                 "has_discovery": bool(overlaps),
                 "discovery_regions": overlaps,
             })
+        elif overlaps:
+            buckets["concordant"].append(
+                {"variant": v, "regions": overlaps})
+        else:
+            buckets["vcf_only"].append({"variant": v})
 
-    discovery_only = []
     for chrom, regions in sorted(discovery.items()):
         for region in regions:
-            inside = _vcf_variants_in_region(
-                chrom, region["start"], region["end"], variants_by_chrom)
-            if not inside:
-                discovery_only.append({"chrom": chrom, **region})
-
-    return {
-        "concordant": concordant,
-        "vcf_only": vcf_only,
-        "no_signal": no_signal,
-        "discovery_only": discovery_only,
-    }
+            hit = any(region["start"] <= v["pos0"] < region["end"]
+                      for v in by_chrom.get(chrom, []))
+            if not hit:
+                buckets["discovery_only"].append(
+                    {"chrom": chrom, **region})
+    return buckets
 
 
-def _fmt_variant(v):
-    return f"{v['chrom']}:{v['pos1']} {v['ref']}>{v['alt']}"
+# ── summary rendering ────────────────────────────────────────────────
+
+def _variant_label(v):
+    return "%s:%s %s>%s" % (v["chrom"], v["pos1"], v["ref"], v["alt"])
 
 
-def _fmt_region_stats(region):
-    return (f"reads={region['reads']}"
-            f"  unique_kmers={region['unique_kmers']}"
-            f"  split_reads={region['split_reads']}"
-            f"  class={region['class']}")
+def _variant_dk(v):
+    return "  %s  DKU=%s  DKA=%s" % (_variant_label(v), v["dku"],
+                                     v["dka"])
+
+
+def _region_stats(region):
+    return ("reads=%(reads)s  unique_kmers=%(unique_kmers)s"
+            "  split_reads=%(split_reads)s  class=%(class)s" % region)
+
+
+def _region_coord(chrom, region):
+    return "%s:%s-%s" % (chrom, region["start"], region["end"])
+
+
+class _Report:
+    """Accumulates the pinned summary layout line by line."""
+
+    RULE = "=" * 60
+
+    def __init__(self):
+        self.lines = []
+
+    def add(self, *lines):
+        self.lines.extend(lines)
+
+    def banner(self, title):
+        self.add(self.RULE, title, self.RULE)
+
+    def open_section(self, heading, description):
+        self.add(heading, description, "-" * 60)
+
+    def close_section(self, n_rows):
+        if not n_rows:
+            self.add("  (none)")
+        self.add("")
+
+    def text(self):
+        return "\n".join(self.lines)
 
 
 def format_summary(result, window=0):
     """Human-readable concordance summary (reference format)."""
-    lines = []
-    lines.append("=" * 60)
-    lines.append("  bedGraph / Discovery / VCF Region Comparison")
-    lines.append("=" * 60)
+    rep = _Report()
+    rep.banner("  bedGraph / Discovery / VCF Region Comparison")
     if window:
-        lines.append(
-            f"  Search window: ±{window} bp around each VCF position")
+        rep.add("  Search window: ±%d bp around each VCF position"
+                % window)
     else:
-        lines.append("  Search window: exact position overlap")
-    lines.append("")
+        rep.add("  Search window: exact position overlap")
+    rep.add("")
 
     concordant = result["concordant"]
-    lines.append(f"CONCORDANT  ({len(concordant)} variants)")
-    lines.append(
+    rep.open_section(
+        "CONCORDANT  (%d variants)" % len(concordant),
         "  VCF variant has k-mer signal AND overlaps a discovery region")
-    lines.append("-" * 60)
     for item in concordant:
         v = item["variant"]
         for region in item["regions"]:
-            region_coord = f"{v['chrom']}:{region['start']}-{region['end']}"
-            lines.append(
-                f"  {_fmt_variant(v)}"
-                f"  DKU={v['dku']}  DKA={v['dka']}"
-                f"  region={region_coord}"
-                f"  {_fmt_region_stats(region)}")
-    if not concordant:
-        lines.append("  (none)")
-    lines.append("")
+            rep.add("%s  region=%s  %s" % (
+                _variant_dk(v), _region_coord(v["chrom"], region),
+                _region_stats(region)))
+    rep.close_section(len(concordant))
 
     vcf_only = result["vcf_only"]
-    lines.append(f"VCF_ONLY  ({len(vcf_only)} variants)")
-    lines.append(
+    rep.open_section(
+        "VCF_ONLY  (%d variants)" % len(vcf_only),
         "  VCF variant has k-mer signal but no overlapping discovery "
         "region")
-    lines.append("-" * 60)
     for item in vcf_only:
-        v = item["variant"]
-        lines.append(f"  {_fmt_variant(v)}"
-                     f"  DKU={v['dku']}  DKA={v['dka']}")
-    if not vcf_only:
-        lines.append("  (none)")
-    lines.append("")
+        rep.add(_variant_dk(item["variant"]))
+    rep.close_section(len(vcf_only))
 
     no_signal = result["no_signal"]
-    lines.append(f"NO_SIGNAL  ({len(no_signal)} variants)")
-    lines.append(
+    rep.open_section(
+        "NO_SIGNAL  (%d variants)" % len(no_signal),
         "  VCF variant has no bedGraph k-mer signal at its position")
-    lines.append("-" * 60)
     for item in no_signal:
         v = item["variant"]
-        if item["has_discovery"]:
-            for region in item["discovery_regions"]:
-                region_coord = (
-                    f"{v['chrom']}:{region['start']}-{region['end']}")
-                lines.append(
-                    f"  {_fmt_variant(v)}"
-                    f"  DKU={v['dku']}  DKA={v['dka']}"
-                    f"  +discovery={region_coord}"
-                    f"  {_fmt_region_stats(region)}")
-        else:
-            lines.append(f"  {_fmt_variant(v)}"
-                         f"  DKU={v['dku']}  DKA={v['dka']}")
-    if not no_signal:
-        lines.append("  (none)")
-    lines.append("")
+        if not item["has_discovery"]:
+            rep.add(_variant_dk(v))
+            continue
+        for region in item["discovery_regions"]:
+            rep.add("%s  +discovery=%s  %s" % (
+                _variant_dk(v), _region_coord(v["chrom"], region),
+                _region_stats(region)))
+    rep.close_section(len(no_signal))
 
     disc_only = result["discovery_only"]
-    lines.append(f"DISCOVERY_ONLY  ({len(disc_only)} regions)")
-    lines.append("  Discovery region has no overlapping VCF variant")
-    lines.append("-" * 60)
+    rep.open_section(
+        "DISCOVERY_ONLY  (%d regions)" % len(disc_only),
+        "  Discovery region has no overlapping VCF variant")
     for item in disc_only:
-        lines.append(
-            f"  {item['chrom']}:{item['start']}-{item['end']}"
-            f"  ({item['end'] - item['start']} bp)"
-            f"  {_fmt_region_stats(item)}")
-    if not disc_only:
-        lines.append("  (none)")
-    lines.append("")
+        rep.add("  %s  (%d bp)  %s" % (
+            _region_coord(item["chrom"], item),
+            item["end"] - item["start"], _region_stats(item)))
+    rep.close_section(len(disc_only))
 
-    total_vcf = len(concordant) + len(vcf_only) + len(no_signal)
-    lines.append("=" * 60)
-    lines.append("  Summary")
-    lines.append("=" * 60)
-    lines.append(f"  Total VCF variants:            {total_vcf}")
-    lines.append(f"  Concordant (signal + region):  {len(concordant)}")
-    lines.append(f"  VCF-only (signal, no region):  {len(vcf_only)}")
-    lines.append(f"  No k-mer signal:               {len(no_signal)}")
-    lines.append(f"  Discovery-only regions:        {len(disc_only)}")
-    lines.append("=" * 60)
-    return "\n".join(lines)
+    n_variants = len(concordant) + len(vcf_only) + len(no_signal)
+    rep.banner("  Summary")
+    rep.add("  Total VCF variants:            %d" % n_variants,
+            "  Concordant (signal + region):  %d" % len(concordant),
+            "  VCF-only (signal, no region):  %d" % len(vcf_only),
+            "  No k-mer signal:               %d" % len(no_signal),
+            "  Discovery-only regions:        %d" % len(disc_only),
+            rep.RULE)
+    return rep.text()
 
 
 def parse_args(argv=None):
@@ -289,10 +288,11 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    bedgraph = load_bedgraph(args.bedgraph)
-    discovery = load_discovery_bed(args.discovery)
-    variants = load_vcf_variants(args.vcf)
-    result = compare(bedgraph, discovery, variants, window=args.window)
+    result = compare(
+        load_bedgraph(args.bedgraph),
+        load_discovery_bed(args.discovery),
+        load_vcf_variants(args.vcf),
+        window=args.window)
     summary = format_summary(result, window=args.window)
     print(summary)
     if args.output:
