@@ -293,6 +293,7 @@ class FilteredCounter:
         else:
             self.acc = jnp.zeros(index.m_pad, dtype=jnp.int32)
         self._pending = None
+        self._host_corr = None
 
     def _resolve_pending(self):
         """Settle the overflow flag of the previously dispatched batch.
@@ -314,8 +315,14 @@ class FilteredCounter:
             t0, t1, _perm, p = idx.tile_partitions()
             while True:
                 if self.w_part >= pj.MAX_W_PART_TALLY:
-                    raise RuntimeError(
-                        "tile-join window overflow at maximum w_part")
+                    # sparse/skewed batch: its few distinct keys spread
+                    # over more partitions than the largest window
+                    # covers (e.g. the near-empty final batch of a
+                    # file).  Tally it exactly via dedup + host-side
+                    # searchsorted — one rare host round-trip.
+                    self._tally_batch_on_host(codes_j, lens_j)
+                    acc = acc_before
+                    break
                 self.w_part = min(self.w_part * 2,
                                   pj.MAX_W_PART_TALLY)
                 acc, overflow = pj.join_tally_step(
@@ -338,6 +345,34 @@ class FilteredCounter:
                 idx.table, idx.off, acc_before, codes_j, lens_j,
                 idx.k, idx.w, idx.m_pad, cap, idx.p_bits, idx.rounds)
         self.acc = acc
+
+    def _tally_batch_on_host(self, codes_j, lens_j):
+        """Exact tally of one batch that defeated every tile window.
+
+        Device dedup (sort-count) then host searchsorted into the
+        index's lexicographically sorted keys; counts accumulate in a
+        host-side correction added by :meth:`result`.  Only sparse
+        batches reach this, so the device→host unique set is small.
+        """
+        idx = self.index
+        keys, _valid = dev.extract_canonical_windows(
+            codes_j, lens_j, idx.k)
+        skeys, starts, counts = dev.sort_count(
+            keys.reshape(-1, idx.w), idx.w)
+        skeys = np.asarray(skeys)
+        mask = np.asarray(starts) & ~(skeys == _SENTINEL32).all(axis=1)
+        uk = skeys[mask]
+        uc = np.asarray(counts)[mask].astype(np.int64)
+        tbl = ((idx.keys_np[:, 0].astype(np.uint64) << np.uint64(32))
+               | idx.keys_np[:, 1].astype(np.uint64))
+        q = ((uk[:, 0].astype(np.uint64) << np.uint64(32))
+             | uk[:, 1].astype(np.uint64))
+        pos = np.searchsorted(tbl, q)
+        pos_c = np.minimum(pos, idx.n - 1)
+        hit = tbl[pos_c] == q
+        if self._host_corr is None:
+            self._host_corr = np.zeros(idx.n, dtype=np.int64)
+        np.add.at(self._host_corr, pos_c[hit], uc[hit])
 
     def _feed_pallas(self, codes_j, lens_j):
         from kmer_denovo_filter_tpu.ops import pallas_join as pj
@@ -403,16 +438,17 @@ class FilteredCounter:
             out = np.zeros(idx.n, dtype=np.int64)
             valid = perm >= 0
             out[perm[valid]] = acc[valid]
-            return out
-        if idx.mid and not idx.small:
+        elif idx.mid and not idx.small:
             _tblocks, perm, _p_bits = idx.hash_partitions()
             acc = np.asarray(self.acc)
             out = np.zeros(idx.n, dtype=np.int64)
             valid = perm >= 0
             out[perm[valid]] = acc[valid]
-            return out
-        acc = np.asarray(self.acc)[:idx.n]
-        return acc.astype(np.int64)
+        else:
+            out = np.asarray(self.acc)[:idx.n].astype(np.int64)
+        if self._host_corr is not None:
+            out = out + self._host_corr
+        return out
 
 
 def scan_reads_for_hits(index, codes, lengths):

@@ -213,12 +213,23 @@ def build_tile_partitions(keys_np, p=None):
 
 
 def _route(flat, p, with_idx):
-    """XLA routing: hash → sort by (partition, key) → chunk metadata.
+    """XLA routing: hash → sort by partition hash → chunk metadata.
 
     Returns (s0, s1, sp) as (n/128, 128) arrays plus per-chunk
     8-aligned window ``base``, per-sub ``sub_start``/``sub_span``, the
     window requirement ``need`` (max partitions any chunk touches,
     alignment margin included), and the sort permutation if asked.
+
+    The sort orders by the mixed high word ALONE (``num_keys=1``):
+    partition grouping is a function of ``hi`` only and the join never
+    needs within-partition order, so the cheaper single-key comparator
+    applies (measured 29.8 → 21.8 ms on the 4.7M-row member sort with
+    the index payload).  Sentinel rows are therefore handled uniformly
+    rather than special-cased: re-pinned to the (F, F) pair they sort
+    last into partition p-1, where they can only match the table's
+    (F, F) *padding* slots — junk found-bits that the member path masks
+    with ``valid`` / the original-length slice (no real key mixes to
+    (F, F): see the preimage assert above).
     """
     pad = (-flat.shape[0]) % CHUNK_ROWS
     if pad:
@@ -232,26 +243,20 @@ def _route(flat, p, with_idx):
     lo = jnp.where(sent, jnp.uint32(0xFFFFFFFF), low)
     if with_idx:
         idx0 = jnp.arange(n, dtype=jnp.int32)
-        s0, s1, sidx = jax.lax.sort((hi, lo, idx0), num_keys=2)
+        s0, s1, sidx = jax.lax.sort((hi, lo, idx0), num_keys=1)
     else:
-        s0, s1 = jax.lax.sort((hi, lo), num_keys=2)
+        s0, s1 = jax.lax.sort((hi, lo), num_keys=1)
         sidx = None
-    sent_s = ((s0 == jnp.uint32(0xFFFFFFFF))
-              & (s1 == jnp.uint32(0xFFFFFFFF)))
-    spart = jnp.where(sent_s, p, _part_from_hi(s0, p))
+    spart = _part_from_hi(s0, p)
     nc = n // CHUNK_ROWS
     sp2 = spart.reshape(nc * NSUB, SUB_ROWS)
+    # partitions are monotone in the sorted hi, so each sub-chunk's
+    # span is just last − first + 1
     sub_start = sp2[:, 0]
-    # spans count only REAL partitions (< p): sentinel rows sort last,
-    # their rel offsets exceed the span so the kernel never visits them
-    real = sp2 < p
-    mx = jnp.max(jnp.where(real, sp2, -1), axis=1)
-    sub_span = jnp.where(real[:, 0],
-                         mx - sub_start + 1,
-                         0).astype(jnp.int32)
+    sub_span = (sp2[:, -1] - sub_start + 1).astype(jnp.int32)
     first = sub_start.reshape(nc, NSUB)[:, 0]
     base = (first // 8) * 8  # HBM slab starts must be 8-row aligned
-    last = jnp.maximum(mx.reshape(nc, NSUB).max(axis=1), first)
+    last = sp2[:, -1].reshape(nc, NSUB)[:, -1]
     need = jnp.max(last - base + 1)
     s0r = s0.reshape(n // 128, 128)
     s1r = s1.reshape(n // 128, 128)
@@ -402,23 +407,22 @@ def join_tally_step(t0, t1, acc, codes, lengths, k, p,
     w0, w1 = flat[:, 0], flat[:, 1]
     sent = (w0 == jnp.uint32(0xFFFFFFFF)) & (w1 == jnp.uint32(0xFFFFFFFF))
     h, low = _mix_keys(w0, w1)
+    # single-key route sort + uniform sentinel handling, as in _route:
+    # re-pinned sentinels land in partition p-1 where they can only
+    # match the table's (F, F) padding slots, whose tallies result()
+    # drops via the perm (padding lanes carry perm -1)
     hi = jnp.where(sent, jnp.uint32(0xFFFFFFFF), h)
     lo = jnp.where(sent, jnp.uint32(0xFFFFFFFF), low)
-    s0, s1 = jax.lax.sort((hi, lo), num_keys=2)
-    sent_s = ((s0 == jnp.uint32(0xFFFFFFFF))
-              & (s1 == jnp.uint32(0xFFFFFFFF)))
-    spart = jnp.where(sent_s, p, _part_from_hi(s0, p))
+    s0, s1 = jax.lax.sort((hi, lo), num_keys=1)
+    spart = _part_from_hi(s0, p)
     nc = n // CHUNK_T
     sp2 = spart.reshape(nc * NSUB_T, SUB_ROWS)
     sub_start = sp2[:, 0]
-    real = sp2 < p
-    mx = jnp.max(jnp.where(real, sp2, -1), axis=1)
-    sub_span = jnp.where(real[:, 0], mx - sub_start + 1,
-                         0).astype(jnp.int32)
+    sub_span = (sp2[:, -1] - sub_start + 1).astype(jnp.int32)
     first = sub_start.reshape(nc, NSUB_T)[:, 0]
     blk = first // w_part
     base8 = (first // 8) * 8
-    last = jnp.maximum(mx.reshape(nc, NSUB_T).max(axis=1), first)
+    last = sp2[:, -1].reshape(nc, NSUB_T)[:, -1]
     overflow = ((jnp.max(last - blk * w_part + 1) > 2 * w_part)
                 | (jnp.max(last - base8 + 1) > w_part))
     meta = jnp.concatenate([blk, base8, sub_start, sub_span])

@@ -398,6 +398,37 @@ class TestOverflowRetries:
         got3 = fc.result()
         assert np.array_equal(got3, expected * 3)
 
+    def test_pallas_sparse_batch_host_fallback(self, monkeypatch):
+        """A sparse batch spanning more partitions than the largest
+        tile window must fall back to the exact host tally, not raise
+        (the near-empty final batch of a WGS file hits this)."""
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        index, keys, _codes, _lengths, _batch = self._index_and_batch(
+            seed=29)
+        monkeypatch.setenv("KDF_PALLAS_INTERPRET", "1")
+        monkeypatch.setattr(eng, "_SMALL_TABLE_M", 0)
+        index.small = False
+        index.mid = True
+        # enough partitions that a mixed real+sentinel sub-chunk spans
+        # beyond 2 * MAX_W_PART_TALLY no matter how the window doubles
+        p_forced = 4 * pj.MAX_W_PART_TALLY + 512
+        t0, t1, perm, p = pj.build_tile_partitions(index.keys_np,
+                                                   p=p_forced)
+        import jax.numpy as jnp
+        index._tile_parts = (jnp.asarray(t0), jnp.asarray(t1), perm, p)
+        fc = eng.FilteredCounter(index)
+        sparse = random_reads(2, 40, with_n=False, seed=30) + [
+            enc.keys_to_kmers(keys[:1], index.k)[0]]
+        codes, lengths = pack_reads(sparse)
+        fc.feed(codes, lengths)
+        got = fc.result()
+        assert fc._host_corr is not None  # the fallback actually ran
+        expected = _expected_tally(sparse, keys, index.k)
+        assert np.array_equal(got, expected)
+        # a second sparse batch accumulates on top, still exact
+        fc.feed(codes, lengths)
+        assert np.array_equal(fc.result(), expected * 2)
+
 
 def _expected_tally(reads, keys, k):
     from collections import Counter
