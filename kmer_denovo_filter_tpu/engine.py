@@ -541,6 +541,15 @@ def make_filtered_counter(index):
             ShardedFilteredCounter,
             make_mesh,
         )
+        if index.w == 2 and _use_pallas_join():
+            from kmer_denovo_filter_tpu.parallel.tile_sharded import (
+                ShardedTileCounter,
+            )
+            logger.info("  sharded tile-join engine: %d-device mesh",
+                        len(jax.devices()))
+            return ShardedTileCounter(index.keys_np, index.k,
+                                      make_mesh(),
+                                      interpret=_pallas_interpret())
         logger.info("  sharded engine: %d-device mesh",
                     len(jax.devices()))
         return ShardedFilteredCounter(index.keys_np, index.k,
@@ -559,6 +568,16 @@ def make_scanner(index):
             make_mesh,
             sharded_scan_reads_for_hits,
         )
+        if index.w == 2 and _use_pallas_join():
+            from kmer_denovo_filter_tpu.parallel.tile_sharded import (
+                ShardedTileScanner,
+            )
+            logger.info(
+                "  sharded tile-join anchoring scan: %d-device mesh",
+                len(jax.devices()))
+            return ShardedTileScanner(index.keys_np, index.k,
+                                      make_mesh(),
+                                      interpret=_pallas_interpret())
         logger.info("  sharded anchoring scan: %d-device mesh",
                     len(jax.devices()))
         sharded = ShardedKmerIndex(index.keys_np, index.k, make_mesh())

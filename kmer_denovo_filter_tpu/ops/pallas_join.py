@@ -386,6 +386,47 @@ def _tally_kernel(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
     dout.wait()
 
 
+def _tally_call(meta, t0, t1, s0r, s1r, spr, acc, w_part, interpret):
+    """Invoke the tally kernel on routed queries + packed metadata."""
+    nc = s0r.shape[0] // NSUB_T
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),     # t0 window lo
+            pl.BlockSpec((w_part, TILE_KEYS),
+                         lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),     # t0 window hi
+            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),     # t1 window lo
+            pl.BlockSpec((w_part, TILE_KEYS),
+                         lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),     # t1 window hi
+            pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),     # s0
+            pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),     # s1
+            pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),     # spart
+            pl.BlockSpec(memory_space=pltpu.ANY),      # acc (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((w_part, TILE_KEYS), jnp.int32),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_tally_kernel, w_part=w_part),
+        out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={8: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, t0, t0, t1, t1, s0r, s1r, spr, acc)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "p", "w_part", "interpret"))
 def join_tally_step(t0, t1, acc, codes, lengths, k, p,
@@ -429,68 +470,18 @@ def join_tally_step(t0, t1, acc, codes, lengths, k, p,
     s0r = s0.reshape(n // 128, 128)
     s1r = s1.reshape(n // 128, 128)
     spr = spart.reshape(n // 128, 128)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nc,),
-        in_specs=[
-            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
-                         memory_space=pltpu.VMEM),     # t0 window lo
-            pl.BlockSpec((w_part, TILE_KEYS),
-                         lambda c, m: (m[c] + 1, 0),
-                         memory_space=pltpu.VMEM),     # t0 window hi
-            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
-                         memory_space=pltpu.VMEM),     # t1 window lo
-            pl.BlockSpec((w_part, TILE_KEYS),
-                         lambda c, m: (m[c] + 1, 0),
-                         memory_space=pltpu.VMEM),     # t1 window hi
-            pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
-                         memory_space=pltpu.VMEM),     # s0
-            pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
-                         memory_space=pltpu.VMEM),     # s1
-            pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
-                         memory_space=pltpu.VMEM),     # spart
-            pl.BlockSpec(memory_space=pltpu.ANY),      # acc (aliased)
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((w_part, TILE_KEYS), jnp.int32),
-            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
-        ],
-    )
-    acc_out = pl.pallas_call(
-        functools.partial(_tally_kernel, w_part=w_part),
-        out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.int32),
-        grid_spec=grid_spec,
-        input_output_aliases={8: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(meta, t0, t0, t1, t1, s0r, s1r, spr, acc)
+    acc_out = _tally_call(meta, t0, t1, s0r, s1r, spr, acc, w_part,
+                          interpret)
     return acc_out, overflow
 
 
 _member_kernel = _join_kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "p", "w_part", "interpret"))
-def join_member_step(t0, t1, codes, lengths, k, p, w_part=W_PART,
-                     interpret=False):
-    """Fused anchoring step: per-window membership via the tile-join.
-
-    Returns (found (B, S) bool, overflow).
-    """
-    b, length = codes.shape
-    s = length - k + 1
-    keys, valid = dev.extract_canonical_windows(codes, lengths, k)
-    flat = keys.reshape(-1, 2)
-    n_orig = flat.shape[0]
-    s0r, s1r, spr, base, sub_start, sub_span, need, sidx, n = _route(
-        flat, p, with_idx=True)
-    overflow = need > w_part
-    nc = base.shape[0]
-    meta = _pack_meta(base, sub_start, sub_span)
-
+def _member_call(meta, t0, t1, s0r, s1r, spr, w_part, interpret):
+    """Invoke the member kernel on routed queries + packed metadata."""
+    n = s0r.shape[0] * 128
+    nc = s0r.shape[0] // NSUB
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nc,),
@@ -512,12 +503,33 @@ def join_member_step(t0, t1, codes, lengths, k, p, w_part=W_PART,
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
     )
-    found_sorted = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_member_kernel, w_part=w_part),
         out_shape=jax.ShapeDtypeStruct((n // 128, 128), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(meta, t0, t1, s0r, s1r, spr)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "p", "w_part", "interpret"))
+def join_member_step(t0, t1, codes, lengths, k, p, w_part=W_PART,
+                     interpret=False):
+    """Fused anchoring step: per-window membership via the tile-join.
+
+    Returns (found (B, S) bool, overflow).
+    """
+    b, length = codes.shape
+    s = length - k + 1
+    keys, valid = dev.extract_canonical_windows(codes, lengths, k)
+    flat = keys.reshape(-1, 2)
+    n_orig = flat.shape[0]
+    s0r, s1r, spr, base, sub_start, sub_span, need, sidx, n = _route(
+        flat, p, with_idx=True)
+    overflow = need > w_part
+    meta = _pack_meta(base, sub_start, sub_span)
+    found_sorted = _member_call(meta, t0, t1, s0r, s1r, spr, w_part,
+                                interpret)
     # Unsort without a scatter: pack each row's found bit into the LSB
     # of its original index and sort the single packed operand — 9.8 ms
     # vs 27.5 ms for the permutation scatter at 4.2M rows (PERF.md).
@@ -528,3 +540,115 @@ def join_member_step(t0, t1, codes, lengths, k, p, w_part=W_PART,
     found_flat = (ordered & 1) > 0
     found = found_flat[:n_orig].reshape(b, s) & valid
     return found, overflow
+
+
+# ── Shard-local routing (multi-chip tile-join) ──────────────────────
+# On an S-device mesh the mixed high word does double duty: its top
+# fixed-point scale picks the owner shard (floor(hi·S/2^32)) and the
+# scale of the REMAINDER picks the partition within that shard — both
+# monotone in hi.  One local sort therefore routes a batch for the
+# all-to-all (contiguous per-destination segments, no scatter) AND
+# pre-orders every segment for the receiving shard's join kernel (no
+# second sort).  See parallel/tile_sharded.py for the shard_map
+# programs built on these helpers.
+
+def shard_thresholds(s):
+    """uint32 thresholds t[d] = ceil(d·2^32 / s): the smallest mixed
+    high word owned by shard d (d = 1..s-1)."""
+    d = np.arange(1, s, dtype=np.uint64)
+    return ((d << np.uint64(32)) + np.uint64(s - 1)) // np.uint64(s)
+
+
+def local_part_from_hi(hi, s, p):
+    """Partition within the owner shard: the fixed-point scale of the
+    remainder ``hi·s mod 2^32`` — monotone in ``hi`` inside one
+    shard's range, uniform over [0, p).  Reduces to
+    :func:`_part_from_hi` at s == 1."""
+    u = hi * jnp.uint32(s)          # wrapping ≡ hi·s − d·2^32
+    return _part_from_hi(u, p)
+
+
+def _local_part_np(hi, s, p):
+    u = (hi.astype(np.uint64) * np.uint64(s)) & np.uint64(0xFFFFFFFF)
+    return _part_from_hi_np(u.astype(np.uint32), p)
+
+
+def build_shard_tile_partitions(keys_np, s, p=None):
+    """Host-side: partition table keys across *s* shards, then into
+    lane-major tiles per shard (common partition count *p*).
+
+    Returns ``(t0, t1, perms, p)``: planes of shape
+    (s, p + 1 + MAX_W_PART, TILE_KEYS) uint32 holding mixed key words
+    and a list of per-shard (p, TILE_KEYS) int64 maps from tile slot
+    back to the original table row (-1 = padding).
+    """
+    m, w = keys_np.shape
+    if w != 2:
+        raise ValueError("tile partitions require W == 2")
+    h, low = mix_keys_np(keys_np[:, 0].astype(np.uint32),
+                         keys_np[:, 1].astype(np.uint32))
+    dest = ((h.astype(np.uint64) * np.uint64(s))
+            >> np.uint64(32)).astype(np.int64)
+    if p is None:
+        per = max(1, -(-m // s))
+        p = num_partitions(per)
+    while True:
+        part = _local_part_np(h, s, p)
+        flat = dest * p + part
+        counts = np.bincount(flat, minlength=s * p)
+        if int(counts.max()) <= TILE_KEYS:
+            break
+        p = _grow_p(p)
+    rows = p + 1 + MAX_W_PART
+    t0 = np.full((s, rows, TILE_KEYS), SENTINEL, dtype=np.uint32)
+    t1 = np.full((s, rows, TILE_KEYS), SENTINEL, dtype=np.uint32)
+    perms = np.full((s, p, TILE_KEYS), -1, dtype=np.int64)
+    order = np.argsort(flat, kind="stable")
+    sf = flat[order]
+    first = np.searchsorted(sf, np.arange(s * p))
+    slot = np.arange(m) - first[sf]
+    sd, sp_ = sf // p, sf % p
+    t0[sd, sp_, slot] = h[order]
+    t1[sd, sp_, slot] = low[order]
+    perms[sd, sp_, slot] = order
+    return t0, t1, perms, p
+
+
+def route_presorted(s0, s1, p, s, chunk, nsub, w_part):
+    """Chunk metadata for a stream of concatenated pre-sorted segments.
+
+    ``s0``/``s1`` are mixed key words (sentinel rows (F, F) anywhere —
+    segment padding is positional, so spans are computed over real
+    rows only and sentinels get partition ``p``, matching nothing).
+    Segment boundaries must align to *chunk*.
+
+    Returns (s0r, s1r, spr, blk, base8, sub_start, sub_span,
+    overflow_tally, need) — callers pick the tally or member fields.
+    """
+    n = s0.shape[0]
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    sent = (s0 == sentinel) & (s1 == sentinel)
+    spart = jnp.where(sent, p, local_part_from_hi(s0, s, p))
+    nc = n // chunk
+    sp2 = spart.reshape(nc * nsub, SUB_ROWS)
+    real2 = ~sent.reshape(nc * nsub, SUB_ROWS)
+    anyreal = jnp.any(real2, axis=1)
+    mn = jnp.min(jnp.where(real2, sp2, p), axis=1)
+    mx = jnp.max(jnp.where(real2, sp2, -1), axis=1)
+    sub_start = jnp.where(anyreal, mn, 0).astype(jnp.int32)
+    sub_span = jnp.where(anyreal, mx - mn + 1, 0).astype(jnp.int32)
+    cmn = jnp.min(jnp.where(anyreal, mn, p).reshape(nc, nsub), axis=1)
+    cmx = jnp.max(mx.reshape(nc, nsub), axis=1)
+    cfirst = jnp.where(cmx >= 0, cmn, 0)
+    base8 = ((cfirst // 8) * 8).astype(jnp.int32)
+    blk = (cfirst // w_part).astype(jnp.int32)
+    last = jnp.maximum(cmx, cfirst)
+    overflow_tally = (
+        (jnp.max(last - blk * w_part + 1) > 2 * w_part)
+        | (jnp.max(last - base8 + 1) > w_part))
+    need = jnp.max(last - base8 + 1)
+    s0r = s0.reshape(n // 128, 128)
+    s1r = s1.reshape(n // 128, 128)
+    spr = spart.reshape(n // 128, 128)
+    return (s0r, s1r, spr, blk, base8, sub_start, sub_span,
+            overflow_tally, need)

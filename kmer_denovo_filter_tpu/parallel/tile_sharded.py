@@ -1,0 +1,378 @@
+"""Multi-chip tile-join engine: the Pallas fast path over a mesh.
+
+The single-chip tile-join (ops/pallas_join.py) routes a batch with one
+sort because the mixed high word encodes the partition index.  On an
+S-device mesh the same word does double duty:
+
+* ``floor(hi · S / 2^32)`` — the owner shard (monotone in ``hi``);
+* the fixed-point scale of the remainder — the partition within that
+  shard (also monotone).
+
+So ONE local sort per batch simultaneously (a) groups the stream into
+contiguous per-destination segments for the ``all_to_all`` — no
+routing scatter, the classic ``_bucketize`` one-hot scatter disappears
+— and (b) pre-orders every segment for the receiving shard's join
+kernel, which therefore needs NO second sort: segment boundaries align
+to kernel chunks and spans are computed over real rows only
+(ops/pallas_join.py:route_presorted).
+
+Per-chip step cost is the single-chip step at 1/S the rows: the sort,
+the extraction and the join all shrink by the shard count while the
+exchange rides ICI.  This is the multi-chip deployment path of
+BASELINE.md's ">10× jellyfish" target: S chips × ~1M reads/s/chip.
+
+Static capacities (route segment ``cap``, join window ``w_part``)
+follow the repo-wide overflow contract: flags come back with the
+step, are resolved one batch later (no per-batch device sync), and
+the rare overflow replays exactly from the saved pre-batch
+accumulator; batches that defeat every window fall back to an exact
+host-side tally.
+"""
+
+import functools
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from kmer_denovo_filter_tpu.ops import device as dev
+from kmer_denovo_filter_tpu.ops import encode as enc
+from kmer_denovo_filter_tpu.ops import pallas_join as pj
+from kmer_denovo_filter_tpu.parallel.sharded import AXIS
+
+logger = logging.getLogger(__name__)
+
+_F32 = jnp.uint32(0xFFFFFFFF)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _sorted_segments(codes_shard, lens_shard, k, s, cap, thresholds,
+                     with_idx):
+    """Extract + mix + single local sort + scatter-free segmentation.
+
+    Returns ``(seg0, seg1, bounds, overflow, sidx, n)`` where
+    ``seg0``/``seg1`` are (s, cap) mixed words (sentinel padded
+    positionally), ``bounds`` the (s+1,) segment starts in the sorted
+    stream, and ``sidx`` the sort permutation over the n local windows
+    (None unless *with_idx*).
+    """
+    keys, _valid = dev.extract_canonical_windows(
+        codes_shard, lens_shard, k)
+    flat = keys.reshape(-1, 2)
+    n = flat.shape[0]
+    w0, w1 = flat[:, 0], flat[:, 1]
+    sent = (w0 == _F32) & (w1 == _F32)
+    h, low = pj._mix_keys(w0, w1)
+    hi = jnp.where(sent, _F32, h)
+    lo = jnp.where(sent, _F32, low)
+    # num_keys=2: sentinels (F, F) sort strictly after any real key
+    # (no real key mixes to (F, F)), so the valid prefix is exactly
+    # the non-sentinel rows and segment s-1 ends at n_valid.
+    if with_idx:
+        idx0 = jnp.arange(n, dtype=jnp.int32)
+        hi_s, lo_s, sidx = jax.lax.sort((hi, lo, idx0), num_keys=2)
+    else:
+        hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+        sidx = None
+    n_valid = (n - jnp.sum(sent)).astype(jnp.int32)
+    inner = jnp.searchsorted(hi_s, thresholds).astype(jnp.int32)
+    inner = jnp.minimum(inner, n_valid)
+    bounds = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), inner, n_valid[None]])
+    seg_len = bounds[1:] - bounds[:-1]
+    overflow = jnp.any(seg_len > cap)
+    # pad the sorted stream so a cap-slice at any start stays in range
+    hi_p = jnp.concatenate([hi_s, jnp.full(cap, _F32)])
+    lo_p = jnp.concatenate([lo_s, jnp.full(cap, _F32)])
+    js = jnp.arange(cap, dtype=jnp.int32)
+    segs0, segs1 = [], []
+    for d in range(s):
+        st = bounds[d]
+        m = js < seg_len[d]
+        segs0.append(jnp.where(
+            m, jax.lax.dynamic_slice(hi_p, (st,), (cap,)), _F32))
+        segs1.append(jnp.where(
+            m, jax.lax.dynamic_slice(lo_p, (st,), (cap,)), _F32))
+    return (jnp.stack(segs0), jnp.stack(segs1), bounds, overflow,
+            sidx, n)
+
+
+class ShardedTileCounter:
+    """Multi-chip ``--if`` filtered counter over per-shard tile planes.
+
+    Drop-in for :class:`engine.FilteredCounter` on a multi-device
+    mesh when the Pallas tile-join is available (W == 2).
+    """
+
+    def __init__(self, keys_np, k, mesh, interpret=False):
+        self.k = k
+        self.w = enc.words_per_kmer(k)
+        if self.w != 2:
+            raise ValueError("tile counter requires W == 2")
+        self.mesh = mesh
+        self.s = int(mesh.devices.size)
+        self.n = keys_np.shape[0]
+        self.keys_np = np.ascontiguousarray(keys_np, np.uint32)
+        self.interpret = interpret
+        t0, t1, perms, p = pj.build_shard_tile_partitions(
+            self.keys_np, self.s)
+        self.p = p
+        self.perms = perms
+        self._plane_spec = NamedSharding(mesh, P(AXIS, None, None))
+        self.t0 = jax.device_put(jnp.asarray(t0), self._plane_spec)
+        self.t1 = jax.device_put(jnp.asarray(t1), self._plane_spec)
+        self.acc = jax.device_put(
+            jnp.zeros(t0.shape, jnp.int32), self._plane_spec)
+        self.w_part = pj.W_PART_TALLY
+        self._thresholds = jnp.asarray(
+            pj.shard_thresholds(self.s).astype(np.uint32))
+        self._step_cache = {}
+        self._pending = None
+        self._host_corr = None
+
+    # ── the fused shard_map step ───────────────────────────────────
+    def _step_fn(self, cap, w_part):
+        key = (cap, w_part)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        k, s, p = self.k, self.s, self.p
+        interpret = self.interpret
+        thresholds = self._thresholds
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(P(AXIS, None, None), P(AXIS, None, None),
+                      P(AXIS, None, None), P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS, None, None), P(AXIS), P(AXIS)),
+            check_vma=False)
+        def step(t0s, t1s, accs, codes_shard, lens_shard):
+            seg0, seg1, _bounds, ovf_route, _sidx, _n = \
+                _sorted_segments(codes_shard, lens_shard, k, s, cap,
+                                 thresholds, with_idx=False)
+            r0 = jax.lax.all_to_all(seg0, AXIS, 0, 0).reshape(-1)
+            r1 = jax.lax.all_to_all(seg1, AXIS, 0, 0).reshape(-1)
+            (s0r, s1r, spr, blk, base8, sub_start, sub_span,
+             ovf_win, _need) = pj.route_presorted(
+                r0, r1, p, s, pj.CHUNK_T, pj.NSUB_T, w_part)
+            meta = jnp.concatenate([blk, base8, sub_start, sub_span])
+            acc = pj._tally_call(meta, t0s[0], t1s[0], s0r, s1r, spr,
+                                 accs[0], w_part, interpret)
+            return acc[None], ovf_route[None], ovf_win[None]
+
+        self._step_cache[key] = step
+        return step
+
+    def _shard_reads(self, codes, lengths):
+        b = codes.shape[0]
+        per = -(-b // self.s)
+        pad_b = per * self.s
+        codes_p = np.full((pad_b, codes.shape[1]), 4, dtype=np.uint8)
+        codes_p[:b] = codes
+        lens_p = np.zeros(pad_b, dtype=np.int32)
+        lens_p[:b] = lengths
+        codes_d = jax.device_put(
+            jnp.asarray(codes_p),
+            NamedSharding(self.mesh, P(AXIS, None)))
+        lens_d = jax.device_put(
+            jnp.asarray(lens_p), NamedSharding(self.mesh, P(AXIS)))
+        n_loc = per * (codes.shape[1] - self.k + 1)
+        return codes_d, lens_d, n_loc
+
+    def _cap_for(self, n_loc):
+        return _round_up(max(pj.CHUNK_T, 2 * n_loc // self.s),
+                         pj.CHUNK_T)
+
+    def _tally_batch_on_host(self, codes_d, lens_d):
+        """Exact fallback for a batch that defeated every window size
+        (same contract as FilteredCounter._tally_batch_on_host)."""
+        keys, _valid = dev.extract_canonical_windows(
+            codes_d, lens_d, self.k)
+        skeys, starts, counts = dev.sort_count(
+            keys.reshape(-1, self.w), self.w)
+        skeys = np.asarray(skeys)
+        mask = (np.asarray(starts)
+                & ~(skeys == np.uint32(0xFFFFFFFF)).all(axis=1))
+        uk = skeys[mask]
+        uc = np.asarray(counts)[mask].astype(np.int64)
+        tbl = ((self.keys_np[:, 0].astype(np.uint64) << np.uint64(32))
+               | self.keys_np[:, 1].astype(np.uint64))
+        q = ((uk[:, 0].astype(np.uint64) << np.uint64(32))
+             | uk[:, 1].astype(np.uint64))
+        pos = np.searchsorted(tbl, q)
+        pos_c = np.minimum(pos, self.n - 1)
+        hit = tbl[pos_c] == q
+        if self._host_corr is None:
+            self._host_corr = np.zeros(self.n, dtype=np.int64)
+        np.add.at(self._host_corr, pos_c[hit], uc[hit])
+
+    def _resolve_pending(self):
+        if self._pending is None:
+            return
+        codes_d, lens_d, acc_before, ovr, ovw, cap = self._pending
+        self._pending = None
+        ovr = bool(np.asarray(ovr).any())
+        ovw = bool(np.asarray(ovw).any())
+        if not (ovr or ovw):
+            return
+        while True:
+            if ovr:
+                cap *= 2
+            if ovw:
+                if self.w_part >= pj.MAX_W_PART_TALLY:
+                    self._tally_batch_on_host(codes_d, lens_d)
+                    self.acc = acc_before
+                    return
+                self.w_part = min(self.w_part * 2,
+                                  pj.MAX_W_PART_TALLY)
+            acc, ovr_j, ovw_j = self._step_fn(cap, self.w_part)(
+                self.t0, self.t1, acc_before, codes_d, lens_d)
+            ovr = bool(np.asarray(ovr_j).any())
+            ovw = bool(np.asarray(ovw_j).any())
+            if not (ovr or ovw):
+                self.acc = acc
+                return
+
+    def feed(self, codes, lengths):
+        codes_d, lens_d, n_loc = self._shard_reads(codes, lengths)
+        cap = self._cap_for(n_loc)
+        self._resolve_pending()
+        acc_before = self.acc
+        acc, ovr, ovw = self._step_fn(cap, self.w_part)(
+            self.t0, self.t1, acc_before, codes_d, lens_d)
+        self.acc = acc
+        self._pending = (codes_d, lens_d, acc_before, ovr, ovw, cap)
+
+    def result(self):
+        """int64 counts aligned with the (sorted) table key order."""
+        self._resolve_pending()
+        acc = np.asarray(self.acc)
+        out = np.zeros(self.n, dtype=np.int64)
+        for d in range(self.s):
+            pd = self.perms[d]
+            valid = pd >= 0
+            out[pd[valid]] = acc[d, :pd.shape[0]][valid]
+        if self._host_corr is not None:
+            out = out + self._host_corr
+        return out
+
+
+class ShardedTileScanner:
+    """Multi-chip anchoring scan (``scan_reads_for_hits`` analog).
+
+    Same one-sort routing as :class:`ShardedTileCounter`; membership
+    verdicts return with the inverse ``all_to_all`` and unsort to the
+    original window order via a gather over segment offsets plus one
+    packed-index sort (no scatter).
+    """
+
+    def __init__(self, keys_np, k, mesh, interpret=False):
+        self.k = k
+        self.w = enc.words_per_kmer(k)
+        if self.w != 2:
+            raise ValueError("tile scanner requires W == 2")
+        self.mesh = mesh
+        self.s = int(mesh.devices.size)
+        self.interpret = interpret
+        t0, t1, _perms, p = pj.build_shard_tile_partitions(
+            np.ascontiguousarray(keys_np, np.uint32), self.s)
+        self.p = p
+        spec = NamedSharding(mesh, P(AXIS, None, None))
+        self.t0 = jax.device_put(jnp.asarray(t0), spec)
+        self.t1 = jax.device_put(jnp.asarray(t1), spec)
+        self._thresholds = jnp.asarray(
+            pj.shard_thresholds(self.s).astype(np.uint32))
+        self._scan_cache = {}
+
+    def _scan_fn(self, cap, w_part, s_windows):
+        key = (cap, w_part, s_windows)
+        if key in self._scan_cache:
+            return self._scan_cache[key]
+        k, s, p = self.k, self.s, self.p
+        interpret = self.interpret
+        thresholds = self._thresholds
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(P(AXIS, None, None), P(AXIS, None, None),
+                      P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
+            check_vma=False)
+        def scan(t0s, t1s, codes_shard, lens_shard):
+            keys, valid = dev.extract_canonical_windows(
+                codes_shard, lens_shard, k)
+            seg0, seg1, bounds, ovf_route, sidx, n = \
+                _sorted_segments(codes_shard, lens_shard, k, s, cap,
+                                 thresholds, with_idx=True)
+            r0 = jax.lax.all_to_all(seg0, AXIS, 0, 0).reshape(-1)
+            r1 = jax.lax.all_to_all(seg1, AXIS, 0, 0).reshape(-1)
+            (s0r, s1r, spr, _blk, base8, sub_start, sub_span,
+             _ovf_t, need) = pj.route_presorted(
+                r0, r1, p, s, pj.CHUNK_ROWS, pj.NSUB, w_part)
+            ovf_win = need > w_part
+            meta = jnp.concatenate([base8, sub_start, sub_span])
+            found = pj._member_call(meta, t0s[0], t1s[0], s0r, s1r,
+                                    spr, w_part, interpret)
+            back = jax.lax.all_to_all(
+                found.reshape(s, cap), AXIS, 0, 0)
+            # verdict for my sorted row i lives at segment d(i),
+            # offset i − bounds[d(i)]
+            i = jnp.arange(n, dtype=jnp.int32)
+            d_of = (jnp.searchsorted(
+                bounds[1:-1], i, side="right")).astype(jnp.int32)
+            off = i - bounds[d_of]
+            flatb = back.reshape(-1)
+            found_sorted = jnp.where(
+                off < cap, flatb[jnp.clip(d_of * cap + off,
+                                          0, s * cap - 1)], 0)
+            # unsort to original window order: pack the bit into the
+            # index LSB and sort the single packed operand
+            packed = (sidx << 1) | (found_sorted > 0).astype(jnp.int32)
+            ordered = jax.lax.sort(packed)
+            hit = ((ordered & 1) > 0).reshape(
+                codes_shard.shape[0], s_windows)
+            return hit & valid, ovf_route[None], ovf_win[None]
+
+        self._scan_cache[key] = scan
+        return scan
+
+    def __call__(self, codes, lengths):
+        b, length = codes.shape
+        s_windows = length - self.k + 1
+        per = -(-b // self.s)
+        pad_b = per * self.s
+        codes_p = np.full((pad_b, length), 4, dtype=np.uint8)
+        codes_p[:b] = codes
+        lens_p = np.zeros(pad_b, dtype=np.int32)
+        lens_p[:b] = lengths
+        codes_d = jax.device_put(
+            jnp.asarray(codes_p),
+            NamedSharding(self.mesh, P(AXIS, None)))
+        lens_d = jax.device_put(
+            jnp.asarray(lens_p), NamedSharding(self.mesh, P(AXIS)))
+        n_loc = per * s_windows
+        cap = _round_up(max(pj.CHUNK_ROWS, 2 * n_loc // self.s),
+                        pj.CHUNK_ROWS)
+        w_part = pj.W_PART
+        while True:
+            hit, ovr, ovw = self._scan_fn(cap, w_part, s_windows)(
+                self.t0, self.t1, codes_d, lens_d)
+            ovr = bool(np.asarray(ovr).any())
+            ovw = bool(np.asarray(ovw).any())
+            if not (ovr or ovw):
+                return np.asarray(hit)[:b]
+            if ovr:
+                cap = _round_up(cap * 2, pj.CHUNK_ROWS)
+            if ovw:
+                if w_part >= pj.MAX_W_PART:
+                    raise RuntimeError(
+                        "sharded member window overflow at maximum "
+                        "w_part")
+                w_part = min(w_part * 2, pj.MAX_W_PART)

@@ -280,3 +280,140 @@ def test_sharded_filtered_counter_deferred_overflow_replay():
     assert fc._pending is None
     total = int(res.sum())
     assert total == 16 * (60 - k + 1)  # every valid window tallied
+
+
+# ── multi-chip tile-join (Pallas interpreter on the CPU mesh) ───────
+
+def _table_keys(n_reads, k, seed):
+    reads = random_reads(n_reads, 64, with_n=False, seed=seed)
+    kmers = sorted({km for s in reads for km in oracle_counts([s], k)})
+    return enc.kmers_to_keys(kmers, k), reads
+
+
+@needs_mesh
+def test_sharded_tile_counter_matches_oracle():
+    from kmer_denovo_filter_tpu.parallel.tile_sharded import (
+        ShardedTileCounter,
+    )
+    from tests.test_engine import _expected_tally
+
+    k = 31
+    keys, table_reads = _table_keys(60, k, seed=41)
+    batch = random_reads(40, 64, seed=42) + table_reads[:10]
+    codes, lengths = pack_reads(batch)
+    fc = ShardedTileCounter(keys, k, make_mesh(), interpret=True)
+    fc.feed(codes, lengths)
+    fc.feed(codes, lengths)
+    got = fc.result()
+    expected = _expected_tally(batch, keys, k) * 2
+    assert np.array_equal(got, expected)
+    assert expected.sum() > 0
+
+
+@needs_mesh
+def test_sharded_tile_counter_route_overflow_retry():
+    """A homopolymer batch routes every window to one owner shard,
+    overflowing the initial segment capacity; the deferred retry at
+    doubled cap must still count exactly."""
+    from kmer_denovo_filter_tpu.ops import pallas_join as pj
+    from kmer_denovo_filter_tpu.parallel.tile_sharded import (
+        ShardedTileCounter,
+    )
+    from tests.test_engine import _expected_tally
+
+    k = 31
+    keys, _ = _table_keys(40, k, seed=43)
+    homo = "A" * 64
+    n_homo = (pj.CHUNK_T // (64 - k + 1) + 2) * len(jax.devices())
+    batch = [homo] * n_homo
+    codes, lengths = pack_reads(batch)
+    fc = ShardedTileCounter(keys, k, make_mesh(), interpret=True)
+    fc.feed(codes, lengths)
+    assert bool(np.asarray(fc._pending[3]).any())  # route overflowed
+    got = fc.result()
+    expected = _expected_tally(batch, keys, k)
+    assert np.array_equal(got, expected)
+
+
+@needs_mesh
+def test_sharded_tile_counter_sparse_host_fallback():
+    """A sparse batch spanning more partitions than the widest window
+    falls back to the exact host tally (sharded analog of the
+    single-chip fallback)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from kmer_denovo_filter_tpu.ops import pallas_join as pj
+    from kmer_denovo_filter_tpu.parallel.tile_sharded import (
+        ShardedTileCounter,
+    )
+    from kmer_denovo_filter_tpu.parallel.sharded import AXIS
+    from tests.test_engine import _expected_tally
+
+    k = 31
+    keys, table_reads = _table_keys(60, k, seed=44)
+    mesh = make_mesh()
+    fc = ShardedTileCounter(keys, k, mesh, interpret=True)
+    # rebuild planes with far more partitions than 2 * MAX_W_PART_TALLY
+    p_forced = 2 * pj.MAX_W_PART_TALLY + 128
+    t0, t1, perms, p = pj.build_shard_tile_partitions(
+        fc.keys_np, fc.s, p=p_forced)
+    spec = NamedSharding(mesh, P(AXIS, None, None))
+    fc.t0 = jax.device_put(jnp.asarray(t0), spec)
+    fc.t1 = jax.device_put(jnp.asarray(t1), spec)
+    fc.acc = jax.device_put(jnp.zeros(t0.shape, jnp.int32), spec)
+    fc.p, fc.perms = p, perms
+    fc._step_cache.clear()
+    fc.w_part = pj.MAX_W_PART_TALLY  # no narrower window to widen
+    sparse = random_reads(2, 40, with_n=False, seed=45) + [
+        table_reads[0]]
+    codes, lengths = pack_reads(sparse)
+    fc.feed(codes, lengths)
+    got = fc.result()
+    assert fc._host_corr is not None
+    expected = _expected_tally(sparse, keys, k)
+    assert np.array_equal(got, expected)
+
+
+@needs_mesh
+def test_sharded_tile_scanner_parity():
+    from kmer_denovo_filter_tpu import engine as eng
+    from kmer_denovo_filter_tpu.parallel.tile_sharded import (
+        ShardedTileScanner,
+    )
+
+    k = 31
+    keys, table_reads = _table_keys(40, k, seed=46)
+    index = eng.KmerIndex(keys, k)
+    reads = random_reads(30, 64, seed=47) + table_reads[:8]
+    codes, lengths = pack_reads(reads)
+    expected = eng.scan_reads_for_hits(index, codes, lengths)
+    scan = ShardedTileScanner(keys, k, make_mesh(), interpret=True)
+    got = scan(codes, lengths)
+    assert got.shape == expected.shape
+    assert np.array_equal(got, expected)
+    assert expected.any()
+
+
+@needs_mesh
+def test_tile_dispatch_from_engine(monkeypatch):
+    """KDF_SHARDED=1 + KDF_PALLAS_INTERPRET=1 routes both engine
+    factories through the tile-join mesh classes."""
+    from kmer_denovo_filter_tpu import engine as eng
+    from kmer_denovo_filter_tpu.parallel.tile_sharded import (
+        ShardedTileCounter,
+        ShardedTileScanner,
+    )
+
+    k = 31
+    keys, _ = _table_keys(30, k, seed=48)
+    index = eng.KmerIndex(keys, k)
+    monkeypatch.setenv("KDF_SHARDED", "1")
+    monkeypatch.setenv("KDF_PALLAS_INTERPRET", "1")
+    fc = eng.make_filtered_counter(index)
+    assert isinstance(fc, ShardedTileCounter)
+    scan = eng.make_scanner(index)
+    assert isinstance(scan, ShardedTileScanner)
+    monkeypatch.setenv("KDF_PALLAS_INTERPRET", "0")
+    monkeypatch.setenv("KDF_NO_PALLAS", "1")
+    fc2 = eng.make_filtered_counter(index)
+    assert not isinstance(fc2, ShardedTileCounter)
