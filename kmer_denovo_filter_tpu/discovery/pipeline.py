@@ -50,6 +50,7 @@ from kmer_denovo_filter_tpu.utils import (
     format_elapsed,
     format_file_size,
     is_tmpfs,
+    prefetch_batches,
     resolve_tmp_dir,
     validate_inputs,
 )
@@ -151,8 +152,8 @@ def _extract_child_kmers_discovery(child_bam, kmer_size, min_child_count):
     from kmer_denovo_filter_tpu.htsio.bam import packed_batches
     sc = eng.StreamCounter(kmer_size)
     n_reads = 0
-    for codes, lengths in packed_batches(
-            child_bam, exclude_flags=_COUNT_EXCLUDE_FLAGS):
+    for codes, lengths in prefetch_batches(packed_batches(
+            child_bam, exclude_flags=_COUNT_EXCLUDE_FLAGS)):
         sc.feed(codes, lengths)
         n_reads += codes.shape[0]
     keys, counts = sc.result()
@@ -195,8 +196,8 @@ def _count_parent_device(parent_bam, filter_index, label):
     from kmer_denovo_filter_tpu.htsio.bam import packed_batches
     fc = eng.make_filtered_counter(filter_index)
     n_reads = 0
-    for codes, lengths in packed_batches(
-            parent_bam, exclude_flags=_COUNT_EXCLUDE_FLAGS):
+    for codes, lengths in prefetch_batches(packed_batches(
+            parent_bam, exclude_flags=_COUNT_EXCLUDE_FLAGS)):
         fc.feed(codes, lengths)
         n_reads += codes.shape[0]
     counts = fc.result()

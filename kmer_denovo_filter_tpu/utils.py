@@ -6,10 +6,67 @@ Jellyfish-specific helpers, which have no analog in the device engine.
 
 import logging
 import os
+import queue
 import shutil
 import sys
+import threading
 
 logger = logging.getLogger(__name__)
+
+
+# ── Input-pipeline prefetch ────────────────────────────────────────
+
+_PREFETCH_END = object()
+
+
+def prefetch_batches(iterable, depth=2):
+    """Iterate *iterable* on a background thread, *depth* items ahead.
+
+    The device-feed loops are a three-stage pipeline: host BAM decode →
+    pad/stage → async device step.  The deferred-overflow engine
+    contract already keeps the device busy across batches; this
+    decouples the decode stage too, so batch i+1 inflates/unpacks
+    while batch i is being staged and dispatched (the analog of the
+    ``samtools | jellyfish`` pipe boundary, reference
+    core/jellyfish_wrappers.py:189–200).
+
+    Exceptions raised by the producer re-raise at the consumer's next
+    step; abandoning the generator stops the producer promptly.
+    """
+    q = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+
+    def _put(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _produce():
+        try:
+            for item in iterable:
+                if not _put(item):
+                    return
+            _put(_PREFETCH_END)
+        except BaseException as exc:  # re-raised by the consumer
+            _put(exc)
+
+    worker = threading.Thread(target=_produce, daemon=True,
+                              name="kdf-prefetch")
+    worker.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _PREFETCH_END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 # ── Formatting ─────────────────────────────────────────────────────

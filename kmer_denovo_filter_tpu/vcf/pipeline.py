@@ -37,6 +37,7 @@ from kmer_denovo_filter_tpu.utils import (
     format_elapsed,
     format_file_size,
     is_tmpfs,
+    prefetch_batches,
     resolve_tmp_dir,
     validate_inputs,
 )
@@ -206,8 +207,8 @@ def _scan_parent_device(parent_bam_path, child_index, label):
                 child_index.k, child_index.n)
     fc = _make_filtered_counter(child_index)
     n_reads = 0
-    for codes, lengths in packed_batches(parent_bam_path,
-                                         exclude_flags=0xD00):
+    for codes, lengths in prefetch_batches(
+            packed_batches(parent_bam_path, exclude_flags=0xD00)):
         fc.feed(codes, lengths)
         n_reads += codes.shape[0]
     counts = fc.result()

@@ -206,3 +206,71 @@ class TestValidationMatrix:
         assert "file not found" in caplog.text
         assert "odd" in caplog.text
         assert "--threads" in caplog.text
+
+
+class TestPrefetchBatches:
+    def test_order_and_completeness(self):
+        from kmer_denovo_filter_tpu.utils import prefetch_batches
+        got = list(prefetch_batches(iter(range(100)), depth=3))
+        assert got == list(range(100))
+
+    def test_empty_iterable(self):
+        from kmer_denovo_filter_tpu.utils import prefetch_batches
+        assert list(prefetch_batches(iter(()))) == []
+
+    def test_producer_exception_reraises(self):
+        import pytest as _pytest
+        from kmer_denovo_filter_tpu.utils import prefetch_batches
+
+        def boom():
+            yield 1
+            yield 2
+            raise ValueError("decode failed")
+
+        it = prefetch_batches(boom(), depth=1)
+        assert next(it) == 1
+        assert next(it) == 2
+        with _pytest.raises(ValueError, match="decode failed"):
+            list(it)
+
+    def test_abandoned_consumer_stops_producer(self):
+        import time as _time
+        from kmer_denovo_filter_tpu.utils import prefetch_batches
+
+        produced = []
+
+        def slow():
+            for i in range(10_000):
+                produced.append(i)
+                yield i
+
+        it = prefetch_batches(slow(), depth=2)
+        assert next(it) == 0
+        it.close()  # generator finalizer sets the stop event
+        _time.sleep(0.3)
+        n = len(produced)
+        _time.sleep(0.2)
+        assert len(produced) == n  # producer thread actually stopped
+
+    def test_overlap_actually_happens(self):
+        """Consumer work and producer work must run concurrently."""
+        import threading as _threading
+        import time as _time
+        from kmer_denovo_filter_tpu.utils import prefetch_batches
+
+        in_producer = _threading.Event()
+
+        def produce():
+            for i in range(4):
+                if i == 1:
+                    in_producer.set()
+                _time.sleep(0.05)
+                yield i
+
+        it = prefetch_batches(produce(), depth=2)
+        first = next(it)
+        # while the consumer holds item 0, the producer is already
+        # working on later items
+        assert in_producer.wait(timeout=2.0)
+        assert first == 0
+        assert list(it) == [1, 2, 3]
