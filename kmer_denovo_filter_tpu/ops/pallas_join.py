@@ -18,8 +18,9 @@ built around two layout decisions:
   window of partitions a chunk needs is two sequential row-slab DMAs.
   Planes hold bijectively *mixed* key words (Feistel over fmix32), so
   the partition index is a monotone function of the mixed high word
-  and the route sort below orders by (hi, lo) alone — no separate
-  partition operand to carry.
+  and the route sort below orders by that single word alone
+  (``num_keys=1`` — within-partition order is irrelevant to the
+  join); no separate partition operand to carry.
 * **Sublane-major queries.**  Each batch's window keys are sorted by
   their mixed words in XLA, so a 4096-row chunk touches a short
   contiguous partition range and each 128-query sub-chunk spans ~1–3
