@@ -386,10 +386,74 @@ def _scan_child_reads(child_source, proband_index, kmer_size,
     *state* is the mutable tuple (read_hits, reads_seen, read_sv_meta,
     kmer_coverage, read_coverage); returns
     (unmapped_informative, total_reads_scanned).
+
+    Two implementations with identical semantics: a packed two-pass
+    path (device hit mask over native-decoded batches, Python record
+    objects built lazily for the informative minority only — reads are
+    ~99.9% uninformative at WGS scale) and the per-record fallback for
+    streaming/non-native readers.
     """
+    scanner = eng.make_scanner(proband_index)
+    reader = getattr(child_source, "_reader", None)
+    if reader is not None and getattr(reader, "_scan", None) is not None:
+        it = reader.iter_packed_indexed(_ANCHOR_EXCLUDE_FLAGS,
+                                        _ANCHOR_BATCH_READS)
+        if it is not None:
+            return _scan_child_reads_packed(
+                reader, it, scanner, kmer_size, min_dk_per_read, state)
+    return _scan_child_reads_records(
+        child_source, scanner, kmer_size, min_dk_per_read, state)
+
+
+def _process_hit_rows(found, get_read, kmer_size, min_dk_per_read,
+                      state):
+    """Shared informative-read handling for both scan paths."""
     (read_hits, reads_seen, read_sv_meta,
      kmer_coverage, read_coverage) = state
-    scanner = eng.make_scanner(proband_index)
+    unmapped = 0
+    hit_rows = np.nonzero(found.any(axis=1))[0]
+    for i in hit_rows:
+        read = get_read(int(i))
+        seq = read.query_sequence.upper()
+        positions = np.nonzero(found[i])[0]
+        unique_in_read = set()
+        kmer_hit_indices = set()
+        for p in positions:
+            unique_in_read.add(canonicalize(seq[p:p + kmer_size]))
+            kmer_hit_indices.add(int(p))
+        if len(unique_in_read) < min_dk_per_read:
+            continue
+        unmapped += _process_informative_read(
+            read, unique_in_read, kmer_hit_indices, kmer_size,
+            reads_seen, read_hits, read_sv_meta, kmer_coverage,
+            read_coverage)
+    return unmapped
+
+
+def _scan_child_reads_packed(reader, batches, scanner, kmer_size,
+                             min_dk_per_read, state):
+    """Two-pass scan: native packed decode → device mask → sparse
+    lazy record decode for informative rows only."""
+    unmapped_informative = 0
+    total_scanned = 0
+    for codes, lengths, rec_idx in prefetch_batches(batches):
+        total_scanned += codes.shape[0]
+        if codes.shape[1] < kmer_size:
+            if not (lengths >= kmer_size).any():
+                continue  # nothing scannable in this batch
+            codes = np.pad(codes,
+                           ((0, 0), (0, kmer_size - codes.shape[1])),
+                           constant_values=4)
+        found = scanner(codes, lengths)
+        unmapped_informative += _process_hit_rows(
+            found, lambda i: reader.record_at(int(rec_idx[i])),
+            kmer_size, min_dk_per_read, state)
+    return unmapped_informative, total_scanned
+
+
+def _scan_child_reads_records(child_source, scanner, kmer_size,
+                              min_dk_per_read, state):
+    """Per-record fallback (streaming readers, no native scanner)."""
     unmapped_informative = 0
     total_scanned = 0
     batch = []
@@ -406,22 +470,9 @@ def _scan_child_reads(child_source, proband_index, kmer_size,
         for i, c in enumerate(codes_list):
             codes[i, :len(c)] = c
         found = scanner(codes, lengths)
-        hit_rows = np.nonzero(found.any(axis=1))[0]
-        for i in hit_rows:
-            read = batch[i]
-            seq = read.query_sequence.upper()
-            positions = np.nonzero(found[i])[0]
-            unique_in_read = set()
-            kmer_hit_indices = set()
-            for p in positions:
-                unique_in_read.add(canonicalize(seq[p:p + kmer_size]))
-                kmer_hit_indices.add(int(p))
-            if len(unique_in_read) < min_dk_per_read:
-                continue
-            unmapped_informative += _process_informative_read(
-                read, unique_in_read, kmer_hit_indices, kmer_size,
-                reads_seen, read_hits, read_sv_meta, kmer_coverage,
-                read_coverage)
+        unmapped_informative += _process_hit_rows(
+            found, lambda i: batch[i], kmer_size, min_dk_per_read,
+            state)
 
     for read in child_source.records_all():
         if read.flag & _ANCHOR_EXCLUDE_FLAGS:
@@ -1035,38 +1086,64 @@ def _write_informative_reads_discovery(child_source, proband_index,
                        child_source.refs)
     scanner = eng.make_scanner(proband_index)
     written = set()
-    batch = []
 
-    def _flush(batch):
-        if not batch:
+    def _emit(read):
+        dedup_key = (read.query_name, read.is_supplementary)
+        if dedup_key in written:
             return
-        codes_list = [r.seq_codes() for r in batch]
-        lengths = np.array([len(c) for c in codes_list], dtype=np.int32)
-        lmax = int(lengths.max())
-        codes = np.full((len(batch), max(lmax, kmer_size)), 4,
-                        dtype=np.uint8)
-        for i, c in enumerate(codes_list):
-            codes[i, :len(c)] = c
-        found = scanner(codes, lengths)
-        for i in np.nonzero(found.any(axis=1))[0]:
-            read = batch[i]
-            dedup_key = (read.query_name, read.is_supplementary)
-            if dedup_key in written:
-                continue
-            read.set_tag("dk", 1, value_type="i")
-            writer.write(read)
-            written.add(dedup_key)
+        read.set_tag("dk", 1, value_type="i")
+        writer.write(read)
+        written.add(dedup_key)
 
-    for read in child_source.records_placed():
-        if read.is_secondary or read.is_duplicate:
-            continue
-        if read._l_seq < kmer_size:
-            continue
-        batch.append(read)
-        if len(batch) >= _ANCHOR_BATCH_READS:
-            _flush(batch)
-            batch = []
-    _flush(batch)
+    reader = getattr(child_source, "_reader", None)
+    packed = None
+    if reader is not None and getattr(reader, "_scan", None) is not None:
+        # exclude secondary | duplicate (0x500); placed-only and the
+        # dk-tagging happen lazily on the informative minority
+        packed = reader.iter_packed_indexed(0x500, _ANCHOR_BATCH_READS)
+    if packed is not None:
+        tids = reader._scan["tids"]
+        for codes, lengths, rec_idx in prefetch_batches(packed):
+            if codes.shape[1] < kmer_size:
+                if not (lengths >= kmer_size).any():
+                    continue
+                codes = np.pad(
+                    codes, ((0, 0), (0, kmer_size - codes.shape[1])),
+                    constant_values=4)
+            found = scanner(codes, lengths)
+            for i in np.nonzero(found.any(axis=1))[0]:
+                ri = int(rec_idx[i])
+                if tids[ri] < 0:
+                    continue  # records_placed() writes placed only
+                _emit(reader.record_at(ri))
+    else:
+        batch = []
+
+        def _flush(batch):
+            if not batch:
+                return
+            codes_list = [r.seq_codes() for r in batch]
+            lengths = np.array([len(c) for c in codes_list],
+                               dtype=np.int32)
+            lmax = int(lengths.max())
+            codes = np.full((len(batch), max(lmax, kmer_size)), 4,
+                            dtype=np.uint8)
+            for i, c in enumerate(codes_list):
+                codes[i, :len(c)] = c
+            found = scanner(codes, lengths)
+            for i in np.nonzero(found.any(axis=1))[0]:
+                _emit(batch[i])
+
+        for read in child_source.records_placed():
+            if read.is_secondary or read.is_duplicate:
+                continue
+            if read._l_seq < kmer_size:
+                continue
+            batch.append(read)
+            if len(batch) >= _ANCHOR_BATCH_READS:
+                _flush(batch)
+                batch = []
+        _flush(batch)
     writer.close(sort=True, index=True)
     logger.info("Informative reads BAM written: %s (%d reads)",
                 output_bam, len(written))

@@ -213,13 +213,40 @@ class KmerIndex:
 
 
 class StreamCounter:
-    """Canonical k-mer counting over streamed (codes, lengths) batches."""
+    """Canonical k-mer counting over streamed (codes, lengths) batches.
+
+    Per-batch uniques consolidate progressively (the analog of the
+    reference's jellyfish chunk merge, jellyfish_wrappers.py:335–366):
+    whenever the pending per-batch chunks hold more rows than the
+    consolidated array, everything merges into one sorted
+    (keys, counts) pair — amortised O(n log n) total work with a
+    bounded working set, instead of hoarding every batch's uniques
+    until :meth:`result` (which at WGS scale is tens of billions of
+    rows).  ``KDF_MERGE_ROWS`` floors the merge trigger.
+    """
 
     def __init__(self, k):
         self.k = k
         self.w = enc.words_per_kmer(k)
-        self._chunks = []  # list of (unique_keys np, counts np)
+        self._chunks = []  # pending per-batch (unique_keys, counts)
+        self._pending_rows = 0
+        self._merged = None  # consolidated (sorted keys, counts)
+        self._merge_floor = int(os.environ.get(
+            "KDF_MERGE_ROWS", 16 * 1024 * 1024))
         self.total_windows = 0
+
+    def _consolidate(self):
+        if not self._chunks:
+            return
+        parts = self._chunks
+        if self._merged is not None:
+            parts = [self._merged] + parts
+        all_keys = np.concatenate([c[0] for c in parts], axis=0)
+        all_counts = np.concatenate([c[1] for c in parts], axis=0)
+        self._merged = enc.unique_with_counts(all_keys,
+                                              weights=all_counts)
+        self._chunks = []
+        self._pending_rows = 0
 
     def feed(self, codes, lengths):
         codes_p, lens_p = pad_read_batch(codes, lengths)
@@ -232,8 +259,14 @@ class StreamCounter:
         starts = np.asarray(starts)
         counts = np.asarray(counts)
         mask = starts & ~(skeys == _SENTINEL32).all(axis=1)
-        self._chunks.append((skeys[mask], counts[mask].astype(np.int64)))
+        uk = skeys[mask]
+        self._chunks.append((uk, counts[mask].astype(np.int64)))
+        self._pending_rows += uk.shape[0]
         self.total_windows += int(np.asarray(valid).sum())
+        merged_rows = (self._merged[0].shape[0]
+                       if self._merged is not None else 0)
+        if self._pending_rows >= max(self._merge_floor, merged_rows):
+            self._consolidate()
 
     def feed_sequence(self, seq):
         """Count k-mers of one long sequence (reference contigs).
@@ -262,12 +295,11 @@ class StreamCounter:
 
     def result(self):
         """Final (sorted unique keys, counts) across all batches."""
-        if not self._chunks:
+        self._consolidate()
+        if self._merged is None:
             return (np.zeros((0, self.w), dtype=np.uint32),
                     np.zeros(0, dtype=np.int64))
-        all_keys = np.concatenate([c[0] for c in self._chunks], axis=0)
-        all_counts = np.concatenate([c[1] for c in self._chunks], axis=0)
-        return enc.unique_with_counts(all_keys, weights=all_counts)
+        return self._merged
 
     def to_index(self):
         keys, counts = self.result()

@@ -579,15 +579,32 @@ class BamReader:
 
     def _iter_packed_native(self, exclude_flags, batch_reads):
         """Packed batches via the C++ scanner (no per-record Python)."""
+        for out, blens, _idx in self._iter_packed_native_indexed(
+                exclude_flags, batch_reads):
+            yield out, blens
+
+    def _iter_packed_native_indexed(self, exclude_flags, batch_reads):
         from kmer_denovo_filter_tpu.htsio import native
 
         res = native.bam_codes(self._data, self._scan, exclude_flags)
         if res is None:
-            yield from self.iter_packed(exclude_flags, batch_reads,
-                                        records=self.records)
+            batch, idxs = [], []
+            for i, rec in enumerate(self.records):
+                if rec.flag & exclude_flags or rec._l_seq == 0:
+                    continue
+                batch.append(rec.seq_codes())
+                idxs.append(i)
+                if len(batch) >= batch_reads:
+                    out, blens = _pad_batch(batch)
+                    yield out, blens, np.asarray(idxs, dtype=np.int64)
+                    batch, idxs = [], []
+            if batch:
+                out, blens = _pad_batch(batch)
+                yield out, blens, np.asarray(idxs, dtype=np.int64)
             return
         codes_flat, offsets = res
         keep = (offsets >= 0) & (self._scan["l_seqs"] > 0)
+        rec_idx = np.nonzero(keep)[0]
         lens = self._scan["l_seqs"][keep].astype(np.int32)
         starts = offsets[keep]
         n = lens.shape[0]
@@ -604,7 +621,23 @@ class BamReader:
                    - np.repeat(np.cumsum(blens) - blens, blens))
             src_idx = np.repeat(bstarts, blens) + col
             out[read_id, col] = codes_flat[src_idx]
-            yield out, blens
+            yield out, blens, rec_idx[lo:hi]
+
+    def iter_packed_indexed(self, exclude_flags=0, batch_reads=8192):
+        """Packed batches plus each row's record index for sparse
+        lazy decode via :meth:`record_at` — the producer side of the
+        two-pass anchoring scan (device hit mask first, Python record
+        objects only for the informative minority)."""
+        if self._scan is None:
+            return None
+        return self._iter_packed_native_indexed(exclude_flags,
+                                                batch_reads)
+
+    def record_at(self, i):
+        """Decode one record by scan index (lazy sparse access)."""
+        o = int(self._scan["rec_offsets"][i])
+        size = int(self._scan["rec_sizes"][i])
+        return AlignedRead(self._data[o:o + size], self.refs)
 
 
 def packed_batches(path, exclude_flags=0, batch_reads=8192):

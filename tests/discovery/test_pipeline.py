@@ -713,3 +713,40 @@ class TestEvaluateDnmRegions:
                       "split_reads", "sv_class", "kmer_signal",
                       "assessment"):
             assert field in r, field
+
+
+class TestScanPathParity:
+    def test_packed_and_record_paths_identical(self, disco, tmp_path,
+                                               monkeypatch):
+        """The two-pass packed anchoring scan and the per-record
+        fallback must produce byte-identical discovery outputs."""
+        from kmer_denovo_filter_tpu.htsio.bam import BamReader
+
+        p1 = _run(disco, tmp_path / "packed")
+        # force the fallback by hiding the native scan from every
+        # reader the pipeline opens
+        monkeypatch.setattr(BamReader, "iter_packed_indexed",
+                            lambda self, *a, **k: None)
+        p2 = _run(disco, tmp_path / "records")
+
+        for suffix in (".bed", ".kmer_coverage.bedgraph",
+                       ".read_coverage.bed", ".sv.bedpe",
+                       ".summary.txt"):
+            a = open(p1 + suffix).read()
+            b = open(p2 + suffix).read()
+            assert a == b, f"{suffix} differs between scan paths"
+        ja = json.load(open(p1 + ".metrics.json"))
+        jb = json.load(open(p2 + ".metrics.json"))
+        ja.pop("elapsed_seconds", None)
+        jb.pop("elapsed_seconds", None)
+        assert ja == jb
+        # the informative BAMs carry the same (name, flag) sets
+        from kmer_denovo_filter_tpu.htsio.bam import open_bam
+        reads1 = sorted((r.query_name, r.flag) for r in
+                        open_bam(p1 + ".informative.bam").fetch(
+                            until_eof=True))
+        reads2 = sorted((r.query_name, r.flag) for r in
+                        open_bam(p2 + ".informative.bam").fetch(
+                            until_eof=True))
+        assert reads1 == reads2
+        assert reads1  # non-empty: the scan actually found reads

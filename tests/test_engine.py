@@ -55,6 +55,30 @@ def test_stream_counter_matches_oracle(k):
     assert got == dict(oc)
 
 
+def test_stream_counter_progressive_consolidation():
+    """A tiny merge floor forces consolidation on every feed; totals
+    must still be exact and feeding past result() keeps counting."""
+    k = 31
+    reads = random_reads(60, k, seed=7)
+    oc = oracle_counts(reads, k)
+    sc = eng.StreamCounter(k)
+    sc._merge_floor = 1  # consolidate whenever pending ≥ merged rows
+    batch, lens = pack_reads(reads)
+    for i in range(0, 60, 12):
+        sc.feed(batch[i:i + 12], lens[i:i + 12])
+    assert sc._merged is not None  # consolidation actually ran
+    assert sc._pending_rows <= sc._merged[0].shape[0]
+    keys, counts = sc.result()
+    got = dict(zip(enc.keys_to_kmers(keys, k), counts.tolist()))
+    assert got == dict(oc)
+    # feeding after result() still accumulates exactly
+    sc.feed(batch[:12], lens[:12])
+    keys2, counts2 = sc.result()
+    oc2 = oracle_counts(reads + reads[:12], k)
+    got2 = dict(zip(enc.keys_to_kmers(keys2, k), counts2.tolist()))
+    assert got2 == dict(oc2)
+
+
 def test_key_roundtrip():
     for k in (5, 31, 33, 63):
         kmers = sorted({K.canonicalize(s)
