@@ -120,21 +120,41 @@ class ShardedTileCounter:
         self.n = keys_np.shape[0]
         self.keys_np = np.ascontiguousarray(keys_np, np.uint32)
         self.interpret = interpret
+        # multi-host: the mesh spans processes; every host builds the
+        # same planes, feeds its own BAM shard, and flags/results
+        # gather with process_allgather
+        self.multihost = jax.process_count() > 1
         t0, t1, perms, p = pj.build_shard_tile_partitions(
             self.keys_np, self.s)
         self.p = p
         self.perms = perms
         self._plane_spec = NamedSharding(mesh, P(AXIS, None, None))
-        self.t0 = jax.device_put(jnp.asarray(t0), self._plane_spec)
-        self.t1 = jax.device_put(jnp.asarray(t1), self._plane_spec)
-        self.acc = jax.device_put(
-            jnp.zeros(t0.shape, jnp.int32), self._plane_spec)
+        self.t0 = self._put_global(t0, self._plane_spec)
+        self.t1 = self._put_global(t1, self._plane_spec)
+        self.acc = self._put_global(
+            np.zeros(t0.shape, np.int32), self._plane_spec)
         self.w_part = pj.W_PART_TALLY
         self._thresholds = jnp.asarray(
             pj.shard_thresholds(self.s).astype(np.uint32))
         self._step_cache = {}
         self._pending = None
         self._host_corr = None
+
+    def _put_global(self, arr_np, sharding):
+        """Place a host-replicated numpy array with *sharding* (works
+        on single- and multi-process meshes)."""
+        if not self.multihost:
+            return jax.device_put(jnp.asarray(arr_np), sharding)
+        return jax.make_array_from_callback(
+            arr_np.shape, sharding, lambda idx: arr_np[idx])
+
+    def _host_values(self, x):
+        """Fetch a (possibly non-addressable) device value to host."""
+        if not self.multihost:
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+        return np.asarray(
+            multihost_utils.process_allgather(x, tiled=True))
 
     # ── the fused shard_map step ───────────────────────────────────
     def _step_fn(self, cap, w_part):
@@ -170,6 +190,21 @@ class ShardedTileCounter:
         return step
 
     def _shard_reads(self, codes, lengths):
+        """Stage a batch: process-local reads → mesh-sharded arrays.
+
+        On a multi-process mesh *codes* is this host's OWN shard of the
+        batch (the per-host BAM-slice input model,
+        parallel/multihost.py); all hosts must pass matching shapes.
+        """
+        if self.multihost:
+            from kmer_denovo_filter_tpu.parallel.multihost import (
+                distribute_read_batch,
+            )
+            codes_d, lens_d = distribute_read_batch(
+                codes, lengths, self.mesh)
+            per = codes_d.shape[0] // self.s
+            n_loc = per * (codes.shape[1] - self.k + 1)
+            return codes_d, lens_d, n_loc
         b = codes.shape[0]
         per = -(-b // self.s)
         pad_b = per * self.s
@@ -189,11 +224,19 @@ class ShardedTileCounter:
         return _round_up(max(pj.CHUNK_T, 2 * n_loc // self.s),
                          pj.CHUNK_T)
 
-    def _tally_batch_on_host(self, codes_d, lens_d):
+    def _tally_batch_on_host(self, codes_np, lens_np):
         """Exact fallback for a batch that defeated every window size
-        (same contract as FilteredCounter._tally_batch_on_host)."""
+        (same contract as FilteredCounter._tally_batch_on_host).
+
+        Operates on the PROCESS-LOCAL reads; on a multi-process mesh
+        every host corrects its own shard of the batch and
+        :meth:`result` sums the corrections across hosts.
+        """
+        length = max(codes_np.shape[1], self.k)
+        codes_p = np.full((codes_np.shape[0], length), 4, np.uint8)
+        codes_p[:, :codes_np.shape[1]] = codes_np
         keys, _valid = dev.extract_canonical_windows(
-            codes_d, lens_d, self.k)
+            jnp.asarray(codes_p), jnp.asarray(lens_np), self.k)
         skeys, starts, counts = dev.sort_count(
             keys.reshape(-1, self.w), self.w)
         skeys = np.asarray(skeys)
@@ -215,10 +258,11 @@ class ShardedTileCounter:
     def _resolve_pending(self):
         if self._pending is None:
             return
-        codes_d, lens_d, acc_before, ovr, ovw, cap = self._pending
+        (codes_d, lens_d, codes_np, lens_np, acc_before, ovr_j, ovw_j,
+         cap) = self._pending
         self._pending = None
-        ovr = bool(np.asarray(ovr).any())
-        ovw = bool(np.asarray(ovw).any())
+        ovr = bool(self._host_values(ovr_j).any())
+        ovw = bool(self._host_values(ovw_j).any())
         if not (ovr or ovw):
             return
         while True:
@@ -226,15 +270,15 @@ class ShardedTileCounter:
                 cap *= 2
             if ovw:
                 if self.w_part >= pj.MAX_W_PART_TALLY:
-                    self._tally_batch_on_host(codes_d, lens_d)
+                    self._tally_batch_on_host(codes_np, lens_np)
                     self.acc = acc_before
                     return
                 self.w_part = min(self.w_part * 2,
                                   pj.MAX_W_PART_TALLY)
             acc, ovr_j, ovw_j = self._step_fn(cap, self.w_part)(
                 self.t0, self.t1, acc_before, codes_d, lens_d)
-            ovr = bool(np.asarray(ovr_j).any())
-            ovw = bool(np.asarray(ovw_j).any())
+            ovr = bool(self._host_values(ovr_j).any())
+            ovw = bool(self._host_values(ovw_j).any())
             if not (ovr or ovw):
                 self.acc = acc
                 return
@@ -247,19 +291,28 @@ class ShardedTileCounter:
         acc, ovr, ovw = self._step_fn(cap, self.w_part)(
             self.t0, self.t1, acc_before, codes_d, lens_d)
         self.acc = acc
-        self._pending = (codes_d, lens_d, acc_before, ovr, ovw, cap)
+        self._pending = (codes_d, lens_d, codes, lengths, acc_before,
+                         ovr, ovw, cap)
 
     def result(self):
-        """int64 counts aligned with the (sorted) table key order."""
+        """int64 counts aligned with the (sorted) table key order.
+
+        Identical on every host of a multi-process mesh.
+        """
         self._resolve_pending()
-        acc = np.asarray(self.acc)
+        acc = self._host_values(self.acc)
         out = np.zeros(self.n, dtype=np.int64)
         for d in range(self.s):
             pd = self.perms[d]
             valid = pd >= 0
             out[pd[valid]] = acc[d, :pd.shape[0]][valid]
         if self._host_corr is not None:
-            out = out + self._host_corr
+            corr = self._host_corr
+            if self.multihost:
+                from jax.experimental import multihost_utils
+                corr = np.asarray(multihost_utils.process_allgather(
+                    corr)).reshape(jax.process_count(), -1).sum(axis=0)
+            out = out + corr
         return out
 
 

@@ -55,6 +55,21 @@ keys, counts = multihost.sharded_count_multihost(codes, lengths, K)
 np.savez(os.path.join(outdir, f"result_{pid}.npz"),
          keys=keys, counts=counts)
 print(f"[{pid}] distinct={keys.shape[0]} total={counts.sum()}")
+
+# multi-host tile-join filtered counter: the table is the distinct
+# k-mers just counted; feeding the same per-host batches must tally
+# every table key exactly its global count (Pallas interpreter on CPU)
+from kmer_denovo_filter_tpu.parallel.tile_sharded import (
+    ShardedTileCounter,
+)
+
+mesh = multihost.global_mesh()
+tc = ShardedTileCounter(keys, K, mesh, interpret=True)
+tc.feed(codes, lengths)
+tally = tc.result()
+np.savez(os.path.join(outdir, f"tile_{pid}.npz"), tally=tally)
+assert np.array_equal(tally, counts), "tile tally != distributed count"
+print(f"[{pid}] tile tally ok total={tally.sum()}")
 """
 
 
@@ -108,3 +123,9 @@ def test_two_process_sharded_count(tmp_path):
     got_kmers = enc.keys_to_kmers(r0["keys"], K)
     got = dict(zip(got_kmers, r0["counts"].tolist()))
     assert got == dict(expected)
+
+    # the multi-host tile-join tally agrees on both hosts
+    t0 = np.load(tmp_path / "tile_0.npz")["tally"]
+    t1 = np.load(tmp_path / "tile_1.npz")["tally"]
+    assert np.array_equal(t0, t1)
+    assert np.array_equal(t0, r0["counts"])
