@@ -121,7 +121,7 @@ def ensure_ref_index(ref_fasta, kmer_size, ref_jf=None):
     logger.info("Building reference k-mer set: %s (k=%d)",
                 ref_fasta, kmer_size)
     build_start = time.monotonic()
-    sc = eng.StreamCounter(kmer_size)
+    sc = eng.make_stream_counter(kmer_size)
     for name, seq in read_fasta(ref_fasta).items():
         sc.feed_sequence(seq)
     keys, counts = sc.result()
@@ -150,7 +150,7 @@ def _extract_child_kmers_discovery(child_bam, kmer_size, min_child_count):
     logger.info("Extracting child k-mers from BAM (k=%d, device engine)…",
                 kmer_size)
     from kmer_denovo_filter_tpu.htsio.bam import packed_batches
-    sc = eng.StreamCounter(kmer_size)
+    sc = eng.make_stream_counter(kmer_size)
     n_reads = 0
     for codes, lengths in prefetch_batches(packed_batches(
             child_bam, exclude_flags=_COUNT_EXCLUDE_FLAGS)):

@@ -306,6 +306,50 @@ class StreamCounter:
         return KmerIndex.from_keys_counts(keys, counts, self.k)
 
 
+class ShardedStreamCounter(StreamCounter):
+    """Multi-chip canonical counting (``jellyfish count -C`` on a mesh).
+
+    Each batch runs the distributed count program — data-parallel
+    extraction, all-to-all routing of window keys to their hash-prefix
+    owner, owner-side sort-count — and the per-batch (keys, counts)
+    merge reuses :class:`StreamCounter`'s progressive consolidation.
+    """
+
+    def __init__(self, k, mesh):
+        super().__init__(k)
+        self.mesh = mesh
+
+    def feed(self, codes, lengths):
+        from kmer_denovo_filter_tpu.parallel import sharded_count
+
+        keys, counts = sharded_count(codes, lengths, self.k, self.mesh)
+        self._chunks.append((keys, counts))
+        self._pending_rows += keys.shape[0]
+        self.total_windows += int(counts.sum())
+        merged_rows = (self._merged[0].shape[0]
+                       if self._merged is not None else 0)
+        if self._pending_rows >= max(self._merge_floor, merged_rows):
+            self._consolidate()
+
+
+def make_stream_counter(k):
+    """:class:`StreamCounter`, or its mesh-sharded analog.
+
+    Sharding is automatic on multi-chip TPU meshes; ``KDF_SHARDED=1``
+    forces it on any multi-device backend (the CPU test mesh) and
+    ``KDF_SHARDED=0`` disables it.
+    """
+    mode = os.environ.get("KDF_SHARDED")
+    multi = len(jax.devices()) > 1
+    if multi and mode != "0" and (
+            mode == "1" or jax.default_backend() == "tpu"):
+        from kmer_denovo_filter_tpu.parallel import make_mesh
+        logger.info("  sharded stream counter: %d-device mesh",
+                    len(jax.devices()))
+        return ShardedStreamCounter(k, make_mesh())
+    return StreamCounter(k)
+
+
 class FilteredCounter:
     """Count stream k-mers restricted to a fixed index (``--if`` analog)."""
 

@@ -417,3 +417,67 @@ def test_tile_dispatch_from_engine(monkeypatch):
     monkeypatch.setenv("KDF_NO_PALLAS", "1")
     fc2 = eng.make_filtered_counter(index)
     assert not isinstance(fc2, ShardedTileCounter)
+
+
+@needs_mesh
+def test_sharded_stream_counter_matches_oracle(monkeypatch):
+    from kmer_denovo_filter_tpu import engine as eng
+
+    k = 31
+    reads = random_reads(50, 64, seed=51)
+    expected = oracle_counts(reads, k)
+    codes, lens = pack_reads(reads)
+    sc = eng.ShardedStreamCounter(k, make_mesh())
+    sc.feed(codes[:30], lens[:30])
+    sc.feed(codes[30:], lens[30:])
+    keys, counts = sc.result()
+    got = dict(zip(enc.keys_to_kmers(keys, k), counts.tolist()))
+    assert got == dict(expected)
+    assert sc.total_windows == sum(expected.values())
+
+    # dispatch: KDF_SHARDED=1 selects the mesh counter, =0 never does
+    monkeypatch.setenv("KDF_SHARDED", "1")
+    assert isinstance(eng.make_stream_counter(k),
+                      eng.ShardedStreamCounter)
+    monkeypatch.setenv("KDF_SHARDED", "0")
+    sc2 = eng.make_stream_counter(k)
+    assert not isinstance(sc2, eng.ShardedStreamCounter)
+
+
+@needs_mesh
+def test_discovery_child_count_sharded(tmp_path, monkeypatch):
+    """KDF_SHARDED=1 routes discovery Module 0/1 stream counting
+    through the mesh and the end-to-end outputs are unchanged."""
+    from kmer_denovo_filter_tpu.cli import parse_args
+    from kmer_denovo_filter_tpu.pipeline import run_discovery_pipeline
+    from tests.helpers import create_bam, create_ref_fasta
+
+    ref = str(tmp_path / "ref.fa")
+    seq = create_ref_fasta(ref, "chr1", 300)
+    novel = "TTGACCAGGTCAATCGGCAT"
+    reads_child = [(f"c{i}", p, seq[p:p + 40] if p != 120 else
+                    seq[120:140] + novel + seq[140:160])
+                   for i, p in enumerate(range(40, 240, 8))]
+    reads_parent = [(f"p{i}", p, seq[p:p + 40])
+                    for i, p in enumerate(range(40, 240, 8))]
+    child = str(tmp_path / "child.bam")
+    mother = str(tmp_path / "mother.bam")
+    father = str(tmp_path / "father.bam")
+    create_bam(child, "chr1", reads_child, ref_length=300)
+    create_bam(mother, "chr1", reads_parent, ref_length=300)
+    create_bam(father, "chr1", reads_parent, ref_length=300)
+
+    def run(prefix):
+        args = parse_args([
+            "--child", child, "--mother", mother, "--father", father,
+            "--ref-fasta", ref, "--out-prefix", str(tmp_path / prefix),
+            "--kmer-size", "15", "--min-child-count", "2"])
+        run_discovery_pipeline(args)
+        return open(str(tmp_path / prefix) + ".bed").read()
+
+    monkeypatch.setenv("KDF_SHARDED", "0")
+    bed_single = run("single")
+    (tmp_path / "ref.fa.k15.kdx.npz").unlink(missing_ok=True)
+    monkeypatch.setenv("KDF_SHARDED", "1")
+    bed_sharded = run("sharded")
+    assert bed_sharded == bed_single
