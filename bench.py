@@ -131,6 +131,30 @@ def bench_wgs(jnp, pj, rng, genome):
     return tally_rate, member_rate
 
 
+def bench_wgs_wide(jnp, pj, rng, genome):
+    """k=63 (W=4) filtered tally via the generic-wide tile-join."""
+    k = 63
+    w = 4
+    keys = rng.integers(0, 2 ** 32, (WGS_TABLE_M, w), dtype=np.uint32)
+    keys[:, -1] &= np.uint32(0xFFFFFFFC)
+    planes_np, _perm, p = pj.build_tile_partitions_wide(keys)
+    planes = tuple(jnp.asarray(planes_np[j]) for j in range(w))
+    acc = jnp.zeros(planes_np[0].shape, jnp.int32)
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+    batches = [jnp.asarray(synth_reads(rng, genome, BATCH_READS,
+                                       READ_LEN))
+               for _ in range(N_BATCHES_WGS)]
+    acc, _ovf = pj.join_tally_step_wide(planes, acc, batches[0],
+                                        lengths, k, p)
+    np.asarray(acc[:1, :1])
+    start = time.perf_counter()
+    for b in batches:
+        acc, _ovf = pj.join_tally_step_wide(planes, acc, b, lengths,
+                                            k, p)
+    np.asarray(acc[:1, :1])
+    return BATCH_READS * N_BATCHES_WGS / (time.perf_counter() - start)
+
+
 def bench_end_to_end(jax, jnp, dev, enc, rng, genome, tmpdir):
     """Host BAM decode → 4-bit pack → transfer → device tally."""
     import functools
@@ -239,6 +263,11 @@ def main():
         details["wgs_member_reads_per_s"] = round(wgs_member, 1)
     except Exception as e:  # keep the headline alive on any failure
         details["wgs_scale_error"] = str(e)[:200]
+    try:
+        details["wgs_k63_reads_per_s"] = round(
+            bench_wgs_wide(jnp, pj, rng, genome), 1)
+    except Exception as e:
+        details["wgs_k63_error"] = str(e)[:200]
     try:
         with tempfile.TemporaryDirectory() as tmpdir:
             e2e = bench_end_to_end(jax, jnp, dev, enc, rng, genome,

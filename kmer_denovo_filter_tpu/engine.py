@@ -129,6 +129,7 @@ class KmerIndex:
         self.mid = (not self.small) and self.m_pad <= _MID_TABLE_M
         self._hash_parts = None
         self._tile_parts = None
+        self._tile_parts_wide = None
 
     def hash_partitions(self):
         """Lazily build (tblocks, perm, p_bits) for the partitioned sweep."""
@@ -149,6 +150,18 @@ class KmerIndex:
             self._tile_parts = (jnp.asarray(t0), jnp.asarray(t1),
                                 perm, p)
         return self._tile_parts
+
+    def tile_partitions_wide(self):
+        """Lazily build (planes tuple, perm, p) for the generic-W
+        tile-join (3 ≤ W ≤ 8, i.e. 31 < k ≤ 127)."""
+        if self._tile_parts_wide is None:
+            from kmer_denovo_filter_tpu.ops import pallas_join as pj
+            planes, perm, p = pj.build_tile_partitions_wide(
+                np.ascontiguousarray(self.keys_np, np.uint32))
+            self._tile_parts_wide = (
+                tuple(jnp.asarray(planes[j])
+                      for j in range(planes.shape[0])), perm, p)
+        return self._tile_parts_wide
 
     def save(self, path):
         """Snapshot the table to ``.npz`` (keys [, counts], k) — the
@@ -354,14 +367,20 @@ class FilteredCounter:
     """Count stream k-mers restricted to a fixed index (``--if`` analog)."""
 
     def __init__(self, index):
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
         self.index = index
-        self.pallas = (not index.small and index.w == 2
-                       and _use_pallas_join())
+        use_pallas = not index.small and _use_pallas_join()
+        self.pallas = use_pallas and index.w == 2
+        self.pallas_wide = (use_pallas
+                            and 3 <= index.w <= pj.MAX_W_WIDE)
         self.w_part = None
         if self.pallas:
             t0, _t1, _perm, _p = index.tile_partitions()
-            from kmer_denovo_filter_tpu.ops import pallas_join as pj
             self.acc = jnp.zeros(t0.shape, dtype=jnp.int32)
+            self.w_part = pj.W_PART_TALLY
+        elif self.pallas_wide:
+            planes, _perm, _p = index.tile_partitions_wide()
+            self.acc = jnp.zeros(planes[0].shape, dtype=jnp.int32)
             self.w_part = pj.W_PART_TALLY
         elif index.mid and not index.small:
             tblocks, _perm, _p_bits = index.hash_partitions()
@@ -386,9 +405,22 @@ class FilteredCounter:
         if not bool(overflow):
             return
         idx = self.index
-        if kind == "pallas":
+        if kind in ("pallas", "pallas_wide"):
             from kmer_denovo_filter_tpu.ops import pallas_join as pj
-            t0, t1, _perm, p = idx.tile_partitions()
+            if kind == "pallas":
+                t0, t1, _perm, p = idx.tile_partitions()
+
+                def attempt(acc0):
+                    return pj.join_tally_step(
+                        t0, t1, acc0, codes_j, lens_j, idx.k, p,
+                        self.w_part, interpret=_pallas_interpret())
+            else:
+                planes, _perm, p = idx.tile_partitions_wide()
+
+                def attempt(acc0):
+                    return pj.join_tally_step_wide(
+                        planes, acc0, codes_j, lens_j, idx.k, p,
+                        self.w_part, interpret=_pallas_interpret())
             while True:
                 if self.w_part >= pj.MAX_W_PART_TALLY:
                     # sparse/skewed batch: its few distinct keys spread
@@ -401,9 +433,7 @@ class FilteredCounter:
                     break
                 self.w_part = min(self.w_part * 2,
                                   pj.MAX_W_PART_TALLY)
-                acc, overflow = pj.join_tally_step(
-                    t0, t1, acc_before, codes_j, lens_j, idx.k, p,
-                    self.w_part, interpret=_pallas_interpret())
+                acc, overflow = attempt(acc_before)
                 if not bool(overflow):
                     break
         elif kind == "mid":
@@ -439,10 +469,12 @@ class FilteredCounter:
         mask = np.asarray(starts) & ~(skeys == _SENTINEL32).all(axis=1)
         uk = skeys[mask]
         uc = np.asarray(counts)[mask].astype(np.int64)
-        tbl = ((idx.keys_np[:, 0].astype(np.uint64) << np.uint64(32))
-               | idx.keys_np[:, 1].astype(np.uint64))
-        q = ((uk[:, 0].astype(np.uint64) << np.uint64(32))
-             | uk[:, 1].astype(np.uint64))
+        # big-endian byte view: memcmp order == word-wise unsigned
+        # order for any key width
+        width = f"S{4 * idx.w}"
+        tbl = np.ascontiguousarray(
+            idx.keys_np.astype(">u4")).view(width).ravel()
+        q = np.ascontiguousarray(uk.astype(">u4")).view(width).ravel()
         pos = np.searchsorted(tbl, q)
         pos_c = np.minimum(pos, idx.n - 1)
         hit = tbl[pos_c] == q
@@ -466,6 +498,19 @@ class FilteredCounter:
         self._pending = ("pallas", codes_j, lens_j, acc_before,
                          overflow, None)
 
+    def _feed_pallas_wide(self, codes_j, lens_j):
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        idx = self.index
+        planes, _perm, p = idx.tile_partitions_wide()
+        self._resolve_pending()
+        acc_before = self.acc
+        acc, overflow = pj.join_tally_step_wide(
+            planes, acc_before, codes_j, lens_j, idx.k, p,
+            self.w_part, interpret=_pallas_interpret())
+        self.acc = acc
+        self._pending = ("pallas_wide", codes_j, lens_j, acc_before,
+                         overflow, None)
+
     def feed(self, codes, lengths):
         codes_p, lens_p = pad_read_batch(codes, lengths)
         b, length = codes_p.shape
@@ -481,6 +526,9 @@ class FilteredCounter:
             return
         if self.pallas:
             self._feed_pallas(codes_j, lens_j)
+            return
+        if self.pallas_wide:
+            self._feed_pallas_wide(codes_j, lens_j)
             return
         if idx.mid:
             tblocks, _perm, p_bits = idx.hash_partitions()
@@ -508,8 +556,11 @@ class FilteredCounter:
         """int64 counts aligned with the index's sorted keys."""
         idx = self.index
         self._resolve_pending()
-        if self.pallas:
-            _t0, _t1, perm, _p = idx.tile_partitions()
+        if self.pallas or self.pallas_wide:
+            if self.pallas:
+                _t0, _t1, perm, _p = idx.tile_partitions()
+            else:
+                _planes, perm, _p = idx.tile_partitions_wide()
             acc = np.asarray(self.acc)[:perm.shape[0]]
             out = np.zeros(idx.n, dtype=np.int64)
             valid = perm >= 0
@@ -564,6 +615,24 @@ def scan_reads_for_hits(index, codes, lengths):
             return found[:codes.shape[0],
                          :codes.shape[1] - index.k + 1]
         # fall through to the XLA paths at maximum window
+    if _use_pallas_join() and 3 <= index.w:
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        if index.w <= pj.MAX_W_WIDE:
+            planes, _perm, p = index.tile_partitions_wide()
+            w_part = pj.W_PART
+            found, overflow = pj.join_member_step_wide(
+                planes, codes_j, lens_j, index.k, p, w_part,
+                interpret=_pallas_interpret())
+            while bool(overflow) and w_part < pj.MAX_W_PART:
+                w_part = min(w_part * 2, pj.MAX_W_PART)
+                found, overflow = pj.join_member_step_wide(
+                    planes, codes_j, lens_j, index.k, p, w_part,
+                    interpret=_pallas_interpret())
+            if not bool(overflow):
+                found = np.asarray(found)
+                return found[:codes.shape[0],
+                             :codes.shape[1] - index.k + 1]
+            # fall through to the XLA paths at maximum window
     if index.mid:
         tblocks, _perm, p_bits = index.hash_partitions()
         cap_q = 1 << max(4, (2 * n_windows >> p_bits).bit_length())

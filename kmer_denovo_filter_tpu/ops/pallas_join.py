@@ -37,8 +37,10 @@ XLA and the engine retries with a doubled window (cached recompile).
 Degenerate batches (huge spans from near-empty partitions) cost loop
 iterations, never correctness.
 
-Key-width support: W == 2 words (k ≤ 31).  Wider keys fall back to the
-XLA hash-partitioned sweep (ops/device.py).
+Key-width support: W == 2 words (k ≤ 31) rides the bijective pair mix;
+W in 3..8 (k ≤ 127) takes the generic-wide variant below (route hash +
+raw-word payloads).  Wider keys fall back to the XLA hash-partitioned
+sweep (ops/device.py).
 """
 
 import functools
@@ -653,3 +655,317 @@ def route_presorted(s0, s1, p, s, chunk, nsub, w_part):
     spr = spart.reshape(n // 128, 128)
     return (s0r, s1r, spr, blk, base8, sub_start, sub_span,
             overflow_tally, need)
+
+
+# ── Generic-W tile-join (k > 31) ────────────────────────────────────
+# Wide keys (W words, 3 ≤ W ≤ 8 ⇒ k ≤ 127; beyond that the XLA
+# partitioned sweep remains) can't ride the bijective pair mix, so the
+# route sort orders by a UNIFORM HASH of the whole key (one sort key)
+# and carries the raw words as payload; the kernel compares raw words
+# against W lane-major planes.  Sentinels are detected post-sort (all
+# words F) and excluded from spans, exactly like route_presorted.
+
+MAX_W_WIDE = 8
+
+
+def route_hash_np(words):
+    """Uniform uint32 route hash of (N, W) uint32 keys (numpy)."""
+    h = np.zeros(words.shape[0], dtype=np.uint32)
+    for j in range(words.shape[1]):
+        h = _fmix32_np(h ^ words[:, j])
+    return h
+
+
+def _route_hash(words_cols):
+    h = jnp.zeros_like(words_cols[0])
+    for wj in words_cols:
+        h = _fmix32(h ^ wj)
+    return h
+
+
+def build_tile_partitions_wide(keys_np, p=None):
+    """Host-side planes for W ≥ 3 keys: (W, p + 1 + MAX_W_PART, 1024)
+    raw words + (p, 1024) perm (slot → table row, -1 padding)."""
+    m, w = keys_np.shape
+    if not 3 <= w <= MAX_W_WIDE:
+        raise ValueError(f"wide tile partitions require 3 <= W <= "
+                         f"{MAX_W_WIDE}, got {w}")
+    h = route_hash_np(np.ascontiguousarray(keys_np, np.uint32))
+    if p is None:
+        p = num_partitions(m)
+    while True:
+        part = _part_from_hi_np(h, p)
+        counts = np.bincount(part, minlength=p)
+        if int(counts.max()) <= TILE_KEYS:
+            break
+        p = _grow_p(p)
+    rows = p + 1 + MAX_W_PART
+    planes = np.full((w, rows, TILE_KEYS), SENTINEL, dtype=np.uint32)
+    perm = np.full((p, TILE_KEYS), -1, dtype=np.int64)
+    order = np.argsort(part, kind="stable")
+    sp = part[order]
+    first = np.searchsorted(sp, np.arange(p))
+    slot = np.arange(m) - first[sp]
+    for j in range(w):
+        planes[j, sp, slot] = keys_np[order, j]
+    perm[sp, slot] = order
+    return planes, perm, p
+
+
+def _tally_kernel_wide(meta_ref, *refs, w, w_part):
+    """Generic-W tally chunk: refs = W lo-blocks + W hi-blocks +
+    W query planes + spart + acc HBM in/out + scratch accw + sems."""
+    lo = refs[:w]
+    hi = refs[w:2 * w]
+    qs = refs[2 * w:3 * w]
+    sp_ref = refs[3 * w]
+    acc_out_hbm = refs[3 * w + 2]
+    accw, sem_in, sem_out = refs[3 * w + 3:3 * w + 6]
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    baseb = meta_ref[c] * w_part
+    base8 = pl.multiple_of(meta_ref[nc + c], 8)
+    din = pltpu.make_async_copy(
+        acc_out_hbm.at[pl.ds(base8, w_part), :], accw, sem_in)
+    din.start()
+    din.wait()
+
+    for s in range(NSUB_T):
+        st = meta_ref[2 * nc + c * NSUB_T + s]
+        span = meta_ref[2 * nc + nc * NSUB_T + c * NSUB_T + s]
+        qt = [q[s, :].reshape(SUB_ROWS, 1) for q in qs]
+        relt = sp_ref[s, :].reshape(SUB_ROWS, 1) - st
+
+        def tally(eq, t, arow, _relt=relt):
+            maskv = (_relt == t).astype(jnp.float32).reshape(
+                1, SUB_ROWS)
+            cnt = jax.lax.dot_general(
+                maskv, eq.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            accw[pl.ds(arow, 1), :] += cnt.astype(jnp.int32)
+
+        @pl.when(st - baseb + span <= w_part)
+        def _fast(qt=qt, st=st, span=span):
+            def body(t, _):
+                row = st - baseb + t
+                eq = qt[0] == lo[0][pl.ds(row, 1), :]
+                for j in range(1, w):
+                    eq &= qt[j] == lo[j][pl.ds(row, 1), :]
+                tally(eq, t, st - base8 + t)
+                return 0
+            jax.lax.fori_loop(0, span, body, 0)
+
+        @pl.when(st - baseb + span > w_part)
+        def _straddle(qt=qt, st=st, span=span):
+            def body(t, _):
+                row = st - baseb + t
+                rlo = jnp.minimum(row, w_part - 1)
+                rhi = jnp.maximum(row - w_part, 0)
+                in_lo = row < w_part
+                eq = None
+                for j in range(w):
+                    v = jnp.where(in_lo, lo[j][pl.ds(rlo, 1), :],
+                                  hi[j][pl.ds(rhi, 1), :])
+                    e = qt[j] == v
+                    eq = e if eq is None else (eq & e)
+                tally(eq, t, st - base8 + t)
+                return 0
+            jax.lax.fori_loop(0, span, body, 0)
+
+    dout = pltpu.make_async_copy(
+        accw, acc_out_hbm.at[pl.ds(base8, w_part), :], sem_out)
+    dout.start()
+    dout.wait()
+
+
+def _member_kernel_wide(meta_ref, *refs, w, w_part):
+    """Generic-W member chunk: refs = W plane HBM refs + W query
+    planes + spart + found out + W window scratch + 2 DMA sems."""
+    planes = refs[:w]
+    qs = refs[w:2 * w]
+    sp_ref = refs[2 * w]
+    found_ref = refs[2 * w + 1]
+    scratch = refs[2 * w + 2:3 * w + 2]
+    sem_a, sem_b = refs[3 * w + 2:3 * w + 4]
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    base = pl.multiple_of(meta_ref[c], 8)
+    copies = []
+    for j in range(w):
+        d = pltpu.make_async_copy(
+            planes[j].at[pl.ds(base, w_part), :], scratch[j],
+            sem_a if j % 2 == 0 else sem_b)
+        d.start()
+        copies.append(d)
+        if j % 2 == 1 or j == w - 1:
+            for dd in copies:
+                dd.wait()
+            copies = []
+
+    for s in range(NSUB):
+        st = meta_ref[nc + c * NSUB + s]
+        span = meta_ref[nc + nc * NSUB + c * NSUB + s]
+        qt = [q[s, :].reshape(SUB_ROWS, 1) for q in qs]
+        relt = sp_ref[s, :].reshape(SUB_ROWS, 1) - st
+
+        def body(t, fnd, qt=qt, relt=relt, st=st):
+            row = st - base + t
+            eq = qt[0] == scratch[0][pl.ds(row, 1), :]
+            for j in range(1, w):
+                eq &= qt[j] == scratch[j][pl.ds(row, 1), :]
+            hit = (jnp.any(eq, axis=1, keepdims=True)
+                   & (relt == t))
+            return fnd | hit.astype(jnp.int32)
+
+        fnd = jax.lax.fori_loop(
+            0, span, body, jnp.zeros((SUB_ROWS, 1), jnp.int32))
+        found_ref[s, :] = fnd.reshape(SUB_ROWS)
+
+
+def _route_wide(flat, p, chunk, nsub, with_idx):
+    """Route a (n, W) raw-key stream: hash sort + masked-span metadata.
+
+    Returns (cols_sorted [W planes (n/128, 128)], spr, cfirst, clast,
+    sub_start, sub_span, sidx, n) — cfirst/clast are each chunk's real
+    partition extent, from which callers derive window indices and
+    overflow at their own w_part.
+    """
+    w = flat.shape[1]
+    pad = (-flat.shape[0]) % chunk
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.full((pad, w), jnp.uint32(0xFFFFFFFF))], axis=0)
+    n = flat.shape[0]
+    cols = [flat[:, j] for j in range(w)]
+    sent = cols[0] == jnp.uint32(0xFFFFFFFF)
+    for cj in cols[1:]:
+        sent = sent & (cj == jnp.uint32(0xFFFFFFFF))
+    h = jnp.where(sent, jnp.uint32(0xFFFFFFFF), _route_hash(cols))
+    if with_idx:
+        idx0 = jnp.arange(n, dtype=jnp.int32)
+        srt = jax.lax.sort((h, *cols, idx0), num_keys=1)
+        sidx = srt[-1]
+        scols = srt[1:-1]
+    else:
+        srt = jax.lax.sort((h, *cols), num_keys=1)
+        sidx = None
+        scols = srt[1:]
+    hs = srt[0]
+    # sentinels detected post-sort from the payload words (the all-F
+    # key is outside the valid key space: odd k ⇒ the last word always
+    # has clear low bits)
+    sent_s = scols[0] == jnp.uint32(0xFFFFFFFF)
+    for cj in scols[1:]:
+        sent_s = sent_s & (cj == jnp.uint32(0xFFFFFFFF))
+    spart = jnp.where(sent_s, p, _part_from_hi(hs, p))
+    nc = n // chunk
+    sp2 = spart.reshape(nc * nsub, SUB_ROWS)
+    real2 = ~sent_s.reshape(nc * nsub, SUB_ROWS)
+    anyreal = jnp.any(real2, axis=1)
+    mn = jnp.min(jnp.where(real2, sp2, p), axis=1)
+    mx = jnp.max(jnp.where(real2, sp2, -1), axis=1)
+    sub_start = jnp.where(anyreal, mn, 0).astype(jnp.int32)
+    sub_span = jnp.where(anyreal, mx - mn + 1, 0).astype(jnp.int32)
+    cmn = jnp.min(jnp.where(anyreal, mn, p).reshape(nc, nsub), axis=1)
+    cmx = jnp.max(mx.reshape(nc, nsub), axis=1)
+    cfirst = jnp.where(cmx >= 0, cmn, 0).astype(jnp.int32)
+    clast = jnp.maximum(cmx, cfirst).astype(jnp.int32)
+    planes = [c.reshape(n // 128, 128) for c in scols]
+    spr = spart.reshape(n // 128, 128)
+    return (planes, spr, cfirst, clast, sub_start, sub_span, sidx, n)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "p", "w_part", "interpret"))
+def join_tally_step_wide(planes, acc, codes, lengths, k, p,
+                         w_part=W_PART_TALLY, interpret=False):
+    """Generic-W fused tally step (k > 31): extract → hash route →
+    wide tile-join.  *planes* is a tuple of W (rows, 1024) uint32."""
+    w = len(planes)
+    keys, _valid = dev.extract_canonical_windows(codes, lengths, k)
+    flat = keys.reshape(-1, w)
+    (qplanes, spr, cfirst, clast, sub_start, sub_span, _sidx,
+     n) = _route_wide(flat, p, CHUNK_T, NSUB_T, with_idx=False)
+    blk = cfirst // w_part
+    base8 = (cfirst // 8) * 8
+    overflow = ((jnp.max(clast - blk * w_part + 1) > 2 * w_part)
+                | (jnp.max(clast - base8 + 1) > w_part))
+    meta = jnp.concatenate([blk, base8, sub_start, sub_span])
+    nc = n // CHUNK_T
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=(
+            [pl.BlockSpec((w_part, TILE_KEYS),
+                          lambda c, m: (m[c], 0),
+                          memory_space=pltpu.VMEM)] * w
+            + [pl.BlockSpec((w_part, TILE_KEYS),
+                            lambda c, m: (m[c] + 1, 0),
+                            memory_space=pltpu.VMEM)] * w
+            + [pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
+                            memory_space=pltpu.VMEM)] * (w + 1)
+            + [pl.BlockSpec(memory_space=pltpu.ANY)]
+        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((w_part, TILE_KEYS), jnp.int32),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+        ],
+    )
+    acc_out = pl.pallas_call(
+        functools.partial(_tally_kernel_wide, w=w, w_part=w_part),
+        out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={3 * w + 2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, *planes, *planes, *qplanes, spr, acc)
+    return acc_out, overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "p", "w_part", "interpret"))
+def join_member_step_wide(planes, codes, lengths, k, p, w_part=W_PART,
+                          interpret=False):
+    """Generic-W fused member step: per-window membership flags."""
+    w = len(planes)
+    b, length = codes.shape
+    s = length - k + 1
+    keys, valid = dev.extract_canonical_windows(codes, lengths, k)
+    flat = keys.reshape(-1, w)
+    n_orig = flat.shape[0]
+    (qplanes, spr, cfirst, clast, sub_start, sub_span, sidx,
+     n) = _route_wide(flat, p, CHUNK_ROWS, NSUB, with_idx=True)
+    base8 = (cfirst // 8) * 8
+    overflow = jnp.max(clast - base8 + 1) > w_part
+    meta = jnp.concatenate([base8, sub_start, sub_span])
+    nc = n // CHUNK_ROWS
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.ANY)] * w
+            + [pl.BlockSpec((NSUB, 128), lambda c, m: (c, 0),
+                            memory_space=pltpu.VMEM)] * (w + 1)
+        ),
+        out_specs=pl.BlockSpec((NSUB, 128), lambda c, m: (c, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=(
+            [pltpu.VMEM((w_part, TILE_KEYS), jnp.uint32)] * w
+            + [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+        ),
+    )
+    found_sorted = pl.pallas_call(
+        functools.partial(_member_kernel_wide, w=w, w_part=w_part),
+        out_shape=jax.ShapeDtypeStruct((n // 128, 128), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(meta, *planes, *qplanes, spr)
+    assert n < (1 << 30), "member batch too large for packed unsort"
+    packed = (sidx << 1) | (found_sorted.reshape(n) > 0).astype(
+        jnp.int32)
+    ordered = jax.lax.sort(packed)
+    found_flat = (ordered & 1) > 0
+    found = found_flat[:n_orig].reshape(b, s) & valid
+    return found, overflow

@@ -282,3 +282,72 @@ def test_member_unsort_with_duplicate_keys():
     # duplicate halves agree row-for-row (batch is padded past row 12)
     assert np.array_equal(found[0:6], found[6:12])
     assert found[0:6].any()
+
+
+# ── Generic-W tile-join (k > 31) ────────────────────────────────────
+
+class TestWideTileJoin:
+    def _setup(self, k, monkeypatch):
+        from tests.test_engine import (oracle_counts, pack_reads,
+                                       random_reads)
+        monkeypatch.setenv("KDF_PALLAS_INTERPRET", "1")
+        monkeypatch.setattr(eng, "_SMALL_TABLE_M", 0)
+        table_reads = random_reads(40, 96, with_n=False, seed=k)
+        kmers = sorted({km for s in table_reads
+                        for km in oracle_counts([s], k)})
+        from kmer_denovo_filter_tpu.ops import encode as enc
+        keys = enc.kmers_to_keys(kmers, k)
+        index = eng.KmerIndex(keys, k)
+        index.small = False
+        index.mid = True
+        batch = (random_reads(30, 96, seed=k + 1)
+                 + table_reads[:8])
+        codes, lengths = pack_reads(batch)
+        return index, keys, codes, lengths, batch
+
+    @pytest.mark.parametrize("k", [33, 63])
+    def test_wide_tally_matches_oracle(self, k, monkeypatch):
+        from tests.test_engine import _expected_tally
+        index, keys, codes, lengths, batch = self._setup(k, monkeypatch)
+        fc = eng.FilteredCounter(index)
+        assert fc.pallas_wide and not fc.pallas
+        fc.feed(codes, lengths)
+        fc.feed(codes, lengths)
+        got = fc.result()
+        expected = _expected_tally(batch, keys, k) * 2
+        assert np.array_equal(got, expected)
+        assert expected.sum() > 0
+
+    @pytest.mark.parametrize("k", [33, 63])
+    def test_wide_member_matches_xla(self, k, monkeypatch):
+        index, _keys, codes, lengths, _batch = self._setup(
+            k, monkeypatch)
+        got = eng.scan_reads_for_hits(index, codes, lengths)
+        monkeypatch.setenv("KDF_PALLAS_INTERPRET", "0")
+        monkeypatch.setenv("KDF_NO_PALLAS", "1")
+        expected = eng.scan_reads_for_hits(index, codes, lengths)
+        assert np.array_equal(got, expected)
+        assert expected.any()
+
+    def test_wide_sparse_batch_host_fallback(self, monkeypatch):
+        """Sparse wide-key batches take the exact host tally too."""
+        from kmer_denovo_filter_tpu.ops import encode as enc
+        from tests.test_engine import (_expected_tally, pack_reads,
+                                       random_reads)
+        k = 33
+        index, keys, _c, _l, _b = self._setup(k, monkeypatch)
+        planes, perm, p = pj.build_tile_partitions_wide(
+            index.keys_np, p=2 * pj.MAX_W_PART_TALLY + 128)
+        import jax.numpy as jnp
+        index._tile_parts_wide = (
+            tuple(jnp.asarray(planes[j])
+                  for j in range(planes.shape[0])), perm, p)
+        fc = eng.FilteredCounter(index)
+        fc.w_part = pj.MAX_W_PART_TALLY
+        sparse = random_reads(2, 40, with_n=False, seed=9) + [
+            enc.keys_to_kmers(keys[:1], k)[0]]
+        codes, lengths = pack_reads(sparse)
+        fc.feed(codes, lengths)
+        got = fc.result()
+        assert fc._host_corr is not None
+        assert np.array_equal(got, _expected_tally(sparse, keys, k))
