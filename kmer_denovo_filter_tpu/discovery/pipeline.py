@@ -401,8 +401,71 @@ def _scan_child_reads(child_source, proband_index, kmer_size,
         if it is not None:
             return _scan_child_reads_packed(
                 reader, it, scanner, kmer_size, min_dk_per_read, state)
+    if reader is None and getattr(child_source, "streaming", False):
+        from kmer_denovo_filter_tpu.htsio import native
+        if native.available():
+            return _scan_child_reads_stream(
+                child_source, scanner, kmer_size, min_dk_per_read,
+                state)
     return _scan_child_reads_records(
         child_source, scanner, kmer_size, min_dk_per_read, state)
+
+
+def _stream_indexed_batches(path, exclude_flags):
+    """(codes, lengths, rec_idx, data, scan, refs) batches over a
+    streaming BAM via the native chunk scanner — no per-record Python
+    for the stream walk; record objects decode lazily from *data*."""
+    from kmer_denovo_filter_tpu.htsio import native
+    from kmer_denovo_filter_tpu.htsio.bam import (
+        _emit_code_batches,
+        stream_scan_chunks,
+    )
+
+    for data, scan, refs in stream_scan_chunks(path):
+        res = native.bam_codes(data, scan, exclude_flags)
+        if res is None:
+            raise RuntimeError("native scanner unavailable")
+        codes_flat, offsets = res
+        keep = (offsets >= 0) & (scan["l_seqs"] > 0)
+        lens = scan["l_seqs"][keep].astype(np.int32)
+        starts = offsets[keep]
+        idx = np.nonzero(keep)[0]
+        for out, blens, rec_idx in _emit_code_batches(
+                codes_flat, lens, starts, idx, _ANCHOR_BATCH_READS):
+            yield out, blens, rec_idx, data, scan, refs
+
+
+def _scan_child_reads_stream(child_source, scanner, kmer_size,
+                             min_dk_per_read, state):
+    """Streaming two-pass scan (WGS BAMs): native chunk decode →
+    device mask → lazy record decode for informative rows only."""
+    from kmer_denovo_filter_tpu.htsio.bam import AlignedRead
+
+    unmapped_informative = 0
+    total_scanned = 0
+    batches = _stream_indexed_batches(child_source.path,
+                                      _ANCHOR_EXCLUDE_FLAGS)
+    for codes, lengths, rec_idx, data, scan, refs in prefetch_batches(
+            batches):
+        total_scanned += codes.shape[0]
+        if codes.shape[1] < kmer_size:
+            if not (lengths >= kmer_size).any():
+                continue
+            codes = np.pad(codes,
+                           ((0, 0), (0, kmer_size - codes.shape[1])),
+                           constant_values=4)
+        found = scanner(codes, lengths)
+
+        def get_read(i, rec_idx=rec_idx, data=data, scan=scan,
+                     refs=refs):
+            ri = int(rec_idx[i])
+            o = int(scan["rec_offsets"][ri])
+            sz = int(scan["rec_sizes"][ri])
+            return AlignedRead(data[o:o + sz], refs)
+
+        unmapped_informative += _process_hit_rows(
+            found, get_read, kmer_size, min_dk_per_read, state)
+    return unmapped_informative, total_scanned
 
 
 def _process_hit_rows(found, get_read, kmer_size, min_dk_per_read,
@@ -1101,6 +1164,10 @@ def _write_informative_reads_discovery(child_source, proband_index,
         # exclude secondary | duplicate (0x500); placed-only and the
         # dk-tagging happen lazily on the informative minority
         packed = reader.iter_packed_indexed(0x500, _ANCHOR_BATCH_READS)
+    streaming_native = False
+    if packed is None and getattr(child_source, "streaming", False):
+        from kmer_denovo_filter_tpu.htsio import native
+        streaming_native = native.available()
     if packed is not None:
         tids = reader._scan["tids"]
         for codes, lengths, rec_idx in prefetch_batches(packed):
@@ -1116,6 +1183,25 @@ def _write_informative_reads_discovery(child_source, proband_index,
                 if tids[ri] < 0:
                     continue  # records_placed() writes placed only
                 _emit(reader.record_at(ri))
+    elif streaming_native:
+        from kmer_denovo_filter_tpu.htsio.bam import AlignedRead
+        batches = _stream_indexed_batches(child_source.path, 0x500)
+        for (codes, lengths, rec_idx, data, scan,
+             refs) in prefetch_batches(batches):
+            if codes.shape[1] < kmer_size:
+                if not (lengths >= kmer_size).any():
+                    continue
+                codes = np.pad(
+                    codes, ((0, 0), (0, kmer_size - codes.shape[1])),
+                    constant_values=4)
+            found = scanner(codes, lengths)
+            for i in np.nonzero(found.any(axis=1))[0]:
+                ri = int(rec_idx[i])
+                if scan["tids"][ri] < 0:
+                    continue
+                o = int(scan["rec_offsets"][ri])
+                sz = int(scan["rec_sizes"][ri])
+                _emit(AlignedRead(data[o:o + sz], refs))
     else:
         batch = []
 

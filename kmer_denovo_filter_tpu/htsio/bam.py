@@ -892,16 +892,115 @@ def stream_records(path):
             pos += 4 + block_size
 
 
+def _emit_code_batches(codes_flat, lens, starts, rec_idx, batch_reads):
+    """(codes, lengths, record-index) batches from flat native codes."""
+    n = lens.shape[0]
+    for lo in range(0, n, batch_reads):
+        hi = min(lo + batch_reads, n)
+        blens = lens[lo:hi]
+        bstarts = starts[lo:hi]
+        lmax = int(blens.max()) if hi > lo else 1
+        b = hi - lo
+        out = np.full((b, lmax), 4, dtype=np.uint8)
+        total = int(blens.sum())
+        read_id = np.repeat(np.arange(b), blens)
+        col = (np.arange(total)
+               - np.repeat(np.cumsum(blens) - blens, blens))
+        src_idx = np.repeat(bstarts, blens) + col
+        out[read_id, col] = codes_flat[src_idx]
+        yield out, blens, rec_idx[lo:hi]
+
+
+def _skip_stream_header(fh):
+    """Read past a streaming BAM header, returning the refs list."""
+    if fh.read_exact(4) != b"BAM\x01":
+        raise ValueError("not a BAM file")
+    l_text = struct.unpack("<i", fh.read_exact(4))[0]
+    fh.read_exact(l_text)
+    n_ref = struct.unpack("<i", fh.read_exact(4))[0]
+    refs = []
+    for _ in range(n_ref):
+        l_name = struct.unpack("<i", fh.read_exact(4))[0]
+        name = fh.read_exact(l_name)[:-1].decode()
+        l_ref = struct.unpack("<i", fh.read_exact(4))[0]
+        refs.append((name, l_ref))
+    return refs
+
+
+def stream_scan_chunks(path, chunk_bytes=64 << 20):
+    """Yield (data, scan, refs) for whole-record chunks of a streaming
+    BAM — the native chunk scanner walks record boundaries in C++
+    (stopping cleanly at a trailing partial record), so no per-record
+    Python runs for WGS-scale streams.  Yields nothing before raising
+    if the native scanner is unavailable; callers hold a fallback.
+    """
+    from kmer_denovo_filter_tpu.htsio import native
+
+    if not native.available():
+        raise RuntimeError("native scanner unavailable")
+    with BgzfReader(path) as fh:
+        refs = _skip_stream_header(fh)
+        carry = b""
+        while True:
+            fresh = fh.read(chunk_bytes)
+            data = carry + fresh
+            if len(data) < 4:
+                break
+            scan = native.bam_scan(data, 0)
+            if scan is None:
+                raise RuntimeError("native scanner unavailable")
+            if scan["n"] == 0:
+                if not fresh:
+                    break  # trailing partial record: truncated file
+                carry = data
+                continue
+            consumed = int(scan["rec_offsets"][-1]
+                           + scan["rec_sizes"][-1])
+            yield data, scan, refs
+            carry = data[consumed:]
+            if not fresh and not carry:
+                break
+            if not fresh:
+                break
+
+
 def stream_packed(path, exclude_flags=0, batch_reads=8192):
     """Memory-bounded packed batches straight off the BGZF stream.
 
     Unlike :class:`BamReader` (which inflates the whole file — the
     right trade for targeted-fetch workloads), this walks records
-    incrementally with O(batch) memory, which is what whole-genome
+    incrementally with O(chunk) memory, which is what whole-genome
     parent/child counting scans need (WGS BAMs decompress to several
     hundred GB).  Yields the same (codes, lengths) batches as
-    ``iter_packed``.
+    ``iter_packed``.  With the native scanner present the walk runs
+    in C++ per chunk; the pure-Python record walk is the fallback.
     """
+    from kmer_denovo_filter_tpu.htsio import native
+
+    if native.available():
+        def _native_stream():
+            for data, scan, _refs in stream_scan_chunks(path):
+                res = native.bam_codes(data, scan, exclude_flags)
+                if res is None:
+                    raise RuntimeError("native scanner unavailable")
+                codes_flat, offsets = res
+                keep = (offsets >= 0) & (scan["l_seqs"] > 0)
+                lens = scan["l_seqs"][keep].astype(np.int32)
+                starts = offsets[keep]
+                idx = np.nonzero(keep)[0]
+                for out, blens, _idx in _emit_code_batches(
+                        codes_flat, lens, starts, idx, batch_reads):
+                    yield out, blens
+        try:
+            yield from _native_stream()
+            return
+        except RuntimeError:
+            pass
+    yield from _stream_packed_python(path, exclude_flags, batch_reads)
+
+
+def _stream_packed_python(path, exclude_flags=0, batch_reads=8192):
+    """Pure-Python record walk (no native scanner)."""
     with BgzfReader(path) as fh:
         if fh.read_exact(4) != b"BAM\x01":
             raise ValueError(f"not a BAM file: {path}")

@@ -34,6 +34,16 @@ _lib = None
 AVAILABLE = False
 
 
+def available():
+    """Build/load the native library if needed and report success.
+
+    ``AVAILABLE`` only reflects the *last* load attempt; callers that
+    may run before any native entry point has been touched must use
+    this accessor instead of reading the flag.
+    """
+    return _load()
+
+
 def _src_hash():
     import hashlib
     with open(_SRC, "rb") as fh:

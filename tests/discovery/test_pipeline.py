@@ -750,3 +750,20 @@ class TestScanPathParity:
                             until_eof=True))
         assert reads1 == reads2
         assert reads1  # non-empty: the scan actually found reads
+
+    def test_streaming_path_identical(self, disco, tmp_path,
+                                      monkeypatch):
+        """Forcing the streaming reader (KDF_STREAM_THRESHOLD_BYTES=0)
+        must produce byte-identical discovery outputs through the
+        native chunk scan path."""
+        p1 = _run(disco, tmp_path / "whole")
+        monkeypatch.setenv("KDF_STREAM_THRESHOLD_BYTES", "0")
+        p2 = _run(disco, tmp_path / "stream")
+        for suffix in (".bed", ".kmer_coverage.bedgraph",
+                       ".read_coverage.bed", ".sv.bedpe",
+                       ".summary.txt"):
+            assert (open(p1 + suffix).read()
+                    == open(p2 + suffix).read()), suffix
+        ja = json.load(open(p1 + ".metrics.json"))
+        jb = json.load(open(p2 + ".metrics.json"))
+        assert ja == jb

@@ -60,3 +60,43 @@ class TestNative:
         for (a, la), (b, lb) in zip(nat, pyb):
             assert np.array_equal(la, lb)
             assert np.array_equal(a, b)
+
+
+def test_stream_packed_native_matches_python(tmp_path):
+    """The native chunked stream walk yields the same reads (order and
+    content) as the pure-Python record walk, across chunk boundaries."""
+    from kmer_denovo_filter_tpu.htsio import native
+    from kmer_denovo_filter_tpu.htsio.bam import (
+        _stream_packed_python,
+        stream_packed,
+        stream_scan_chunks,
+    )
+    from tests.helpers import create_bam, create_ref_fasta
+
+    if not native.available():
+        import pytest
+        pytest.skip("native scanner unavailable")
+    ref = str(tmp_path / "ref.fa")
+    seq = create_ref_fasta(ref, "chr1", 3000)
+    reads = [(f"r{i}", p, seq[p:p + 50 + (i % 17)])
+             for i, p in enumerate(range(0, 2500, 3))]
+    bam = str(tmp_path / "t.bam")
+    create_bam(bam, "chr1", reads, ref_length=3000)
+
+    def flat(batches):
+        rows = []
+        for codes, lens in batches:
+            for r, ln in zip(codes, lens):
+                rows.append(bytes(r[:ln]))
+        return rows
+
+    a = flat(stream_packed(bam, 0xD00, batch_reads=64))
+    b = flat(_stream_packed_python(bam, 0xD00, batch_reads=64))
+    assert a == b and len(a) == len(reads)
+
+    # tiny chunks force carry-over of partial trailing records;
+    # each record must be scanned exactly once
+    rows = 0
+    for data, scan, refs in stream_scan_chunks(bam, chunk_bytes=1024):
+        rows += int(scan["n"])
+    assert rows == len(reads)
