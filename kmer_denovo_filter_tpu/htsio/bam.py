@@ -893,14 +893,28 @@ def stream_records(path):
 
 
 def _emit_code_batches(codes_flat, lens, starts, rec_idx, batch_reads):
-    """(codes, lengths, record-index) batches from flat native codes."""
+    """(codes, lengths, record-index) batches from flat native codes.
+
+    Uniform read lengths (the Illumina common case) take a reshape or
+    2-D gather; the ragged repeat/cumsum construction is the fallback.
+    """
     n = lens.shape[0]
     for lo in range(0, n, batch_reads):
         hi = min(lo + batch_reads, n)
         blens = lens[lo:hi]
         bstarts = starts[lo:hi]
-        lmax = int(blens.max()) if hi > lo else 1
         b = hi - lo
+        l0 = int(blens[0]) if b else 1
+        if b and (blens == l0).all():
+            if b == 1 or (np.diff(bstarts) == l0).all():
+                s0 = int(bstarts[0])
+                out = codes_flat[s0:s0 + b * l0].reshape(b, l0)
+            else:
+                out = codes_flat[bstarts[:, None]
+                                 + np.arange(l0)[None, :]]
+            yield out, blens, rec_idx[lo:hi]
+            continue
+        lmax = int(blens.max()) if hi > lo else 1
         out = np.full((b, lmax), 4, dtype=np.uint8)
         total = int(blens.sum())
         read_id = np.repeat(np.arange(b), blens)
@@ -935,10 +949,15 @@ def stream_scan_chunks(path, chunk_bytes=64 << 20):
     if the native scanner is unavailable; callers hold a fallback.
     """
     from kmer_denovo_filter_tpu.htsio import native
+    from kmer_denovo_filter_tpu.htsio.bgzf import ParallelBgzfReader
 
     if not native.available():
         raise RuntimeError("native scanner unavailable")
-    with BgzfReader(path) as fh:
+    try:
+        fh_cls = ParallelBgzfReader(path)
+    except ValueError:
+        fh_cls = BgzfReader(path)  # plain/odd gzip: serial fallback
+    with fh_cls as fh:
         refs = _skip_stream_header(fh)
         carry = b""
         while True:
@@ -991,11 +1010,19 @@ def stream_packed(path, exclude_flags=0, batch_reads=8192):
                 for out, blens, _idx in _emit_code_batches(
                         codes_flat, lens, starts, idx, batch_reads):
                     yield out, blens
+        # fall back only BEFORE the first yield — a mid-stream failure
+        # must propagate rather than silently re-stream from scratch
+        gen = _native_stream()
         try:
-            yield from _native_stream()
+            first = next(gen)
+        except StopIteration:
             return
         except RuntimeError:
-            pass
+            first = None
+        if first is not None:
+            yield first
+            yield from gen
+            return
     yield from _stream_packed_python(path, exclude_flags, batch_reads)
 
 

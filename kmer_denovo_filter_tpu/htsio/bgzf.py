@@ -299,3 +299,107 @@ def bgzf_compress_file(src_path, dst_path, level=6):
             if not chunk:
                 break
             dst.write(chunk)
+
+
+class ParallelBgzfReader:
+    """Sequential BGZF reader with pooled block inflation.
+
+    The consumer thread walks compressed block headers (cheap file
+    reads) and submits payloads to a thread pool — ``zlib.decompress``
+    releases the GIL, so blocks inflate in parallel while results pop
+    in order.  Exposes the ``read``/``read_exact`` subset the
+    streaming scan paths use.  Strict BGZF only (the BAM spec requires
+    it): a non-BGZF member raises, it does not silently degrade.
+    """
+
+    def __init__(self, path, threads=None, depth=None):
+        import collections
+        import concurrent.futures
+
+        self._fh = open(path, "rb")
+        head = self._fh.read(4)
+        self._fh.seek(0)
+        if head[:4] != b"\x1f\x8b\x08\x04":
+            self._fh.close()
+            raise ValueError(f"not a BGZF file: {path}")
+        if threads is None:
+            threads = int(os.environ.get(
+                "KDF_BGZF_THREADS",
+                min(8, os.cpu_count() or 1)))
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(1, threads),
+            thread_name_prefix="kdf-bgzf")
+        self._depth = depth or max(4, threads * 8)
+        self._futs = collections.deque()
+        self._buf = b""
+        self._pos = 0
+        self._header_eof = False
+
+    def _submit(self):
+        while len(self._futs) < self._depth and not self._header_eof:
+            header = self._fh.read(12)
+            if len(header) < 12:
+                self._header_eof = True
+                return
+            if header[:4] != b"\x1f\x8b\x08\x04":
+                raise ValueError("non-BGZF member in stream")
+            (xlen,) = struct.unpack("<H", header[10:12])
+            extra = self._fh.read(xlen)
+            bsize = None
+            i = 0
+            while i + 4 <= len(extra):
+                si1, si2 = extra[i], extra[i + 1]
+                (slen,) = struct.unpack("<H", extra[i + 2:i + 4])
+                if si1 == 66 and si2 == 67 and slen == 2:
+                    (raw,) = struct.unpack("<H", extra[i + 4:i + 6])
+                    bsize = raw + 1
+                    break
+                i += 4 + slen
+            if bsize is None:
+                raise ValueError("BGZF member without BC subfield")
+            payload = self._fh.read(bsize - 12 - xlen - 8)
+            footer = self._fh.read(8)
+            (isize,) = struct.unpack("<I", footer[4:8])
+            self._futs.append(self._pool.submit(
+                zlib.decompress, payload, -15, isize or 1))
+
+    def _next_block(self):
+        self._submit()
+        while self._futs:
+            data = self._futs.popleft().result()
+            self._submit()
+            if data:
+                return data
+        return b""
+
+    def read(self, n=-1):
+        out = []
+        got = 0
+        while n < 0 or got < n:
+            if self._pos >= len(self._buf):
+                self._buf = self._next_block()
+                self._pos = 0
+                if not self._buf:
+                    break
+            take = (len(self._buf) - self._pos if n < 0
+                    else min(n - got, len(self._buf) - self._pos))
+            out.append(self._buf[self._pos:self._pos + take])
+            self._pos += take
+            got += take
+        return b"".join(out)
+
+    def read_exact(self, n):
+        data = self.read(n)
+        if len(data) != n:
+            raise EOFError(f"expected {n} bytes, got {len(data)}")
+        return data
+
+    def close(self):
+        self._pool.shutdown(wait=False, cancel_futures=True)
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
