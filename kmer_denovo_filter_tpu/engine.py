@@ -686,7 +686,9 @@ def make_filtered_counter(index):
             ShardedFilteredCounter,
             make_mesh,
         )
-        if index.w == 2 and _use_pallas_join():
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        if ((index.w == 2 or 3 <= index.w <= pj.MAX_W_WIDE)
+                and _use_pallas_join()):
             from kmer_denovo_filter_tpu.parallel.tile_sharded import (
                 ShardedTileCounter,
             )
@@ -713,7 +715,9 @@ def make_scanner(index):
             make_mesh,
             sharded_scan_reads_for_hits,
         )
-        if index.w == 2 and _use_pallas_join():
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        if ((index.w == 2 or 3 <= index.w <= pj.MAX_W_WIDE)
+                and _use_pallas_join()):
             from kmer_denovo_filter_tpu.parallel.tile_sharded import (
                 ShardedTileScanner,
             )

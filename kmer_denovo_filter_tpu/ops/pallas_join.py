@@ -632,6 +632,17 @@ def route_presorted(s0, s1, p, s, chunk, nsub, w_part):
     sentinel = jnp.uint32(0xFFFFFFFF)
     sent = (s0 == sentinel) & (s1 == sentinel)
     spart = jnp.where(sent, p, local_part_from_hi(s0, s, p))
+    (spr, blk, base8, sub_start, sub_span, overflow_tally,
+     need) = _masked_span_meta(spart, sent, p, chunk, nsub, w_part)
+    s0r = s0.reshape(n // 128, 128)
+    s1r = s1.reshape(n // 128, 128)
+    return (s0r, s1r, spr, blk, base8, sub_start, sub_span,
+            overflow_tally, need)
+
+
+def _masked_span_meta(spart, sent, p, chunk, nsub, w_part):
+    """Real-masked sub-chunk spans + chunk window metadata."""
+    n = spart.shape[0]
     nc = n // chunk
     sp2 = spart.reshape(nc * nsub, SUB_ROWS)
     real2 = ~sent.reshape(nc * nsub, SUB_ROWS)
@@ -650,11 +661,61 @@ def route_presorted(s0, s1, p, s, chunk, nsub, w_part):
         (jnp.max(last - blk * w_part + 1) > 2 * w_part)
         | (jnp.max(last - base8 + 1) > w_part))
     need = jnp.max(last - base8 + 1)
-    s0r = s0.reshape(n // 128, 128)
-    s1r = s1.reshape(n // 128, 128)
     spr = spart.reshape(n // 128, 128)
-    return (s0r, s1r, spr, blk, base8, sub_start, sub_span,
+    return spr, blk, base8, sub_start, sub_span, overflow_tally, need
+
+
+def route_presorted_wide(cols, p, s, chunk, nsub, w_part):
+    """Wide-key analog of :func:`route_presorted`: *cols* is a list of
+    W received word arrays (concatenated pre-sorted segments).  The
+    local partition comes from the remainder scale of the route hash
+    recomputed on the receiving shard (cheaper than shipping it)."""
+    sent = cols[0] == jnp.uint32(0xFFFFFFFF)
+    for cj in cols[1:]:
+        sent = sent & (cj == jnp.uint32(0xFFFFFFFF))
+    h = _route_hash(cols)
+    spart = jnp.where(sent, p, local_part_from_hi(h, s, p))
+    (spr, blk, base8, sub_start, sub_span, overflow_tally,
+     need) = _masked_span_meta(spart, sent, p, chunk, nsub, w_part)
+    n = cols[0].shape[0]
+    qplanes = [c.reshape(n // 128, 128) for c in cols]
+    return (qplanes, spr, blk, base8, sub_start, sub_span,
             overflow_tally, need)
+
+
+def build_shard_tile_partitions_wide(keys_np, s, p=None):
+    """Host-side wide planes per shard: owner = scale of the route
+    hash, partition = remainder scale.  Returns
+    ``(planes (s, W, rows, 1024), perms (s, p, 1024), p)``."""
+    m, w = keys_np.shape
+    if not 3 <= w <= MAX_W_WIDE:
+        raise ValueError(f"wide tile partitions require 3 <= W <= "
+                         f"{MAX_W_WIDE}, got {w}")
+    h = route_hash_np(np.ascontiguousarray(keys_np, np.uint32))
+    dest = ((h.astype(np.uint64) * np.uint64(s))
+            >> np.uint64(32)).astype(np.int64)
+    if p is None:
+        p = num_partitions(max(1, -(-m // s)))
+    while True:
+        part = _local_part_np(h, s, p)
+        flat = dest * p + part
+        counts = np.bincount(flat, minlength=s * p)
+        if int(counts.max()) <= TILE_KEYS:
+            break
+        p = _grow_p(p)
+    rows = p + 1 + MAX_W_PART
+    planes = np.full((s, w, rows, TILE_KEYS), SENTINEL,
+                     dtype=np.uint32)
+    perms = np.full((s, p, TILE_KEYS), -1, dtype=np.int64)
+    order = np.argsort(flat, kind="stable")
+    sf = flat[order]
+    first = np.searchsorted(sf, np.arange(s * p))
+    slot = np.arange(m) - first[sf]
+    sd, sp_ = sf // p, sf % p
+    for j in range(w):
+        planes[sd, j, sp_, slot] = keys_np[order, j]
+    perms[sd, sp_, slot] = order
+    return planes, perms, p
 
 
 # ── Generic-W tile-join (k > 31) ────────────────────────────────────
@@ -876,23 +937,10 @@ def _route_wide(flat, p, chunk, nsub, with_idx):
     return (planes, spr, cfirst, clast, sub_start, sub_span, sidx, n)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "p", "w_part", "interpret"))
-def join_tally_step_wide(planes, acc, codes, lengths, k, p,
-                         w_part=W_PART_TALLY, interpret=False):
-    """Generic-W fused tally step (k > 31): extract → hash route →
-    wide tile-join.  *planes* is a tuple of W (rows, 1024) uint32."""
-    w = len(planes)
-    keys, _valid = dev.extract_canonical_windows(codes, lengths, k)
-    flat = keys.reshape(-1, w)
-    (qplanes, spr, cfirst, clast, sub_start, sub_span, _sidx,
-     n) = _route_wide(flat, p, CHUNK_T, NSUB_T, with_idx=False)
-    blk = cfirst // w_part
-    base8 = (cfirst // 8) * 8
-    overflow = ((jnp.max(clast - blk * w_part + 1) > 2 * w_part)
-                | (jnp.max(clast - base8 + 1) > w_part))
-    meta = jnp.concatenate([blk, base8, sub_start, sub_span])
-    nc = n // CHUNK_T
+def _tally_call_wide(meta, planes, qplanes, spr, acc, w, w_part,
+                     interpret):
+    """Invoke the wide tally kernel on routed queries + metadata."""
+    nc = spr.shape[0] // NSUB_T
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nc,),
@@ -913,7 +961,7 @@ def join_tally_step_wide(planes, acc, codes, lengths, k, p,
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
     )
-    acc_out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_tally_kernel_wide, w=w, w_part=w_part),
         out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.int32),
         grid_spec=grid_spec,
@@ -921,6 +969,54 @@ def join_tally_step_wide(planes, acc, codes, lengths, k, p,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(meta, *planes, *planes, *qplanes, spr, acc)
+
+
+def _member_call_wide(meta, planes, qplanes, spr, w, w_part,
+                      interpret):
+    """Invoke the wide member kernel on routed queries + metadata."""
+    n = spr.shape[0] * 128
+    nc = spr.shape[0] // NSUB
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.ANY)] * w
+            + [pl.BlockSpec((NSUB, 128), lambda c, m: (c, 0),
+                            memory_space=pltpu.VMEM)] * (w + 1)
+        ),
+        out_specs=pl.BlockSpec((NSUB, 128), lambda c, m: (c, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=(
+            [pltpu.VMEM((w_part, TILE_KEYS), jnp.uint32)] * w
+            + [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_member_kernel_wide, w=w, w_part=w_part),
+        out_shape=jax.ShapeDtypeStruct((n // 128, 128), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(meta, *planes, *qplanes, spr)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "p", "w_part", "interpret"))
+def join_tally_step_wide(planes, acc, codes, lengths, k, p,
+                         w_part=W_PART_TALLY, interpret=False):
+    """Generic-W fused tally step (k > 31): extract → hash route →
+    wide tile-join.  *planes* is a tuple of W (rows, 1024) uint32."""
+    w = len(planes)
+    keys, _valid = dev.extract_canonical_windows(codes, lengths, k)
+    flat = keys.reshape(-1, w)
+    (qplanes, spr, cfirst, clast, sub_start, sub_span, _sidx,
+     n) = _route_wide(flat, p, CHUNK_T, NSUB_T, with_idx=False)
+    blk = cfirst // w_part
+    base8 = (cfirst // 8) * 8
+    overflow = ((jnp.max(clast - blk * w_part + 1) > 2 * w_part)
+                | (jnp.max(clast - base8 + 1) > w_part))
+    meta = jnp.concatenate([blk, base8, sub_start, sub_span])
+    acc_out = _tally_call_wide(meta, planes, qplanes, spr, acc, w,
+                               w_part, interpret)
     return acc_out, overflow
 
 
@@ -940,28 +1036,8 @@ def join_member_step_wide(planes, codes, lengths, k, p, w_part=W_PART,
     base8 = (cfirst // 8) * 8
     overflow = jnp.max(clast - base8 + 1) > w_part
     meta = jnp.concatenate([base8, sub_start, sub_span])
-    nc = n // CHUNK_ROWS
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nc,),
-        in_specs=(
-            [pl.BlockSpec(memory_space=pltpu.ANY)] * w
-            + [pl.BlockSpec((NSUB, 128), lambda c, m: (c, 0),
-                            memory_space=pltpu.VMEM)] * (w + 1)
-        ),
-        out_specs=pl.BlockSpec((NSUB, 128), lambda c, m: (c, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=(
-            [pltpu.VMEM((w_part, TILE_KEYS), jnp.uint32)] * w
-            + [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
-        ),
-    )
-    found_sorted = pl.pallas_call(
-        functools.partial(_member_kernel_wide, w=w, w_part=w_part),
-        out_shape=jax.ShapeDtypeStruct((n // 128, 128), jnp.int32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(meta, *planes, *qplanes, spr)
+    found_sorted = _member_call_wide(meta, planes, qplanes, spr, w,
+                                     w_part, interpret)
     assert n < (1 << 30), "member batch too large for packed unsort"
     packed = (sidx << 1) | (found_sorted.reshape(n) > 0).astype(
         jnp.int32)

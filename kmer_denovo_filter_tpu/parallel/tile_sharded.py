@@ -16,6 +16,11 @@ kernel, which therefore needs NO second sort: segment boundaries align
 to kernel chunks and spans are computed over real rows only
 (ops/pallas_join.py:route_presorted).
 
+Wide keys (W in 3..8, k ≤ 127) ride the same design with the route
+hash in place of the mixed high word: owner = its top scale,
+partition = its remainder scale, raw words shipped as payload and the
+hash recomputed on the receiving shard (route_presorted_wide).
+
 Per-chip step cost is the single-chip step at 1/S the rows: the sort,
 the extraction and the join all shrink by the shard count while the
 exchange rides ICI.  This is the multi-chip deployment path of
@@ -52,69 +57,85 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _sorted_segments(codes_shard, lens_shard, k, s, cap, thresholds,
-                     with_idx):
-    """Extract + mix + single local sort + scatter-free segmentation.
+def _sorted_segments(codes_shard, lens_shard, k, w, s, cap,
+                     thresholds, with_idx):
+    """Extract + single local sort + scatter-free segmentation.
 
-    Returns ``(seg0, seg1, bounds, overflow, sidx, n)`` where
-    ``seg0``/``seg1`` are (s, cap) mixed words (sentinel padded
-    positionally), ``bounds`` the (s+1,) segment starts in the sorted
-    stream, and ``sidx`` the sort permutation over the n local windows
-    (None unless *with_idx*).
+    Returns ``(segs, bounds, overflow, sidx, n)`` where ``segs`` is a
+    list of W (s, cap) word arrays (sentinel padded positionally;
+    mixed words for W == 2, raw words for wide keys), ``bounds`` the
+    (s+1,) segment starts in the sorted stream, and ``sidx`` the sort
+    permutation over the n local windows (None unless *with_idx*).
+
+    Sentinels sort strictly last in both widths: the sort compares
+    every carried word and no real key is all-F (W == 2: the mix's
+    all-F preimage is outside the key space; wide: odd k leaves clear
+    low bits), so the valid prefix ends exactly at n − #sentinels.
     """
     keys, _valid = dev.extract_canonical_windows(
         codes_shard, lens_shard, k)
-    flat = keys.reshape(-1, 2)
+    flat = keys.reshape(-1, w)
     n = flat.shape[0]
-    w0, w1 = flat[:, 0], flat[:, 1]
-    sent = (w0 == _F32) & (w1 == _F32)
-    h, low = pj._mix_keys(w0, w1)
-    hi = jnp.where(sent, _F32, h)
-    lo = jnp.where(sent, _F32, low)
-    # num_keys=2: sentinels (F, F) sort strictly after any real key
-    # (no real key mixes to (F, F)), so the valid prefix is exactly
-    # the non-sentinel rows and segment s-1 ends at n_valid.
+    cols = [flat[:, j] for j in range(w)]
+    sent = cols[0] == _F32
+    for cj in cols[1:]:
+        sent = sent & (cj == _F32)
+    if w == 2:
+        h, low = pj._mix_keys(cols[0], cols[1])
+        carried = [jnp.where(sent, _F32, h),
+                   jnp.where(sent, _F32, low)]
+        num_keys = 2
+    else:
+        h = jnp.where(sent, _F32, pj._route_hash(cols))
+        carried = [h] + cols
+        num_keys = 1 + w
     if with_idx:
         idx0 = jnp.arange(n, dtype=jnp.int32)
-        hi_s, lo_s, sidx = jax.lax.sort((hi, lo, idx0), num_keys=2)
+        srt = jax.lax.sort((*carried, idx0), num_keys=num_keys)
+        sidx = srt[-1]
+        sorted_cols = list(srt[:-1])
     else:
-        hi_s, lo_s = jax.lax.sort((hi, lo), num_keys=2)
+        sorted_cols = list(jax.lax.sort(tuple(carried),
+                                        num_keys=num_keys))
         sidx = None
+    route_key = sorted_cols[0]  # mixed hi (W==2) or route hash (wide)
+    ship = sorted_cols if w == 2 else sorted_cols[1:]
     n_valid = (n - jnp.sum(sent)).astype(jnp.int32)
-    inner = jnp.searchsorted(hi_s, thresholds).astype(jnp.int32)
+    inner = jnp.searchsorted(route_key, thresholds).astype(jnp.int32)
     inner = jnp.minimum(inner, n_valid)
     bounds = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), inner, n_valid[None]])
     seg_len = bounds[1:] - bounds[:-1]
     overflow = jnp.any(seg_len > cap)
     # pad the sorted stream so a cap-slice at any start stays in range
-    hi_p = jnp.concatenate([hi_s, jnp.full(cap, _F32)])
-    lo_p = jnp.concatenate([lo_s, jnp.full(cap, _F32)])
+    padded = [jnp.concatenate([c, jnp.full(cap, _F32)]) for c in ship]
     js = jnp.arange(cap, dtype=jnp.int32)
-    segs0, segs1 = [], []
-    for d in range(s):
-        st = bounds[d]
-        m = js < seg_len[d]
-        segs0.append(jnp.where(
-            m, jax.lax.dynamic_slice(hi_p, (st,), (cap,)), _F32))
-        segs1.append(jnp.where(
-            m, jax.lax.dynamic_slice(lo_p, (st,), (cap,)), _F32))
-    return (jnp.stack(segs0), jnp.stack(segs1), bounds, overflow,
-            sidx, n)
+    segs = []
+    for c in padded:
+        per_dest = []
+        for d in range(s):
+            st = bounds[d]
+            m = js < seg_len[d]
+            per_dest.append(jnp.where(
+                m, jax.lax.dynamic_slice(c, (st,), (cap,)), _F32))
+        segs.append(jnp.stack(per_dest))
+    return segs, bounds, overflow, sidx, n
 
 
 class ShardedTileCounter:
     """Multi-chip ``--if`` filtered counter over per-shard tile planes.
 
     Drop-in for :class:`engine.FilteredCounter` on a multi-device
-    mesh when the Pallas tile-join is available (W == 2).
+    mesh when the Pallas tile-join is available (W == 2 via the mixed
+    pair, W in 3..8 via the route-hash wide variant).
     """
 
     def __init__(self, keys_np, k, mesh, interpret=False):
         self.k = k
         self.w = enc.words_per_kmer(k)
-        if self.w != 2:
-            raise ValueError("tile counter requires W == 2")
+        if not (self.w == 2 or 3 <= self.w <= pj.MAX_W_WIDE):
+            raise ValueError(
+                f"tile counter requires 2 <= W <= {pj.MAX_W_WIDE}")
         self.mesh = mesh
         self.s = int(mesh.devices.size)
         self.n = keys_np.shape[0]
@@ -124,15 +145,22 @@ class ShardedTileCounter:
         # same planes, feeds its own BAM shard, and flags/results
         # gather with process_allgather
         self.multihost = jax.process_count() > 1
-        t0, t1, perms, p = pj.build_shard_tile_partitions(
-            self.keys_np, self.s)
+        if self.w == 2:
+            t0, t1, perms, p = pj.build_shard_tile_partitions(
+                self.keys_np, self.s)
+            planes = np.stack([t0, t1], axis=1)  # (s, 2, rows, lanes)
+        else:
+            planes, perms, p = pj.build_shard_tile_partitions_wide(
+                self.keys_np, self.s)
         self.p = p
         self.perms = perms
-        self._plane_spec = NamedSharding(mesh, P(AXIS, None, None))
-        self.t0 = self._put_global(t0, self._plane_spec)
-        self.t1 = self._put_global(t1, self._plane_spec)
+        self._plane_spec = NamedSharding(mesh, P(AXIS, None, None,
+                                                 None))
+        self._acc_spec = NamedSharding(mesh, P(AXIS, None, None))
+        self.planes = self._put_global(planes, self._plane_spec)
         self.acc = self._put_global(
-            np.zeros(t0.shape, np.int32), self._plane_spec)
+            np.zeros((self.s,) + planes.shape[2:], np.int32),
+            self._acc_spec)
         self.w_part = pj.W_PART_TALLY
         self._thresholds = jnp.asarray(
             pj.shard_thresholds(self.s).astype(np.uint32))
@@ -161,29 +189,43 @@ class ShardedTileCounter:
         key = (cap, w_part)
         if key in self._step_cache:
             return self._step_cache[key]
-        k, s, p = self.k, self.s, self.p
+        k, w, s, p = self.k, self.w, self.s, self.p
         interpret = self.interpret
         thresholds = self._thresholds
 
         @jax.jit
         @functools.partial(
             shard_map, mesh=self.mesh,
-            in_specs=(P(AXIS, None, None), P(AXIS, None, None),
+            in_specs=(P(AXIS, None, None, None),
                       P(AXIS, None, None), P(AXIS, None), P(AXIS)),
             out_specs=(P(AXIS, None, None), P(AXIS), P(AXIS)),
             check_vma=False)
-        def step(t0s, t1s, accs, codes_shard, lens_shard):
-            seg0, seg1, _bounds, ovf_route, _sidx, _n = \
-                _sorted_segments(codes_shard, lens_shard, k, s, cap,
-                                 thresholds, with_idx=False)
-            r0 = jax.lax.all_to_all(seg0, AXIS, 0, 0).reshape(-1)
-            r1 = jax.lax.all_to_all(seg1, AXIS, 0, 0).reshape(-1)
-            (s0r, s1r, spr, blk, base8, sub_start, sub_span,
-             ovf_win, _need) = pj.route_presorted(
-                r0, r1, p, s, pj.CHUNK_T, pj.NSUB_T, w_part)
-            meta = jnp.concatenate([blk, base8, sub_start, sub_span])
-            acc = pj._tally_call(meta, t0s[0], t1s[0], s0r, s1r, spr,
-                                 accs[0], w_part, interpret)
+        def step(planes_s, accs, codes_shard, lens_shard):
+            segs, _bounds, ovf_route, _sidx, _n = _sorted_segments(
+                codes_shard, lens_shard, k, w, s, cap, thresholds,
+                with_idx=False)
+            received = [jax.lax.all_to_all(sg, AXIS, 0, 0).reshape(-1)
+                        for sg in segs]
+            local = [planes_s[0, j] for j in range(w)]
+            if w == 2:
+                (s0r, s1r, spr, blk, base8, sub_start, sub_span,
+                 ovf_win, _need) = pj.route_presorted(
+                    received[0], received[1], p, s, pj.CHUNK_T,
+                    pj.NSUB_T, w_part)
+                meta = jnp.concatenate(
+                    [blk, base8, sub_start, sub_span])
+                acc = pj._tally_call(meta, local[0], local[1], s0r,
+                                     s1r, spr, accs[0], w_part,
+                                     interpret)
+            else:
+                (qplanes, spr, blk, base8, sub_start, sub_span,
+                 ovf_win, _need) = pj.route_presorted_wide(
+                    received, p, s, pj.CHUNK_T, pj.NSUB_T, w_part)
+                meta = jnp.concatenate(
+                    [blk, base8, sub_start, sub_span])
+                acc = pj._tally_call_wide(meta, local, qplanes, spr,
+                                          accs[0], w, w_part,
+                                          interpret)
             return acc[None], ovf_route[None], ovf_win[None]
 
         self._step_cache[key] = step
@@ -244,10 +286,10 @@ class ShardedTileCounter:
                 & ~(skeys == np.uint32(0xFFFFFFFF)).all(axis=1))
         uk = skeys[mask]
         uc = np.asarray(counts)[mask].astype(np.int64)
-        tbl = ((self.keys_np[:, 0].astype(np.uint64) << np.uint64(32))
-               | self.keys_np[:, 1].astype(np.uint64))
-        q = ((uk[:, 0].astype(np.uint64) << np.uint64(32))
-             | uk[:, 1].astype(np.uint64))
+        width = f"S{4 * self.w}"
+        tbl = np.ascontiguousarray(
+            self.keys_np.astype(">u4")).view(width).ravel()
+        q = np.ascontiguousarray(uk.astype(">u4")).view(width).ravel()
         pos = np.searchsorted(tbl, q)
         pos_c = np.minimum(pos, self.n - 1)
         hit = tbl[pos_c] == q
@@ -276,7 +318,7 @@ class ShardedTileCounter:
                 self.w_part = min(self.w_part * 2,
                                   pj.MAX_W_PART_TALLY)
             acc, ovr_j, ovw_j = self._step_fn(cap, self.w_part)(
-                self.t0, self.t1, acc_before, codes_d, lens_d)
+                self.planes, acc_before, codes_d, lens_d)
             ovr = bool(self._host_values(ovr_j).any())
             ovw = bool(self._host_values(ovw_j).any())
             if not (ovr or ovw):
@@ -289,7 +331,7 @@ class ShardedTileCounter:
         self._resolve_pending()
         acc_before = self.acc
         acc, ovr, ovw = self._step_fn(cap, self.w_part)(
-            self.t0, self.t1, acc_before, codes_d, lens_d)
+            self.planes, acc_before, codes_d, lens_d)
         self.acc = acc
         self._pending = (codes_d, lens_d, codes, lengths, acc_before,
                          ovr, ovw, cap)
@@ -328,17 +370,23 @@ class ShardedTileScanner:
     def __init__(self, keys_np, k, mesh, interpret=False):
         self.k = k
         self.w = enc.words_per_kmer(k)
-        if self.w != 2:
-            raise ValueError("tile scanner requires W == 2")
+        if not (self.w == 2 or 3 <= self.w <= pj.MAX_W_WIDE):
+            raise ValueError(
+                f"tile scanner requires 2 <= W <= {pj.MAX_W_WIDE}")
         self.mesh = mesh
         self.s = int(mesh.devices.size)
         self.interpret = interpret
-        t0, t1, _perms, p = pj.build_shard_tile_partitions(
-            np.ascontiguousarray(keys_np, np.uint32), self.s)
+        keys_np = np.ascontiguousarray(keys_np, np.uint32)
+        if self.w == 2:
+            t0, t1, _perms, p = pj.build_shard_tile_partitions(
+                keys_np, self.s)
+            planes = np.stack([t0, t1], axis=1)
+        else:
+            planes, _perms, p = pj.build_shard_tile_partitions_wide(
+                keys_np, self.s)
         self.p = p
-        spec = NamedSharding(mesh, P(AXIS, None, None))
-        self.t0 = jax.device_put(jnp.asarray(t0), spec)
-        self.t1 = jax.device_put(jnp.asarray(t1), spec)
+        spec = NamedSharding(mesh, P(AXIS, None, None, None))
+        self.planes = jax.device_put(jnp.asarray(planes), spec)
         self._thresholds = jnp.asarray(
             pj.shard_thresholds(self.s).astype(np.uint32))
         self._scan_cache = {}
@@ -347,32 +395,45 @@ class ShardedTileScanner:
         key = (cap, w_part, s_windows)
         if key in self._scan_cache:
             return self._scan_cache[key]
-        k, s, p = self.k, self.s, self.p
+        k, w, s, p = self.k, self.w, self.s, self.p
         interpret = self.interpret
         thresholds = self._thresholds
 
         @jax.jit
         @functools.partial(
             shard_map, mesh=self.mesh,
-            in_specs=(P(AXIS, None, None), P(AXIS, None, None),
+            in_specs=(P(AXIS, None, None, None),
                       P(AXIS, None), P(AXIS)),
             out_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
             check_vma=False)
-        def scan(t0s, t1s, codes_shard, lens_shard):
+        def scan(planes_s, codes_shard, lens_shard):
             keys, valid = dev.extract_canonical_windows(
                 codes_shard, lens_shard, k)
-            seg0, seg1, bounds, ovf_route, sidx, n = \
-                _sorted_segments(codes_shard, lens_shard, k, s, cap,
-                                 thresholds, with_idx=True)
-            r0 = jax.lax.all_to_all(seg0, AXIS, 0, 0).reshape(-1)
-            r1 = jax.lax.all_to_all(seg1, AXIS, 0, 0).reshape(-1)
-            (s0r, s1r, spr, _blk, base8, sub_start, sub_span,
-             _ovf_t, need) = pj.route_presorted(
-                r0, r1, p, s, pj.CHUNK_ROWS, pj.NSUB, w_part)
-            ovf_win = need > w_part
-            meta = jnp.concatenate([base8, sub_start, sub_span])
-            found = pj._member_call(meta, t0s[0], t1s[0], s0r, s1r,
-                                    spr, w_part, interpret)
+            segs, bounds, ovf_route, sidx, n = _sorted_segments(
+                codes_shard, lens_shard, k, w, s, cap, thresholds,
+                with_idx=True)
+            received = [jax.lax.all_to_all(sg, AXIS, 0, 0).reshape(-1)
+                        for sg in segs]
+            local = [planes_s[0, j] for j in range(w)]
+            if w == 2:
+                (s0r, s1r, spr, _blk, base8, sub_start, sub_span,
+                 _ovf_t, need) = pj.route_presorted(
+                    received[0], received[1], p, s, pj.CHUNK_ROWS,
+                    pj.NSUB, w_part)
+                ovf_win = need > w_part
+                meta = jnp.concatenate([base8, sub_start, sub_span])
+                found = pj._member_call(meta, local[0], local[1],
+                                        s0r, s1r, spr, w_part,
+                                        interpret)
+            else:
+                (qplanes, spr, _blk, base8, sub_start, sub_span,
+                 _ovf_t, need) = pj.route_presorted_wide(
+                    received, p, s, pj.CHUNK_ROWS, pj.NSUB, w_part)
+                ovf_win = need > w_part
+                meta = jnp.concatenate([base8, sub_start, sub_span])
+                found = pj._member_call_wide(meta, local, qplanes,
+                                             spr, w, w_part,
+                                             interpret)
             back = jax.lax.all_to_all(
                 found.reshape(s, cap), AXIS, 0, 0)
             # verdict for my sorted row i lives at segment d(i),
@@ -416,7 +477,7 @@ class ShardedTileScanner:
         w_part = pj.W_PART
         while True:
             hit, ovr, ovw = self._scan_fn(cap, w_part, s_windows)(
-                self.t0, self.t1, codes_d, lens_d)
+                self.planes, codes_d, lens_d)
             ovr = bool(np.asarray(ovr).any())
             ovw = bool(np.asarray(ovw).any())
             if not (ovr or ovw):

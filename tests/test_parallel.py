@@ -481,3 +481,47 @@ def test_discovery_child_count_sharded(tmp_path, monkeypatch):
     monkeypatch.setenv("KDF_SHARDED", "1")
     bed_sharded = run("sharded")
     assert bed_sharded == bed_single
+
+
+@needs_mesh
+@pytest.mark.parametrize("k", [33, 63])
+def test_sharded_tile_counter_wide_matches_oracle(k):
+    from kmer_denovo_filter_tpu.parallel.tile_sharded import (
+        ShardedTileCounter,
+    )
+    from tests.test_engine import _expected_tally
+
+    reads = random_reads(40, 96, with_n=False, seed=k)
+    kmers = sorted({km for s in reads
+                    for km in oracle_counts([s], k)})
+    keys = enc.kmers_to_keys(kmers, k)
+    batch = random_reads(20, 96, seed=k + 1) + reads[:6]
+    codes, lengths = pack_reads(batch)
+    fc = ShardedTileCounter(keys, k, make_mesh(), interpret=True)
+    fc.feed(codes, lengths)
+    got = fc.result()
+    expected = _expected_tally(batch, keys, k)
+    assert np.array_equal(got, expected)
+    assert expected.sum() > 0
+
+
+@needs_mesh
+def test_sharded_tile_scanner_wide_parity():
+    from kmer_denovo_filter_tpu import engine as eng
+    from kmer_denovo_filter_tpu.parallel.tile_sharded import (
+        ShardedTileScanner,
+    )
+
+    k = 63
+    reads = random_reads(30, 96, with_n=False, seed=71)
+    kmers = sorted({km for s in reads
+                    for km in oracle_counts([s], k)})
+    keys = enc.kmers_to_keys(kmers, k)
+    index = eng.KmerIndex(keys, k)
+    batch = random_reads(20, 96, seed=72) + reads[:6]
+    codes, lengths = pack_reads(batch)
+    expected = eng.scan_reads_for_hits(index, codes, lengths)
+    scan = ShardedTileScanner(keys, k, make_mesh(), interpret=True)
+    got = scan(codes, lengths)
+    assert np.array_equal(got, expected)
+    assert expected.any()
