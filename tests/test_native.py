@@ -100,3 +100,57 @@ def test_stream_packed_native_matches_python(tmp_path):
     for data, scan, refs in stream_scan_chunks(bam, chunk_bytes=1024):
         rows += int(scan["n"])
     assert rows == len(reads)
+
+
+def test_stream_truncated_bam_yields_complete_prefix(tmp_path):
+    """A file cut mid-record must stream every complete record and
+    stop cleanly (no crash, no partial record)."""
+    from kmer_denovo_filter_tpu.htsio.bgzf import BgzfWriter
+    from kmer_denovo_filter_tpu.htsio.bam import stream_packed
+    from tests.helpers import create_bam, create_ref_fasta
+
+    ref = str(tmp_path / "ref.fa")
+    seq = create_ref_fasta(ref, "chr1", 2000)
+    reads = [(f"r{i}", p, seq[p:p + 60])
+             for i, p in enumerate(range(0, 1500, 10))]
+    bam = str(tmp_path / "t.bam")
+    create_bam(bam, "chr1", reads, ref_length=2000)
+    n_full = sum(c.shape[0] for c, l in stream_packed(bam, 0))
+
+    # rebuild the BGZF container with the inflated payload cut inside
+    # the final record
+    from kmer_denovo_filter_tpu.htsio.bgzf import BgzfReader
+    raw = BgzfReader(bam).read()
+    cut = str(tmp_path / "cut.bam")
+    with BgzfWriter(cut) as w:
+        w.write(raw[:-17])
+    n_cut = sum(c.shape[0] for c, l in stream_packed(cut, 0))
+    assert n_cut == n_full - 1
+
+
+def test_parallel_bgzf_reader_matches_serial(tmp_path):
+    from kmer_denovo_filter_tpu.htsio.bgzf import (
+        BgzfReader,
+        BgzfWriter,
+        ParallelBgzfReader,
+    )
+
+    payload = bytes(range(256)) * 5000  # spans multiple BGZF blocks
+    path = str(tmp_path / "x.bgzf")
+    with BgzfWriter(path) as w:
+        w.write(payload)
+    assert ParallelBgzfReader(path).read() == payload
+    assert BgzfReader(path).read() == payload
+    # chunked reads agree too
+    r = ParallelBgzfReader(path)
+    got = b"".join(iter(lambda: r.read(12345), b""))
+    assert got == payload
+    r.close()
+
+    # non-gzip input raises at construction (callers fall back)
+    plain = str(tmp_path / "plain.txt")
+    with open(plain, "wb") as fh:
+        fh.write(b"hello world")
+    import pytest
+    with pytest.raises(ValueError):
+        ParallelBgzfReader(plain)
