@@ -1295,6 +1295,13 @@ def _run_discovery_pipeline_impl(args):
                 else "(auto-detect)")
     logger.info("  Tmp dir:           %s",
                 getattr(args, "tmp_dir", None) or "(auto)")
+    # resource flags tune the host side of the engine: --threads sizes
+    # the BGZF inflation pool, --memory the stream-counter merge floor
+    # (explicit env vars win)
+    os.environ.setdefault("KDF_BGZF_THREADS", str(args.threads))
+    if memory_limit_gb is not None:
+        os.environ.setdefault(
+            "KDF_MERGE_ROWS", str(int(memory_limit_gb * 8) << 20))
     total_mem_gb, avail_mem_gb = get_available_memory_gb()
     if total_mem_gb is not None:
         logger.info("  System memory:     %.1f GB total, %s available",

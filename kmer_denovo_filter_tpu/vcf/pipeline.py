@@ -373,6 +373,13 @@ def _run_pipeline_impl(args):
     logger.info("  Proband ID:        %s", args.proband_id or "(not set)")
     logger.info("  Kraken2 DB:        %s", kraken2_db or "(disabled)")
     logger.info("=" * 60)
+    # resource flags tune the host side of the engine: --threads sizes
+    # the BGZF inflation pool, --memory the stream-counter merge floor
+    # (explicit env vars win)
+    os.environ.setdefault("KDF_BGZF_THREADS", str(args.threads))
+    if memory_limit_gb is not None:
+        os.environ.setdefault(
+            "KDF_MERGE_ROWS", str(int(memory_limit_gb * 8) << 20))
 
     # CRAM inputs: convert once up front so every downstream consumer
     # (streaming packed batches, BAI fetch, native inflate) sees BAM
