@@ -525,3 +525,24 @@ def test_sharded_tile_scanner_wide_parity():
     got = scan(codes, lengths)
     assert np.array_equal(got, expected)
     assert expected.any()
+
+
+@needs_mesh
+def test_tile_dispatch_wide_from_engine(monkeypatch):
+    """Wide-key multi-device tables route through the tile classes."""
+    from kmer_denovo_filter_tpu import engine as eng
+    from kmer_denovo_filter_tpu.parallel.tile_sharded import (
+        ShardedTileCounter,
+        ShardedTileScanner,
+    )
+
+    k = 33
+    reads = random_reads(20, 96, with_n=False, seed=81)
+    kmers = sorted({km for s in reads
+                    for km in oracle_counts([s], k)})
+    index = eng.KmerIndex(enc.kmers_to_keys(kmers, k), k)
+    monkeypatch.setenv("KDF_SHARDED", "1")
+    monkeypatch.setenv("KDF_PALLAS_INTERPRET", "1")
+    assert isinstance(eng.make_filtered_counter(index),
+                      ShardedTileCounter)
+    assert isinstance(eng.make_scanner(index), ShardedTileScanner)
