@@ -376,6 +376,7 @@ class ShardedTileScanner:
         self.mesh = mesh
         self.s = int(mesh.devices.size)
         self.interpret = interpret
+        self.multihost = jax.process_count() > 1
         keys_np = np.ascontiguousarray(keys_np, np.uint32)
         if self.w == 2:
             t0, t1, _perms, p = pj.build_shard_tile_partitions(
@@ -386,7 +387,11 @@ class ShardedTileScanner:
                 keys_np, self.s)
         self.p = p
         spec = NamedSharding(mesh, P(AXIS, None, None, None))
-        self.planes = jax.device_put(jnp.asarray(planes), spec)
+        if self.multihost:
+            self.planes = jax.make_array_from_callback(
+                planes.shape, spec, lambda idx: planes[idx])
+        else:
+            self.planes = jax.device_put(jnp.asarray(planes), spec)
         self._thresholds = jnp.asarray(
             pj.shard_thresholds(self.s).astype(np.uint32))
         self._scan_cache = {}
@@ -458,19 +463,33 @@ class ShardedTileScanner:
         return scan
 
     def __call__(self, codes, lengths):
+        """(B, S) window hit mask for this process's reads.
+
+        On a multi-process mesh *codes* is this host's own shard of
+        the batch (matching shapes across hosts) and the returned mask
+        covers exactly those reads.
+        """
         b, length = codes.shape
         s_windows = length - self.k + 1
-        per = -(-b // self.s)
-        pad_b = per * self.s
-        codes_p = np.full((pad_b, length), 4, dtype=np.uint8)
-        codes_p[:b] = codes
-        lens_p = np.zeros(pad_b, dtype=np.int32)
-        lens_p[:b] = lengths
-        codes_d = jax.device_put(
-            jnp.asarray(codes_p),
-            NamedSharding(self.mesh, P(AXIS, None)))
-        lens_d = jax.device_put(
-            jnp.asarray(lens_p), NamedSharding(self.mesh, P(AXIS)))
+        if self.multihost:
+            from kmer_denovo_filter_tpu.parallel.multihost import (
+                distribute_read_batch,
+            )
+            codes_d, lens_d = distribute_read_batch(
+                codes, lengths, self.mesh)
+            per = codes_d.shape[0] // self.s
+        else:
+            per = -(-b // self.s)
+            pad_b = per * self.s
+            codes_p = np.full((pad_b, length), 4, dtype=np.uint8)
+            codes_p[:b] = codes
+            lens_p = np.zeros(pad_b, dtype=np.int32)
+            lens_p[:b] = lengths
+            codes_d = jax.device_put(
+                jnp.asarray(codes_p),
+                NamedSharding(self.mesh, P(AXIS, None)))
+            lens_d = jax.device_put(
+                jnp.asarray(lens_p), NamedSharding(self.mesh, P(AXIS)))
         n_loc = per * s_windows
         cap = _round_up(max(pj.CHUNK_ROWS, 2 * n_loc // self.s),
                         pj.CHUNK_ROWS)
@@ -478,10 +497,10 @@ class ShardedTileScanner:
         while True:
             hit, ovr, ovw = self._scan_fn(cap, w_part, s_windows)(
                 self.planes, codes_d, lens_d)
-            ovr = bool(np.asarray(ovr).any())
-            ovw = bool(np.asarray(ovw).any())
+            ovr = bool(self._host_flag(ovr))
+            ovw = bool(self._host_flag(ovw))
             if not (ovr or ovw):
-                return np.asarray(hit)[:b]
+                return self._local_rows(hit, b)
             if ovr:
                 cap = _round_up(cap * 2, pj.CHUNK_ROWS)
             if ovw:
@@ -490,3 +509,19 @@ class ShardedTileScanner:
                         "sharded member window overflow at maximum "
                         "w_part")
                 w_part = min(w_part * 2, pj.MAX_W_PART)
+
+    def _host_flag(self, x):
+        if not self.multihost:
+            return np.asarray(x).any()
+        from jax.experimental import multihost_utils
+        return np.asarray(
+            multihost_utils.process_allgather(x, tiled=True)).any()
+
+    def _local_rows(self, hit, b):
+        """This process's rows of the globally-sharded hit mask."""
+        if not self.multihost:
+            return np.asarray(hit)[:b]
+        shards = sorted(hit.addressable_shards,
+                        key=lambda sh: sh.index[0].start)
+        local = np.concatenate([np.asarray(sh.data) for sh in shards])
+        return local[:b]

@@ -70,6 +70,17 @@ tally = tc.result()
 np.savez(os.path.join(outdir, f"tile_{pid}.npz"), tally=tally)
 assert np.array_equal(tally, counts), "tile tally != distributed count"
 print(f"[{pid}] tile tally ok total={tally.sum()}")
+
+# multi-host anchoring scan: each host gets the mask for ITS reads
+from kmer_denovo_filter_tpu.parallel.tile_sharded import (
+    ShardedTileScanner,
+)
+
+sc = ShardedTileScanner(keys, K, mesh, interpret=True)
+hits = sc(codes, lengths)
+assert hits.shape[0] == codes.shape[0]
+np.savez(os.path.join(outdir, f"scan_{pid}.npz"), hits=hits)
+print(f"[{pid}] tile scan ok found={hits.sum()}")
 """
 
 
@@ -129,3 +140,16 @@ def test_two_process_sharded_count(tmp_path):
     t1 = np.load(tmp_path / "tile_1.npz")["tally"]
     assert np.array_equal(t0, t1)
     assert np.array_equal(t0, r0["counts"])
+
+    # the multi-host anchoring scan returns each host's own mask;
+    # stitched together they must equal the single-process oracle
+    h0 = np.load(tmp_path / "scan_0.npz")["hits"]
+    h1 = np.load(tmp_path / "scan_1.npz")["hits"]
+    stitched = np.concatenate([h0, h1])
+    import jax
+
+    from kmer_denovo_filter_tpu import engine as eng
+    index = eng.KmerIndex(r0["keys"], K)
+    expected = eng.scan_reads_for_hits(index, codes_all, lengths_all)
+    assert np.array_equal(stitched, expected)
+    assert expected.any()
