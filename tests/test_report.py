@@ -4,6 +4,8 @@ import os
 
 import pytest
 
+from kmer_denovo_filter_tpu import report
+
 from kmer_denovo_filter_tpu.report import (
     _compute_stratification,
     _load_summary_counts,
@@ -315,3 +317,111 @@ def test_full_report_self_contained_large(tmp_path):
     assert "@import" not in text
     assert "cluster summary" in text
     assert len(text) < 3_000_000
+
+
+class TestStratifyVariantStages:
+    """Per-stage semantics of the six-stage cascade (mirrors reference
+    tests/test_report.py:642–747)."""
+
+    def _v(self, **kw):
+        base = {"dka": 0, "dka_dkt": 0.0, "max_pkc_alt": 0.0}
+        base.update(kw)
+        return base
+
+    def test_stage_0_putative_only(self):
+        assert report._stratify_variant(self._v(dka=0), True) == 0
+
+    def test_stage_1_kmer_dnm(self):
+        assert report._stratify_variant(self._v(dka=3), True) == 1
+
+    def test_stage_2_dka_ge_5(self):
+        v = self._v(dka=7, dka_dkt=0.05)
+        assert report._stratify_variant(v, True) == 2
+
+    def test_stage_3_higher_quality(self):
+        v = self._v(dka=7, dka_dkt=0.5, max_pkc_alt=2)
+        assert report._stratify_variant(v, True) == 3
+
+    def test_stage_4_parental_confirmed(self):
+        v = self._v(dka=7, dka_dkt=0.5, max_pkc_alt=0, dka_nhf=0.5)
+        assert report._stratify_variant(v, True) == 4
+
+    def test_stage_5_requires_low_nhf(self):
+        v = self._v(dka=7, dka_dkt=0.5, max_pkc_alt=0, dka_nhf=0.01)
+        assert report._stratify_variant(v, True) == 5
+
+    def test_stage_5_missing_nhf_when_cohort_has_data(self):
+        v = self._v(dka=7, dka_dkt=0.5, max_pkc_alt=0)
+        assert report._stratify_variant(v, True) == 4
+
+    def test_no_nhf_cohort_caps_at_stage_4(self):
+        v = self._v(dka=7, dka_dkt=0.5, max_pkc_alt=0, dka_nhf=0.01)
+        assert report._stratify_variant(v, False) == 4
+
+    def test_thresholds_exported(self):
+        assert report.DKA_THRESHOLD == 0
+        assert report.DKA_STRONG_THRESHOLD == 5
+        assert report.DKA_DKT_THRESHOLD == 0.1
+        assert report.MAX_PKC_ALT_THRESHOLD == 1
+        assert report.NHF_THRESHOLD == 0.05
+
+
+class TestClassifyVariantType:
+    def test_snv(self):
+        assert report._classify_variant_type("A>T") == "SNV"
+
+    def test_insertion(self):
+        assert report._classify_variant_type("A>ACGT") == "insertion"
+
+    def test_deletion(self):
+        assert report._classify_variant_type("ACGT>A") == "deletion"
+
+    def test_mnv(self):
+        assert report._classify_variant_type("AC>GT") == "MNV"
+
+    def test_malformed_label_is_other(self):
+        assert report._classify_variant_type("sv:DEL") == "other"
+        assert report._classify_variant_type("") == "other"
+
+
+class TestReportRobustness:
+    def test_nonexistent_input_paths_handled(self, tmp_path):
+        out = str(tmp_path / "r.html")
+        report.generate_report(
+            out,
+            vcf_metrics_path=str(tmp_path / "missing.json"),
+            vcf_summary_path=str(tmp_path / "missing.txt"),
+            discovery_metrics_path=str(tmp_path / "also_missing.json"))
+        html = open(out).read()
+        assert "<html" in html and "</html>" in html
+
+    def test_variant_table_row_cap(self, tmp_path):
+        lines = [
+            "Per-Variant Results",
+            "-" * 120,
+            "  Variant                          DKU   DKT   DKA  "
+            "DKU_DKT  DKA_DKT  MAX_PKC  AVG_PKC  MIN_PKC  "
+            "MAX_PKC_ALT  AVG_PKC_ALT  MIN_PKC_ALT  Call",
+            "  -------                          ---   ---   ---  "
+            "-------  -------  -------  -------  -------  "
+            "-----------  -----------  -----------  ----",
+        ]
+        n = report._VARIANT_TABLE_MAX_ROWS + 57
+        for i in range(n):
+            lines.append(
+                f"  chr1:{1000 + i} A>T                  5    10"
+                f"     {5 + i % 7}   0.5000   0.5000       10"
+                f"    10.00        1            0         0.00"
+                f"            0  DE_NOVO")
+        summary = tmp_path / "summary.txt"
+        summary.write_text("\n".join(lines) + "\n")
+        variants = report._load_summary_variants(str(summary))
+        assert len(variants) == n  # the loader keeps everything
+        out = str(tmp_path / "r.html")
+        report.generate_report(out, vcf_summary_path=str(summary))
+        html = open(out).read()
+        assert "chr1:1000" in html
+        # the per-variant table body is capped
+        beyond = f"chr1:{1000 + report._VARIANT_TABLE_MAX_ROWS + 20}"
+        assert beyond not in html or html.count("<tr") <= (
+            report._VARIANT_TABLE_MAX_ROWS + 40)
