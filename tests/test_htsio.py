@@ -528,3 +528,49 @@ class TestJellyfishHashFormat:
                                  ref_jf=path)
         assert index.n == keys.shape[0]
         assert index.membership(keys).all()
+
+
+class TestIndexedFetchProperty:
+    def test_random_regions_match_whole_file_reader(self, tmp_path):
+        """BAI-backed fetch equals the in-memory reader over many
+        random regions of a synthetic multi-contig BAM."""
+        import random as _random
+
+        from kmer_denovo_filter_tpu.htsio.bam import (
+            BamWriter,
+            IndexedBamReader,
+            encode_read,
+        )
+
+        rng = _random.Random(11)
+        refs = [("chrA", 50_000), ("chrB", 30_000)]
+        header = ("@HD\tVN:1.6\tSO:coordinate\n"
+                  + "".join(f"@SQ\tSN:{n}\tLN:{ln}\n" for n, ln in refs))
+        path = str(tmp_path / "multi.bam")
+        w = BamWriter(path, header, refs)
+        i = 0
+        for tid, (name, ln) in enumerate(refs):
+            for _ in range(400):
+                pos = rng.randrange(0, ln - 100)
+                seq = "".join(rng.choice("ACGT") for _ in range(80))
+                raw = encode_read(f"q{i}", 0, tid, pos, 60,
+                                  [(0, 80)], seq, [30] * 80)
+                w.write_raw(tid, pos, raw)
+                i += 1
+        w.close(sort=True, index=True)
+
+        full = BamReader(path)
+        idx = IndexedBamReader(path)
+        for _ in range(40):
+            name, ln = refs[rng.randrange(2)]
+            s = rng.randrange(0, ln)
+            e = s + rng.randrange(1, 5000)
+            a = sorted((r.query_name, r.flag, r.pos)
+                       for r in full.fetch(name, s, e))
+            b = sorted((r.query_name, r.flag, r.pos)
+                       for r in idx.fetch(name, s, e))
+            assert a == b, (name, s, e)
+        # whole-contig and placed-only sweeps agree too
+        a = sorted(r.query_name for r in full.fetch("chrB"))
+        b = sorted(r.query_name for r in idx.fetch("chrB"))
+        assert a == b and len(a) == 400
