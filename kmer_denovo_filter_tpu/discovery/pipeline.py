@@ -78,7 +78,10 @@ def ensure_ref_index(ref_fasta, kmer_size, ref_jf=None):
     reference FASTA on device and caches the result next to it
     (the analog of reference core/jellyfish_wrappers.py:286–332 reuse).
 
-    Returns a :class:`kmer_denovo_filter_tpu.engine.KmerIndex`.
+    Returns a :class:`kmer_denovo_filter_tpu.engine.KmerIndex`, or a
+    host-resident :class:`~kmer_denovo_filter_tpu.engine.HostKmerIndex`
+    when the padded table would not fit the per-chip HBM budget
+    (single-chip whole-genome reference sets).
     """
     if ref_jf and os.path.isfile(ref_jf):
         if ref_jf.endswith(".npz"):
@@ -88,15 +91,15 @@ def ensure_ref_index(ref_fasta, kmer_size, ref_jf=None):
                     f"--ref-jf {ref_jf} was built at k={int(data['k'])} "
                     f"but --kmer-size is {kmer_size}")
             logger.info("Reference k-mer cache found: %s", ref_jf)
-            return eng.KmerIndex.from_keys_counts(
-                data["keys"], data["counts"], kmer_size)
+            return eng.make_membership_index(
+                data["keys"], kmer_size, data["counts"])
         try:
             keys, counts, k = load_jf(ref_jf, expect_k=kmer_size)
             order = enc.lexsort_keys(keys)
             logger.info("Reference Jellyfish index loaded: %s (%d k-mers)",
                         ref_jf, keys.shape[0])
-            return eng.KmerIndex.from_keys_counts(
-                keys[order], counts[order], kmer_size)
+            return eng.make_membership_index(
+                keys[order], kmer_size, counts[order])
         except JellyfishParseError as e:
             logger.warning(
                 "Cannot parse %s (%s); rebuilding reference set from "
@@ -115,8 +118,8 @@ def ensure_ref_index(ref_fasta, kmer_size, ref_jf=None):
                     f"reference cache {cache} was built at "
                     f"k={int(data['k'])} but --kmer-size is {kmer_size}")
             logger.info("Reference k-mer cache found: %s", cache)
-            return eng.KmerIndex.from_keys_counts(
-                data["keys"], data["counts"], kmer_size)
+            return eng.make_membership_index(
+                data["keys"], kmer_size, data["counts"])
 
     logger.info("Building reference k-mer set: %s (k=%d)",
                 ref_fasta, kmer_size)
@@ -133,7 +136,7 @@ def ensure_ref_index(ref_fasta, kmer_size, ref_jf=None):
     logger.info("Reference set built in %s (%d k-mers)",
                 format_elapsed(time.monotonic() - build_start),
                 keys.shape[0])
-    return eng.KmerIndex.from_keys_counts(keys, counts, kmer_size)
+    return eng.make_membership_index(keys, kmer_size, counts)
 
 
 # ── Module 1: child counting & reference subtraction ───────────────

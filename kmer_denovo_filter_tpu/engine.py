@@ -225,6 +225,103 @@ class KmerIndex:
         return out
 
 
+class HostKmerIndex:
+    """Host-resident membership index for tables too large for HBM.
+
+    A whole-genome *reference* set (~2.4B canonical 31-mers ≈ 19 GB of
+    keys) cannot be device-resident on one chip; this is the analog of
+    the reference's mmap'd jellyfish index on the host (reference
+    kmer_utils.py:124–136).  Probes run on the multithreaded C++ hash
+    (W ≤ 2) or numpy big-endian byte-order searchsorted otherwise.
+    Exposes the :class:`KmerIndex` subset the ref-subtraction path
+    uses (``k``, ``n``, ``membership``, ``counts_of``).
+    """
+
+    def __init__(self, keys_np, k, counts_np=None):
+        self.k = k
+        self.w = enc.words_per_kmer(k)
+        self.keys_np = np.ascontiguousarray(keys_np, np.uint32)
+        self.counts_np = counts_np
+        self.n = keys_np.shape[0]
+        self._ht = None
+        if self.w == 2:
+            from kmer_denovo_filter_tpu.htsio import native
+            if native.available():
+                k64 = ((self.keys_np[:, 0].astype(np.uint64)
+                        << np.uint64(32))
+                       | self.keys_np[:, 1].astype(np.uint64))
+                self._ht = native.HostHashTable(k64)
+        if self._ht is None:
+            width = f"S{4 * self.w}"
+            self._tbl = np.ascontiguousarray(
+                self.keys_np.astype(">u4")).view(width).ravel()
+
+    def _locate(self, query_keys_np):
+        q = np.ascontiguousarray(query_keys_np, np.uint32)
+        if self._ht is not None:
+            q64 = ((q[:, 0].astype(np.uint64) << np.uint64(32))
+                   | q[:, 1].astype(np.uint64))
+            return self._ht.member(q64, want_index=True)
+        width = f"S{4 * self.w}"
+        qb = np.ascontiguousarray(q.astype(">u4")).view(width).ravel()
+        pos = np.minimum(np.searchsorted(self._tbl, qb), self.n - 1)
+        return self._tbl[pos] == qb, pos
+
+    def membership(self, query_keys_np):
+        if query_keys_np.shape[0] == 0:
+            return np.zeros(0, dtype=bool)
+        found, _pos = self._locate(query_keys_np)
+        sent = (query_keys_np == _SENTINEL32).all(axis=1)
+        found = np.array(found)
+        found[sent] = False
+        return found
+
+    def counts_of(self, query_keys_np):
+        if self.counts_np is None:
+            raise ValueError("index has no counts")
+        found, pos = self._locate(query_keys_np)
+        sent = (query_keys_np == _SENTINEL32).all(axis=1)
+        return np.where(found & ~sent, self.counts_np[pos], 0)
+
+
+# A device table larger than this stays on the host (single-chip WGS
+# reference sets; padded table bytes ≈ 2× key bytes).
+_DEVICE_TABLE_MAX_BYTES = int(os.environ.get(
+    "KDF_DEVICE_TABLE_BYTES", 8 << 30))
+
+
+def make_membership_index(keys_np, k, counts_np=None):
+    """Membership index with a per-chip HBM budget gate.
+
+    Tables whose padded device form exceeds the budget go to the
+    sharded index on a multi-device mesh (each chip holds 1/S of the
+    table, probes route over ICI) or to the host-resident
+    :class:`HostKmerIndex` on one chip — the single-chip analog of the
+    reference's mmap'd jellyfish index.
+    """
+    padded_bytes = (1 << max(0, (keys_np.shape[0] - 1).bit_length())) \
+        * keys_np.shape[1] * 4 if keys_np.shape[0] else 0
+    if padded_bytes > _DEVICE_TABLE_MAX_BYTES:
+        n_dev = len(jax.devices())
+        if n_dev >= 2 and padded_bytes // n_dev <= \
+                _DEVICE_TABLE_MAX_BYTES:
+            from kmer_denovo_filter_tpu.parallel import (
+                ShardedKmerIndex,
+                make_mesh,
+            )
+            logger.info(
+                "  reference table %d keys (%.1f GB padded) exceeds "
+                "the per-chip budget — sharded across %d devices",
+                keys_np.shape[0], padded_bytes / 2 ** 30, n_dev)
+            return ShardedKmerIndex(keys_np, k, make_mesh())
+        logger.info(
+            "  reference table %d keys (%.1f GB padded) exceeds the "
+            "device budget — host-resident index",
+            keys_np.shape[0], padded_bytes / 2 ** 30)
+        return HostKmerIndex(keys_np, k, counts_np)
+    return KmerIndex(keys_np, k, counts_np)
+
+
 class StreamCounter:
     """Canonical k-mer counting over streamed (codes, lengths) batches.
 

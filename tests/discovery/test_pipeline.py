@@ -767,3 +767,27 @@ class TestScanPathParity:
         ja = json.load(open(p1 + ".metrics.json"))
         jb = json.load(open(p2 + ".metrics.json"))
         assert ja == jb
+
+    def test_host_ref_index_identical(self, disco, tmp_path,
+                                      monkeypatch):
+        """Forcing the host-resident reference index (the single-chip
+        whole-genome path) must not change any discovery output."""
+        from kmer_denovo_filter_tpu import engine as eng
+
+        p1 = _run(disco, tmp_path / "device")
+        # clear the ref cache so the gated factory actually runs again
+        import glob as _glob
+        for c in _glob.glob(disco["ref"] + "*.kdx.npz"):
+            os.unlink(c)
+        # force the host index directly (the budget gate on the
+        # 8-device test mesh would pick the sharded index instead)
+        monkeypatch.setattr(
+            eng, "make_membership_index",
+            lambda keys, k, counts=None: eng.HostKmerIndex(
+                keys, k, counts))
+        p2 = _run(disco, tmp_path / "host")
+        for suffix in (".bed", ".kmer_coverage.bedgraph",
+                       ".read_coverage.bed", ".sv.bedpe",
+                       ".summary.txt"):
+            assert (open(p1 + suffix).read()
+                    == open(p2 + suffix).read()), suffix

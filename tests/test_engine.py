@@ -462,3 +462,52 @@ def _expected_tally(reads, keys, k):
     kmers = enc.keys_to_kmers(keys, k)
     return np.array([counts.get(km, 0) for km in kmers],
                     dtype=np.int64)
+
+
+class TestHostKmerIndex:
+    def _keys(self, k=31, n_reads=50, seed=61):
+        reads = random_reads(n_reads, 64, with_n=False, seed=seed)
+        kmers = sorted({km for s in reads
+                        for km in oracle_counts([s], k)})
+        keys = enc.kmers_to_keys(kmers, k)
+        counts = np.arange(1, keys.shape[0] + 1, dtype=np.int64)
+        return keys, counts, kmers
+
+    @pytest.mark.parametrize("k", [31, 63])
+    def test_membership_and_counts_match_device_index(self, k):
+        keys, counts, _ = self._keys(k=k)
+        dev_idx = eng.KmerIndex(keys, k, counts)
+        host_idx = eng.HostKmerIndex(keys, k, counts)
+        other = enc.kmers_to_keys(
+            sorted({km for s in random_reads(20, 64, with_n=False,
+                                             seed=62)
+                    for km in oracle_counts([s], k)}), k)
+        queries = np.concatenate([keys[::3], other])
+        assert np.array_equal(host_idx.membership(queries),
+                              dev_idx.membership(queries))
+        assert np.array_equal(host_idx.counts_of(queries),
+                              dev_idx.counts_of(queries))
+
+    def test_searchsorted_fallback_matches_hash(self, monkeypatch):
+        from kmer_denovo_filter_tpu.htsio import native
+        keys, counts, _ = self._keys()
+        fast = eng.HostKmerIndex(keys, 31, counts)
+        monkeypatch.setattr(native, "available", lambda: False)
+        slow = eng.HostKmerIndex(keys, 31, counts)
+        assert slow._ht is None
+        queries = np.concatenate([keys[1::2], keys[:4]])
+        assert np.array_equal(fast.membership(queries),
+                              slow.membership(queries))
+        assert np.array_equal(fast.counts_of(queries),
+                              slow.counts_of(queries))
+
+    def test_factory_gate(self, monkeypatch):
+        keys, counts, _ = self._keys()
+        monkeypatch.setattr(eng, "_DEVICE_TABLE_MAX_BYTES", 0)
+        import jax as _jax
+        if len(_jax.devices()) < 2:
+            idx = eng.make_membership_index(keys, 31, counts)
+            assert isinstance(idx, eng.HostKmerIndex)
+        monkeypatch.setattr(eng, "_DEVICE_TABLE_MAX_BYTES", 8 << 30)
+        idx2 = eng.make_membership_index(keys, 31, counts)
+        assert isinstance(idx2, eng.KmerIndex)

@@ -546,3 +546,29 @@ def test_tile_dispatch_wide_from_engine(monkeypatch):
     assert isinstance(eng.make_filtered_counter(index),
                       ShardedTileCounter)
     assert isinstance(eng.make_scanner(index), ShardedTileScanner)
+
+
+@needs_mesh
+def test_membership_index_budget_gate_shards(monkeypatch):
+    """Above the per-chip budget the factory shards the table across
+    the mesh; membership answers stay identical."""
+    from kmer_denovo_filter_tpu import engine as eng
+    from kmer_denovo_filter_tpu.parallel import ShardedKmerIndex
+
+    k = 31
+    reads = random_reads(30, k, with_n=False, seed=91)
+    kmers = sorted({km for s in reads
+                    for km in oracle_counts([s], k)})
+    keys = enc.kmers_to_keys(kmers, k)
+    monkeypatch.setattr(eng, "_DEVICE_TABLE_MAX_BYTES", 0)
+    # per-shard share still "over budget" → host; widen so sharding wins
+    monkeypatch.setattr(eng, "_DEVICE_TABLE_MAX_BYTES",
+                        keys.nbytes)  # full table over, 1/8 under
+    idx = eng.make_membership_index(keys, k)
+    assert isinstance(idx, ShardedKmerIndex)
+    other = enc.kmers_to_keys(
+        sorted({km for s in random_reads(10, k, with_n=False, seed=92)
+                for km in oracle_counts([s], k)}), k)
+    queries = np.concatenate([keys[::2], other])
+    expected = eng.KmerIndex(keys, k).membership(queries)
+    assert np.array_equal(idx.membership(queries), expected)
