@@ -186,18 +186,21 @@ def _subtract_reference_kmers(ref_index, candidate_keys):
 # ── Module 2: parent filtering ─────────────────────────────────────
 
 
-def _count_parent_device(parent_bam, filter_index, label):
-    """Filtered parent count (``--if`` analog) on device.
+def _count_parent_device(parent_bam, filter_keys, kmer_size, label):
+    """Filtered parent count (``--if`` analog) on the gated engine.
 
-    Returns int64 counts aligned with *filter_index* keys.
+    Takes host-side *filter_keys* so the HBM-budget dispatch
+    (``engine.make_parent_filter_counter``) decides whether the table
+    materialises on device, shards across the mesh, or stays host-
+    resident.  Returns int64 counts aligned with *filter_keys*.
     """
     scan_start = time.monotonic()
     logger.info("%s: scanning BAM (%s): %s", label,
                 format_file_size(parent_bam), parent_bam)
     logger.info("  device filtered count (k=%d, filter_kmers=%d)",
-                filter_index.k, filter_index.n)
+                kmer_size, filter_keys.shape[0])
     from kmer_denovo_filter_tpu.htsio.bam import packed_batches
-    fc = eng.make_filtered_counter(filter_index)
+    fc = eng.make_parent_filter_counter(filter_keys, kmer_size)
     n_reads = 0
     for codes, lengths in prefetch_batches(packed_batches(
             parent_bam, exclude_flags=_COUNT_EXCLUDE_FLAGS)):
@@ -226,8 +229,8 @@ def _filter_parents_discovery(mother_bam, father_bam, non_ref_keys,
                 n_input)
     log_memory("before parent filtering")
 
-    mother_index = eng.KmerIndex(non_ref_keys, kmer_size)
-    mother_counts = _count_parent_device(mother_bam, mother_index, "Mother")
+    mother_counts = _count_parent_device(mother_bam, non_ref_keys,
+                                         kmer_size, "Mother")
     survive = mother_counts <= parent_max_count
     after_mother = non_ref_keys[survive]
     n_surviving = after_mother.shape[0]
@@ -238,8 +241,8 @@ def _filter_parents_discovery(mother_bam, father_bam, non_ref_keys,
     if n_surviving == 0:
         return 0, None
 
-    father_index = eng.KmerIndex(after_mother, kmer_size)
-    father_counts = _count_parent_device(father_bam, father_index, "Father")
+    father_counts = _count_parent_device(father_bam, after_mother,
+                                         kmer_size, "Father")
     survive = father_counts <= parent_max_count
     proband = after_mother[survive]
     n_proband = proband.shape[0]

@@ -754,6 +754,47 @@ def scan_reads_for_hits(index, codes, lengths):
     return found[:codes.shape[0], :codes.shape[1] - index.k + 1]
 
 
+class HostFilteredCounter:
+    """``--if`` filtered counter over a host-resident table (W ≤ 2).
+
+    The single-chip path for filter tables beyond the per-chip HBM
+    budget (whole-genome child candidate sets): the device extracts
+    and canonicalises windows — the vectorisable part — and the
+    multithreaded C++ hash answers the random-access tally at host
+    memory speed (the role the mmap'd jellyfish index plays in the
+    reference, kmer_utils.py:124–136).
+    """
+
+    def __init__(self, keys_np, k):
+        from kmer_denovo_filter_tpu.htsio import native
+
+        self.k = k
+        self.w = enc.words_per_kmer(k)
+        if self.w != 2:
+            raise ValueError("host filtered counter requires W <= 2")
+        if not native.available():
+            raise RuntimeError("native library unavailable")
+        self.keys_np = np.ascontiguousarray(keys_np, np.uint32)
+        self.n = keys_np.shape[0]
+        k64 = ((self.keys_np[:, 0].astype(np.uint64) << np.uint64(32))
+               | self.keys_np[:, 1].astype(np.uint64))
+        self._ht = native.HostHashTable(k64)
+        self._tally = np.zeros(self.n, dtype=np.int64)
+
+    def feed(self, codes, lengths):
+        codes_p, lens_p = pad_read_batch(codes, lengths)
+        keys, _valid = dev.extract_canonical_windows(
+            jnp.asarray(codes_p), jnp.asarray(lens_p), self.k)
+        flat = np.asarray(keys).reshape(-1, 2)
+        q64 = ((flat[:, 0].astype(np.uint64) << np.uint64(32))
+               | flat[:, 1].astype(np.uint64))
+        # sentinel (all-ones) queries never match in the C++ table
+        self._ht.tally(q64, self._tally)
+
+    def result(self):
+        return self._tally.copy()
+
+
 # Tables above this key count auto-shard on multi-device meshes (the
 # per-shard table then amortises the all-to-all; tiny tables are
 # faster replicated on one chip).
@@ -799,6 +840,53 @@ def make_filtered_counter(index):
         return ShardedFilteredCounter(index.keys_np, index.k,
                                       make_mesh())
     return FilteredCounter(index)
+
+
+def make_parent_filter_counter(keys_np, k):
+    """Filtered counter built straight from host keys, HBM-gated.
+
+    The pipeline-facing factory for whole-genome parent filtering
+    (discovery Module 2), where the filter table itself can exceed a
+    chip's HBM: multi-device meshes take the sharded tile/routed
+    counters (the table never materialises on one chip), over-budget
+    single-chip tables take :class:`HostFilteredCounter`, and
+    everything else builds the device :class:`KmerIndex` +
+    :class:`FilteredCounter` as usual.
+    """
+    w = enc.words_per_kmer(k)
+    n = keys_np.shape[0]
+    mode = os.environ.get("KDF_SHARDED")
+    multi = (len(jax.devices()) >= 2 and mode != "0"
+             and (mode == "1" or n > _SHARD_AUTO_N))
+    if multi:
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        from kmer_denovo_filter_tpu.parallel import (
+            ShardedFilteredCounter,
+            make_mesh,
+        )
+        if ((w == 2 or 3 <= w <= pj.MAX_W_WIDE)
+                and _use_pallas_join()):
+            from kmer_denovo_filter_tpu.parallel.tile_sharded import (
+                ShardedTileCounter,
+            )
+            logger.info("  sharded tile-join engine: %d-device mesh",
+                        len(jax.devices()))
+            return ShardedTileCounter(keys_np, k, make_mesh(),
+                                      interpret=_pallas_interpret())
+        logger.info("  sharded engine: %d-device mesh",
+                    len(jax.devices()))
+        return ShardedFilteredCounter(keys_np, k, make_mesh())
+    padded_bytes = (1 << max(0, (n - 1).bit_length())) \
+        * keys_np.shape[1] * 4 if n else 0
+    if padded_bytes > _DEVICE_TABLE_MAX_BYTES and w == 2:
+        from kmer_denovo_filter_tpu.htsio import native
+        if native.available():
+            logger.info(
+                "  filter table %d keys (%.1f GB padded) exceeds the "
+                "device budget — host C++ filtered counter",
+                n, padded_bytes / 2 ** 30)
+            return HostFilteredCounter(keys_np, k)
+    return FilteredCounter(KmerIndex(keys_np, k))
 
 
 def make_scanner(index):

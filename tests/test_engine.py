@@ -511,3 +511,41 @@ class TestHostKmerIndex:
         monkeypatch.setattr(eng, "_DEVICE_TABLE_MAX_BYTES", 8 << 30)
         idx2 = eng.make_membership_index(keys, 31, counts)
         assert isinstance(idx2, eng.KmerIndex)
+
+
+class TestHostFilteredCounter:
+    def test_matches_device_counter(self):
+        from kmer_denovo_filter_tpu.htsio import native
+        if not native.available():
+            pytest.skip("native library unavailable")
+        k = 31
+        stream = random_reads(60, k, with_n=False, seed=71)
+        filter_reads = stream[:10] + random_reads(
+            20, k, with_n=False, seed=72)
+        kmers = sorted({km for s in filter_reads
+                        for km in oracle_counts([s], k)})
+        keys = enc.kmers_to_keys(kmers, k)
+        codes, lens = pack_reads(stream)
+        dev_fc = eng.FilteredCounter(eng.KmerIndex(keys, k))
+        dev_fc.feed(codes, lens)
+        host_fc = eng.HostFilteredCounter(keys, k)
+        host_fc.feed(codes, lens)
+        assert np.array_equal(host_fc.result(), dev_fc.result())
+        assert dev_fc.result().sum() > 0
+
+    def test_factory_budget_gate(self, monkeypatch):
+        from kmer_denovo_filter_tpu.htsio import native
+        if not native.available():
+            pytest.skip("native library unavailable")
+        import jax as _jax
+        keys = enc.kmers_to_keys(
+            sorted({km for s in random_reads(30, 31, with_n=False,
+                                             seed=73)
+                    for km in oracle_counts([s], 31)}), 31)
+        monkeypatch.setenv("KDF_SHARDED", "0")  # single-chip rule
+        monkeypatch.setattr(eng, "_DEVICE_TABLE_MAX_BYTES", 0)
+        fc = eng.make_parent_filter_counter(keys, 31)
+        assert isinstance(fc, eng.HostFilteredCounter)
+        monkeypatch.setattr(eng, "_DEVICE_TABLE_MAX_BYTES", 8 << 30)
+        fc2 = eng.make_parent_filter_counter(keys, 31)
+        assert isinstance(fc2, eng.FilteredCounter)

@@ -158,10 +158,10 @@ def test_discovery_parent_filter_sharded(tmp_path, monkeypatch):
     kmers = set()
     cap, _ = K.extract_read_kmers(seq[50:200], 31)
     kmers.update(cap.values())
-    idx = eng.KmerIndex.from_strings(kmers, 31)
-    single = _count_parent_device(bam, idx, "single")
+    keys = enc.kmers_to_keys(sorted(kmers), 31)
+    single = _count_parent_device(bam, keys, 31, "single")
     monkeypatch.setenv("KDF_SHARDED", "1")
-    sharded = _count_parent_device(bam, idx, "sharded")
+    sharded = _count_parent_device(bam, keys, 31, "sharded")
     assert np.array_equal(single, sharded)
 
 
