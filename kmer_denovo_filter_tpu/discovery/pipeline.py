@@ -367,21 +367,22 @@ def _process_informative_read(read, unique_in_read, kmer_hit_indices,
     for pos in cov:
         read_coverage[chrom][pos] += 1
 
-    max_clip = 0
-    if read.cigartuples:
-        for op, length in read.cigartuples:
-            if op == 4 and length > max_clip:
-                max_clip = length
-    read_sv_meta[dedup_key] = {
-        "has_sa": read.has_tag("SA"),
-        "sa_str": read.get_tag("SA") if (
-            read.has_tag("SA") and not read.is_supplementary) else None,
-        "is_paired": read.is_paired,
-        "is_proper_pair": read.is_proper_pair,
-        "mate_is_unmapped": (read.mate_is_unmapped if read.is_paired
-                             else False),
-        "max_clip": max_clip,
-    }
+    # SV evidence snapshot: SA string kept on primary records only
+    # (supplementary SA tags point back at the primary), mate status
+    # meaningful only for paired reads, clip = longest softclip op.
+    has_sa = read.has_tag("SA")
+    meta = {"has_sa": has_sa, "sa_str": None,
+            "is_paired": read.is_paired,
+            "is_proper_pair": read.is_proper_pair,
+            "mate_is_unmapped": False,
+            "max_clip": max((length for op, length
+                             in (read.cigartuples or ()) if op == 4),
+                            default=0)}
+    if has_sa and not read.is_supplementary:
+        meta["sa_str"] = read.get_tag("SA")
+    if read.is_paired:
+        meta["mate_is_unmapped"] = read.mate_is_unmapped
+    read_sv_meta[dedup_key] = meta
     return 0
 
 
@@ -780,75 +781,111 @@ def _sa_breakpoints(sa_str):
             continue
 
 
-def _annotate_and_link_from_metadata(regions, region_reads, read_sv_meta):
-    """SV annotation + SA-tag breakpoint linking (ref :1351–1489)."""
-    read_to_regions = {}
-    for region_key in regions:
-        for qname in region_reads.get(region_key, set()):
-            read_to_regions.setdefault(qname, set()).add(region_key)
+def _read_sv_profiles(read_sv_meta, member_names):
+    """Collapse per-alignment SV metadata into one profile per read.
 
+    A read name may carry several alignment records (primary +
+    supplementary, keyed by ``(qname, is_supplementary)``).  The
+    profile keeps what region annotation needs: whether ANY record has
+    an SA tag (split evidence is per-molecule), the per-record
+    discordant / unmapped-mate tallies (those stay per-alignment), the
+    largest softclip, and every SA string for breakpoint resolution.
+    """
+    profiles = {}
+    for dedup_key, meta in read_sv_meta.items():
+        qname = dedup_key[0]
+        if qname not in member_names:
+            continue
+        prof = profiles.get(qname)
+        if prof is None:
+            prof = profiles[qname] = {
+                "split": False, "discordant": 0, "unmapped": 0,
+                "clip": 0, "sa_strs": []}
+        prof["split"] = prof["split"] or meta["has_sa"]
+        if meta["is_paired"]:
+            if meta["mate_is_unmapped"]:
+                prof["unmapped"] += 1
+            elif not meta["is_proper_pair"]:
+                prof["discordant"] += 1
+        if meta["max_clip"] > prof["clip"]:
+            prof["clip"] = meta["max_clip"]
+        if meta.get("sa_str"):
+            prof["sa_strs"].append(meta["sa_str"])
+    return profiles
+
+
+def _annotate_and_link_from_metadata(regions, region_reads, read_sv_meta):
+    """SV annotation + SA-tag breakpoint linking (ref :1351–1489).
+
+    Works in two stages over per-read profiles (one per read name,
+    built by :func:`_read_sv_profiles`): stage 1 folds each profile
+    into every region the read supports; stage 2 derives breakpoint
+    links from resolved SA-tag targets plus shared-read co-membership.
+    Output parity with the reference is pinned by the golden discovery
+    tests (BED name fields, BEDPE rows, metrics region detail).
+    """
     annotations = {
         r: {"split_reads": 0, "discordant_pairs": 0,
             "max_clip_len": 0, "unmapped_mates": 0}
         for r in regions
     }
-    if not read_to_regions:
+    regions_of = {}
+    for region_key in regions:
+        for qname in region_reads.get(region_key, set()):
+            regions_of.setdefault(qname, set()).add(region_key)
+    if not regions_of:
         return annotations, []
 
-    split_read_counted = set()
-    for dedup_key, meta in read_sv_meta.items():
-        qname = dedup_key[0]
-        if qname not in read_to_regions:
-            continue
-        for region_key in read_to_regions[qname]:
+    profiles = _read_sv_profiles(read_sv_meta, regions_of)
+
+    # Stage 1: fold each read's profile into all its regions.  The
+    # split-read tally counts molecules (profile granularity), the
+    # pair-status tallies count alignment records (summed in the
+    # profile), and the clip length is a running maximum.
+    for qname, prof in profiles.items():
+        for region_key in regions_of[qname]:
             ann = annotations[region_key]
-            if meta["has_sa"]:
-                sr_key = (qname, region_key)
-                if sr_key not in split_read_counted:
-                    ann["split_reads"] += 1
-                    split_read_counted.add(sr_key)
-            if meta["is_paired"]:
-                if meta["mate_is_unmapped"]:
-                    ann["unmapped_mates"] += 1
-                elif not meta["is_proper_pair"]:
-                    ann["discordant_pairs"] += 1
-            if meta["max_clip"] > ann["max_clip_len"]:
-                ann["max_clip_len"] = meta["max_clip"]
+            if prof["split"]:
+                ann["split_reads"] += 1
+            ann["unmapped_mates"] += prof["unmapped"]
+            ann["discordant_pairs"] += prof["discordant"]
+            if prof["clip"] > ann["max_clip_len"]:
+                ann["max_clip_len"] = prof["clip"]
 
+    # Stage 2: bridge region pairs.  An SA breakpoint landing inside a
+    # different region links the read's home regions to it; reads that
+    # are members of several regions link those regions directly.
     locator = _RegionLocator(regions)
+    bridges = {}
 
-    sa_bridges = {}
-    for dedup_key, meta in read_sv_meta.items():
-        qname = dedup_key[0]
-        if qname not in read_to_regions:
-            continue
-        primary_regions = read_to_regions[qname]
-        for sa_chrom, sa_pos in _sa_breakpoints(meta.get("sa_str")):
-            target = locator.region_at(sa_chrom, sa_pos)
-            if target is None:
-                continue
-            for p_region in primary_regions:
-                if p_region != target:
-                    key = tuple(sorted([p_region, target]))
-                    sa_bridges.setdefault(key, set()).add(qname)
+    def bridge(a, b, qname):
+        pair = (a, b) if a <= b else (b, a)
+        bridges.setdefault(pair, set()).add(qname)
 
-    for qname, rset in read_to_regions.items():
-        if len(rset) >= 2:
-            rlist = sorted(rset)
-            for i in range(len(rlist)):
-                for j in range(i + 1, len(rlist)):
-                    sa_bridges.setdefault(
-                        (rlist[i], rlist[j]), set()).add(qname)
+    for qname, prof in profiles.items():
+        homes = regions_of[qname]
+        targets = set()
+        for sa_str in prof["sa_strs"]:
+            for sa_chrom, sa_pos in _sa_breakpoints(sa_str):
+                hit = locator.region_at(sa_chrom, sa_pos)
+                if hit is not None:
+                    targets.add(hit)
+        for target in targets:
+            for home in homes:
+                if home != target:
+                    bridge(home, target, qname)
+    for qname, homes in regions_of.items():
+        if len(homes) > 1:
+            ordered = sorted(homes)
+            for i, low in enumerate(ordered):
+                for high in ordered[i + 1:]:
+                    bridge(low, high, qname)
 
-    links = []
-    for region_a, region_b in sorted(sa_bridges):
-        links.append({
-            "region_a": region_a,
-            "region_b": region_b,
-            "supporting_reads": sa_bridges[(region_a, region_b)],
-            "sv_type_hint": _infer_sv_type(region_a, region_b),
-        })
-    return annotations, links
+    return annotations, [
+        {"region_a": a, "region_b": b,
+         "supporting_reads": bridges[(a, b)],
+         "sv_type_hint": _infer_sv_type(a, b)}
+        for a, b in sorted(bridges)]
 
 
 def _write_bedpe(links, bedpe_path):
@@ -948,50 +985,45 @@ def _evaluate_dnm_regions(discovery_regions, region_detail,
     detail_by_key = {
         (rd["chrom"], rd["start"], rd["end"]): rd for rd in region_detail
     }
+    class_rank = {"SV": 3, "AMBIGUOUS": 2, "SMALL": 1}
     results = []
     for chrom, pos, size, event_type in dnm_regions:
-        dnm_start = pos
-        dnm_end = pos + (size if size else 1)
-        matches = [dr for dr in discovery_regions
-                   if dr[0] == chrom and dr[1] < dnm_end
-                   and dnm_start < dr[2]]
-        detected = len(matches) > 0
+        dnm_start, dnm_end = pos, pos + (size or 1)
+        hits = [(rk, detail_by_key.get(rk, {})) for rk in discovery_regions
+                if rk[0] == chrom and rk[1] < dnm_end and dnm_start < rk[2]]
+        detected = bool(hits)
 
-        total_reads = total_kmers = max_clip = 0
-        total_unmapped = total_discordant = total_split = 0
-        region_labels = []
-        sv_classes = []
-        span_start, span_end = dnm_start, dnm_end
-        for m_key in matches:
-            rd = detail_by_key.get(m_key, {})
-            total_reads += rd.get("reads", 0)
-            total_kmers += rd.get("unique_kmers", 0)
-            max_clip = max(max_clip, rd.get("max_clip_len", 0))
-            total_unmapped += rd.get("unmapped_mates", 0)
-            total_discordant += rd.get("discordant_pairs", 0)
-            total_split += rd.get("split_reads", 0)
-            sv_classes.append(rd.get("class", "SMALL"))
-            region_labels.append(f"{m_key[0]}:{m_key[1] + 1}-{m_key[2]}")
-            span_start = min(span_start, m_key[1])
-            span_end = max(span_end, m_key[2])
+        # Sum region-detail tallies across every overlapping discovery
+        # region; the k-mer signal density is normalised by the merged
+        # span of the curated locus plus all its hits.
+        def total(field):
+            return sum(rd.get(field, 0) for _rk, rd in hits)
 
-        span_bp = max(span_end - span_start, 1)
-        kmer_signal = total_kmers / span_bp if detected else 0.0
-        class_priority = {"SV": 3, "AMBIGUOUS": 2, "SMALL": 1}
-        sv_class = (max(sv_classes, key=lambda c: class_priority.get(c, 0))
-                    if sv_classes else "NONE")
+        span_start = min([dnm_start] + [rk[1] for rk, _rd in hits])
+        span_end = max([dnm_end] + [rk[2] for rk, _rd in hits])
+        total_kmers = total("unique_kmers")
+        kmer_signal = (total_kmers / max(span_end - span_start, 1)
+                       if detected else 0.0)
+        sv_class = "NONE"
+        for _rk, rd in hits:
+            cls = rd.get("class", "SMALL")
+            if class_rank.get(cls, 0) > class_rank.get(sv_class, 0):
+                sv_class = cls
+
         results.append({
             "locus": f"{chrom}:{pos}",
             "event_type": event_type,
             "event_size": size,
             "detected": detected,
-            "discovery_regions": region_labels,
-            "total_reads": total_reads,
+            "discovery_regions": [f"{rk[0]}:{rk[1] + 1}-{rk[2]}"
+                                  for rk, _rd in hits],
+            "total_reads": total("reads"),
             "total_unique_kmers": total_kmers,
-            "max_clip_len": max_clip,
-            "unmapped_mates": total_unmapped,
-            "discordant_pairs": total_discordant,
-            "split_reads": total_split,
+            "max_clip_len": max([0] + [rd.get("max_clip_len", 0)
+                                       for _rk, rd in hits]),
+            "unmapped_mates": total("unmapped_mates"),
+            "discordant_pairs": total("discordant_pairs"),
+            "split_reads": total("split_reads"),
             "sv_class": sv_class,
             "kmer_signal": round(kmer_signal, 4),
             "assessment": "DETECTED" if detected else "NOT_DETECTED",
@@ -1278,6 +1310,27 @@ def _run_discovery_pipeline_impl(args):
         min_dk_per_read = max(1, args.kmer_size // 4)
     memory_limit_gb = getattr(args, "memory", None)
 
+    def _finish_empty(reason, n_candidates=0, n_non_ref=0):
+        """Early exit: valid empty outputs + zeroed funnel metrics.
+
+        Shared by the three no-signal exits (no candidates / all in
+        reference / none proband-unique — ref :2207, :2239, :2279);
+        the metric keys and log text are byte-pinned.
+        """
+        logger.warning("%s; writing empty outputs", reason)
+        _write_empty_discovery_outputs(
+            bed_path, metrics_path, summary_path,
+            {"mode": "discovery",
+             "child_candidate_kmers": n_candidates,
+             "non_ref_kmers": n_non_ref,
+             "proband_unique_kmers": 0,
+             "informative_reads": 0,
+             "unmapped_informative_reads": 0,
+             "candidate_regions": 0},
+            bedpe_path=bedpe_path)
+        logger.info("Pipeline finished in %s",
+                    format_elapsed(time.monotonic() - pipeline_start))
+
     logger.info("=" * 60)
     logger.info("  kmer-denovo  —  discovery pipeline starting")
     logger.info("=" * 60)
@@ -1371,22 +1424,7 @@ def _run_discovery_pipeline_impl(args):
             args.child, args.kmer_size, args.min_child_count)
 
         if n_candidates == 0:
-            logger.warning(
-                "No child candidate k-mers found; writing empty outputs")
-            empty_metrics = {
-                "mode": "discovery",
-                "child_candidate_kmers": 0,
-                "non_ref_kmers": 0,
-                "proband_unique_kmers": 0,
-                "informative_reads": 0,
-                "unmapped_informative_reads": 0,
-                "candidate_regions": 0,
-            }
-            _write_empty_discovery_outputs(
-                bed_path, metrics_path, summary_path, empty_metrics,
-                bedpe_path=bedpe_path)
-            logger.info("Pipeline finished in %s",
-                        format_elapsed(time.monotonic() - pipeline_start))
+            _finish_empty("No child candidate k-mers found")
             return
 
         non_ref_keys, n_non_ref = _subtract_reference_kmers(
@@ -1396,22 +1434,8 @@ def _run_discovery_pipeline_impl(args):
         log_memory("after Module 1")
 
         if n_non_ref == 0:
-            logger.warning(
-                "All child k-mers are in the reference; writing empty outputs")
-            empty_metrics = {
-                "mode": "discovery",
-                "child_candidate_kmers": n_candidates,
-                "non_ref_kmers": 0,
-                "proband_unique_kmers": 0,
-                "informative_reads": 0,
-                "unmapped_informative_reads": 0,
-                "candidate_regions": 0,
-            }
-            _write_empty_discovery_outputs(
-                bed_path, metrics_path, summary_path, empty_metrics,
-                bedpe_path=bedpe_path)
-            logger.info("Pipeline finished in %s",
-                        format_elapsed(time.monotonic() - pipeline_start))
+            _finish_empty("All child k-mers are in the reference",
+                          n_candidates=n_candidates)
             return
 
         # ── Module 2: Parent filtering ─────────────────────────────────
@@ -1425,23 +1449,8 @@ def _run_discovery_pipeline_impl(args):
         log_memory("after Module 2")
 
     if n_proband_unique == 0:
-        logger.warning(
-            "No proband-unique k-mers after parent filtering; "
-            "writing empty outputs")
-        empty_metrics = {
-            "mode": "discovery",
-            "child_candidate_kmers": n_candidates,
-            "non_ref_kmers": n_non_ref,
-            "proband_unique_kmers": 0,
-            "informative_reads": 0,
-            "unmapped_informative_reads": 0,
-            "candidate_regions": 0,
-        }
-        _write_empty_discovery_outputs(
-            bed_path, metrics_path, summary_path, empty_metrics,
-            bedpe_path=bedpe_path)
-        logger.info("Pipeline finished in %s",
-                    format_elapsed(time.monotonic() - pipeline_start))
+        _finish_empty("No proband-unique k-mers after parent filtering",
+                      n_candidates=n_candidates, n_non_ref=n_non_ref)
         return
 
     # ── Module 2b: proband-unique device index ─────────────────────
@@ -1493,16 +1502,14 @@ def _run_discovery_pipeline_impl(args):
     min_kmers = args.min_distinct_kmers
     if min_reads > 1 or min_kmers > 1:
         pre_filter = len(regions)
-        filtered_regions = []
-        for region_key in regions:
-            n_reads = len(region_reads.get(region_key, set()))
-            n_kmers = len(region_kmers.get(region_key, set()))
-            if n_reads >= min_reads and n_kmers >= min_kmers:
-                filtered_regions.append(region_key)
-            else:
-                region_reads.pop(region_key, None)
-                region_kmers.pop(region_key, None)
-        regions = filtered_regions
+        survivors = [
+            rk for rk in regions
+            if (len(region_reads.get(rk, ())) >= min_reads
+                and len(region_kmers.get(rk, ())) >= min_kmers)]
+        for dropped in set(regions).difference(survivors):
+            region_reads.pop(dropped, None)
+            region_kmers.pop(dropped, None)
+        regions = survivors
         logger.info(
             "Region filtering: %d → %d regions "
             "(min-supporting-reads=%d, min-distinct-kmers=%d)",

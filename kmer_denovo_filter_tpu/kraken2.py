@@ -15,7 +15,6 @@ device LCA classifier as a possible later extension.
 
 import logging
 import os
-import struct
 import subprocess
 import tempfile
 import threading
@@ -39,6 +38,22 @@ UNIVEC_CORE_TAXID = 81077
 _HEARTBEAT_INTERVAL = 30
 _HEARTBEAT_JOIN_TIMEOUT = 2
 
+# Clade tally categories, in domain-label precedence order.  "protist"
+# has no single root taxid (it is Eukaryota minus three sub-clades, see
+# load_all_taxid_sets) so its root is None.
+_CLADES = (
+    ("bacterial", "Bacteria", BACTERIA_TAXID),
+    ("archaeal", "Archaea", ARCHAEA_TAXID),
+    ("fungal", "Fungi", FUNGI_TAXID),
+    ("protist", "Protist", None),
+    ("viral", "Viruses", VIRUSES_TAXID),
+    ("univec_core", "UniVec_Core", UNIVEC_CORE_TAXID),
+)
+# Every per-read-name tally a Kraken2Result carries: the clades above
+# plus the nonhuman/human-lineage split.
+TALLY_CATEGORIES = tuple(c[0] for c in _CLADES) + (
+    "nonhuman", "human_lineage")
+
 
 def _read_proc_rss_kb(pid):
     try:
@@ -57,50 +72,47 @@ class Kraken2Result:
     The four read-name sets ``nonhuman`` / ``univec_core`` /
     ``human_lineage`` / ``unclassified`` partition all processed reads,
     so the per-variant fractions built from them sum to 1.
+
+    Attribute surface matches the reference Result
+    (reference kmer_utils.py:337–463): ``{category}_count`` plus
+    ``{category}_read_names`` per tally category, the
+    total/classified/unclassified counters, human/root counts, and
+    ``per_read_detail``.
     """
 
     def __init__(self):
-        self.total = 0
-        self.classified = 0
-        self.unclassified = 0
-        self.bacterial_read_names = set()
-        self.bacterial_count = 0
-        self.archaeal_read_names = set()
-        self.archaeal_count = 0
-        self.fungal_read_names = set()
-        self.fungal_count = 0
-        self.protist_read_names = set()
-        self.protist_count = 0
-        self.viral_read_names = set()
-        self.viral_count = 0
-        self.univec_core_read_names = set()
-        self.univec_core_count = 0
-        self.nonhuman_read_names = set()
-        self.nonhuman_count = 0
+        for counter in ("total", "classified", "unclassified",
+                        "human_count", "root_count"):
+            setattr(self, counter, 0)
+        for cat in TALLY_CATEGORIES:
+            setattr(self, f"{cat}_count", 0)
+            setattr(self, f"{cat}_read_names", set())
         self.unclassified_read_names = set()
-        self.human_lineage_read_names = set()
-        self.human_lineage_count = 0
-        self.human_count = 0
-        self.root_count = 0
         self.per_read_detail = {}
 
+    def record(self, category, read_name):
+        """Count *read_name* under one tally category."""
+        getattr(self, f"{category}_read_names").add(read_name)
+        setattr(self, f"{category}_count",
+                getattr(self, f"{category}_count") + 1)
+
     def summary(self):
-        pct = (f"{100 * self.bacterial_count / self.total:.1f}"
-               if self.total > 0 else "0.0")
-        nh_pct = (f"{100 * self.nonhuman_count / self.total:.1f}"
-                  if self.total > 0 else "0.0")
-        return (
-            f"kraken2: {self.total} reads, "
-            f"{self.classified} classified, "
-            f"{self.bacterial_count} bacterial ({pct}%), "
-            f"{self.archaeal_count} archaeal, "
-            f"{self.fungal_count} fungal, "
-            f"{self.protist_count} protist, "
-            f"{self.viral_count} viral, "
-            f"{self.univec_core_count} univec_core, "
-            f"{self.nonhuman_count} non-human ({nh_pct}%), "
-            f"{self.human_count} human, "
-            f"{self.root_count} root")
+        def pct(n):
+            return f"{100 * n / self.total:.1f}" if self.total > 0 else "0.0"
+
+        return ", ".join([
+            f"kraken2: {self.total} reads",
+            f"{self.classified} classified",
+            f"{self.bacterial_count} bacterial ({pct(self.bacterial_count)}%)",
+            f"{self.archaeal_count} archaeal",
+            f"{self.fungal_count} fungal",
+            f"{self.protist_count} protist",
+            f"{self.viral_count} viral",
+            f"{self.univec_core_count} univec_core",
+            f"{self.nonhuman_count} non-human ({pct(self.nonhuman_count)}%)",
+            f"{self.human_count} human",
+            f"{self.root_count} root",
+        ])
 
     @property
     def bacterial_fraction(self):
@@ -130,77 +142,73 @@ class Kraken2Runner:
         Looks in *db_path* and one directory level deeper (PrackenDB
         extracts into a versioned subdirectory).
         """
-        candidate_dirs = [db_path]
+        search = [db_path]
         try:
-            for entry in os.scandir(db_path):
-                if entry.is_dir():
-                    candidate_dirs.append(entry.path)
+            search += [e.path for e in os.scandir(db_path) if e.is_dir()]
         except OSError:
             pass
-        for d in candidate_dirs:
-            opts_path = os.path.join(d, "opts.k2d")
-            if not os.path.isfile(opts_path):
-                continue
+        for opts_path in (os.path.join(d, "opts.k2d") for d in search):
             try:
                 with open(opts_path, "rb") as fh:
-                    data = fh.read(8)
-                if len(data) == 8:
-                    (k,) = struct.unpack("<Q", data)
-                    if 1 <= k <= 256:
-                        return k
+                    header = fh.read(8)
             except OSError:
-                pass
+                continue
+            if len(header) < 8:
+                continue
+            k = int.from_bytes(header, "little")
+            if 1 <= k <= 256:
+                return k
         return None
 
     # ── taxonomy loading ───────────────────────────────────────────
 
     @staticmethod
+    def _find_dump_file(db_path, filename):
+        """NCBI dump file under ``taxonomy/`` or the DB root, or None."""
+        for candidate in (os.path.join(db_path, "taxonomy", filename),
+                          os.path.join(db_path, filename)):
+            if os.path.isfile(candidate):
+                return candidate
+        return None
+
+    @staticmethod
     def load_parent_map(db_path):
         """{child: parent} from nodes.dmp (taxonomy/ or db root)."""
-        nodes_path = os.path.join(db_path, "taxonomy", "nodes.dmp")
-        if not os.path.isfile(nodes_path):
-            nodes_path = os.path.join(db_path, "nodes.dmp")
-            if not os.path.isfile(nodes_path):
-                return None
-        parent_map = {}
+        nodes_path = Kraken2Runner._find_dump_file(db_path, "nodes.dmp")
+        if nodes_path is None:
+            return None
         try:
             with open(nodes_path) as fh:
-                for line in fh:
-                    parts = line.split("\t|\t")
-                    if len(parts) < 3:
-                        continue
-                    parent_map[int(parts[0].strip())] = int(
-                        parts[1].strip())
+                rows = (line.split("\t|\t") for line in fh)
+                return {int(row[0]): int(row[1])
+                        for row in rows if len(row) >= 3}
         except (OSError, ValueError):
             return None
-        return parent_map
 
     @staticmethod
     def load_name_map(db_path):
         """{taxid: scientific_name} from names.dmp (spaces→underscores)."""
-        names_path = os.path.join(db_path, "taxonomy", "names.dmp")
-        if not os.path.isfile(names_path):
-            names_path = os.path.join(db_path, "names.dmp")
-            if not os.path.isfile(names_path):
-                logger.warning(
-                    "names.dmp not found under %s; taxon names will be "
-                    "unavailable in the per-read detail file.", db_path)
-                return None
+        names_path = Kraken2Runner._find_dump_file(db_path, "names.dmp")
+        if names_path is None:
+            logger.warning(
+                "names.dmp not found under %s; taxon names will be "
+                "unavailable in the per-read detail file.", db_path)
+            return None
         name_map = {}
         try:
             with open(names_path) as fh:
                 for line in fh:
-                    parts = line.split("\t|\t")
-                    if len(parts) < 4:
-                        continue
-                    name_class = parts[3].replace("\t|", "").strip()
-                    if name_class != "scientific name":
+                    row = line.split("\t|\t")
+                    # keep only well-formed "scientific name" rows with
+                    # an integer taxid in the first column
+                    if (len(row) < 4 or row[3].replace("\t|", "").strip()
+                            != "scientific name"):
                         continue
                     try:
-                        taxid = int(parts[0].strip())
+                        name_map[int(row[0])] = (
+                            row[1].strip().replace(" ", "_"))
                     except ValueError:
                         continue
-                    name_map[taxid] = parts[1].strip().replace(" ", "_")
         except OSError:
             return None
         return name_map
@@ -288,18 +296,14 @@ class Kraken2Runner:
     @staticmethod
     def extract_taxids_from_kmer_string(kmer_string):
         """Integer taxids from the kraken2 per-read k-mer detail field."""
-        if not kmer_string:
-            return set()
-        taxids = set()
-        for token in kmer_string.replace("|:|", " ").split():
-            taxid, _, _ = token.partition(":")
-            if not taxid:
-                continue
+        found = set()
+        for token in (kmer_string or "").replace("|:|", " ").split():
+            head = token.split(":", 1)[0]
             try:
-                taxids.add(int(taxid))
+                found.add(int(head))
             except ValueError:
-                continue
-        return taxids
+                pass
+        return found
 
     _extract_taxids_from_kmer_string = extract_taxids_from_kmer_string
 
@@ -312,21 +316,20 @@ class Kraken2Runner:
         Subprocess failure degrades gracefully to an empty result with
         a warning (reference kmer_utils.py:854–860).
         """
-        items = (sequences.items() if isinstance(sequences, dict)
-                 else sequences)
         result = Kraken2Result()
-        items = list(items)
-        if not items:
-            return result
+        items = list(sequences.items() if isinstance(sequences, dict)
+                     else sequences)
         result.total = len(items)
+        if not result.total:
+            return result
 
         kmer_len = self.read_kmer_length(self.db_path)
-        if kmer_len is not None:
-            logger.info("[Kraken2] database k-mer length: %d", kmer_len)
-        else:
+        if kmer_len is None:
             logger.debug(
                 "[Kraken2] could not read k-mer length from opts.k2d "
                 "(db_path: %s)", self.db_path)
+        else:
+            logger.info("[Kraken2] database k-mer length: %d", kmer_len)
 
         fd, fastq_path = tempfile.mkstemp(
             suffix=".fq", prefix="kraken2_", dir=tmpdir)
@@ -405,136 +408,106 @@ class Kraken2Runner:
                 pass
         return result
 
+    @staticmethod
+    def _classify_taxid(taxid, taxid_sets):
+        """Pre-guard verdict for one LCA taxid.
+
+        Returns ``(clades, is_human, in_human_lineage, is_nonhuman)``
+        where *clades* is the set of clade category names (from
+        ``_CLADES``) whose descendant set contains *taxid*.  Without a
+        loaded taxonomy only exact root-taxid matches count and the
+        human lineage is unknowable (empty).
+        """
+        if taxid_sets is not None:
+            clades = {cat for cat, _label, _root in _CLADES
+                      if taxid in taxid_sets[cat]}
+            is_human = taxid in taxid_sets["human_clade"]
+            in_lineage = taxid in taxid_sets["human_lineage"]
+            nonhuman = not (is_human or in_lineage
+                            or "univec_core" in clades)
+            return clades, is_human, in_lineage, nonhuman
+        clades = {cat for cat, _label, root in _CLADES if taxid == root}
+        is_human = taxid == HUMAN_TAXID
+        nonhuman = taxid not in (HUMAN_TAXID, 1, UNIVEC_CORE_TAXID)
+        return clades, is_human, False, nonhuman
+
+    @staticmethod
+    def _domain_label(clades, is_human, in_lineage, taxid):
+        """Pre-guard domain label, in ``_CLADES`` precedence order."""
+        for cat, label, _root in _CLADES:
+            if cat in clades:
+                return label
+        if is_human:
+            return "Human"
+        if in_lineage and taxid != 1:
+            return "Ambiguous_Ancestor"
+        return "Root"
+
+    @staticmethod
+    def _read_detail(status, taxid, domain, guard, nonhuman,
+                     kmer_string):
+        return {"status": status, "taxid": taxid, "domain": domain,
+                "guard_status": guard, "is_nonhuman": nonhuman,
+                "kmer_string": kmer_string}
+
     def _tally_output(self, text, taxid_sets, result):
         """Parse ``C/U\\tname\\ttaxid\\tlen\\tkmers`` lines into *result*."""
-        for line in text.split("\n"):
-            line = line.strip()
-            if not line:
+        for raw_line in text.split("\n"):
+            fields = raw_line.strip().split("\t")
+            if len(fields) < 3:
                 continue
-            parts = line.split("\t")
-            if len(parts) < 3:
-                continue
-            status = parts[0]
-            read_name = parts[1]
+            status, read_name = fields[0], fields[1]
             try:
-                taxid = int(parts[2])
+                taxid = int(fields[2])
             except ValueError:
                 continue
-            kmer_string = parts[4] if len(parts) >= 5 else ""
-            kmer_taxids = self.extract_taxids_from_kmer_string(kmer_string)
 
             if status == "U":
                 result.unclassified += 1
                 result.unclassified_read_names.add(read_name)
-                result.per_read_detail[read_name] = {
-                    "status": "U", "taxid": 0, "domain": "Unclassified",
-                    "guard_status": "UNCLASSIFIED",
-                    "is_nonhuman": False, "kmer_string": "",
-                }
+                result.per_read_detail[read_name] = self._read_detail(
+                    "U", 0, "Unclassified", "UNCLASSIFIED", False, "")
                 continue
 
             result.classified += 1
-            has_human_kmer = HUMAN_TAXID in kmer_taxids
-
-            if taxid_sets is not None:
-                is_bacterial = taxid in taxid_sets["bacterial"]
-                is_archaeal = taxid in taxid_sets["archaeal"]
-                is_fungal = taxid in taxid_sets["fungal"]
-                is_protist = taxid in taxid_sets["protist"]
-                is_viral = taxid in taxid_sets["viral"]
-                is_univec_core = taxid in taxid_sets["univec_core"]
-                is_human = taxid in taxid_sets["human_clade"]
-                is_nonhuman = (
-                    taxid not in taxid_sets["human_lineage"]
-                    and taxid not in taxid_sets["human_clade"]
-                    and taxid not in taxid_sets["univec_core"])
-            else:
-                is_bacterial = taxid == BACTERIA_TAXID
-                is_archaeal = taxid == ARCHAEA_TAXID
-                is_fungal = taxid == FUNGI_TAXID
-                is_protist = False
-                is_viral = taxid == VIRUSES_TAXID
-                is_univec_core = taxid == UNIVEC_CORE_TAXID
-                is_human = taxid == HUMAN_TAXID
-                is_nonhuman = taxid not in (
-                    HUMAN_TAXID, 1, UNIVEC_CORE_TAXID)
-
+            kmer_string = fields[4] if len(fields) >= 5 else ""
+            clades, is_human, in_lineage, nonhuman = self._classify_taxid(
+                taxid, taxid_sets)
             # Domain label is decided before the guard clears flags.
-            if is_bacterial:
-                domain = "Bacteria"
-            elif is_archaeal:
-                domain = "Archaea"
-            elif is_fungal:
-                domain = "Fungi"
-            elif is_protist:
-                domain = "Protist"
-            elif is_viral:
-                domain = "Viruses"
-            elif is_univec_core:
-                domain = "UniVec_Core"
-            elif is_human:
-                domain = "Human"
-            elif taxid == 1:
-                domain = "Root"
-            elif (taxid_sets is not None
-                  and taxid in taxid_sets["human_lineage"]):
-                domain = "Ambiguous_Ancestor"
-            else:
-                domain = "Root"
+            domain = self._domain_label(clades, is_human, in_lineage,
+                                        taxid)
 
             # Human homology guard: any human k-mer vote clears all
             # non-human category flags for this read.
-            if has_human_kmer:
-                is_bacterial = is_archaeal = is_fungal = False
-                is_protist = is_viral = is_univec_core = False
-                is_nonhuman = False
+            human_kmer_vote = HUMAN_TAXID in (
+                self.extract_taxids_from_kmer_string(kmer_string))
+            if human_kmer_vote:
+                clades = set()
+                nonhuman = False
 
             if is_human:
                 guard = "HUMAN"
-            elif has_human_kmer:
+            elif human_kmer_vote:
                 guard = "HHG"
             elif domain == "UniVec_Core":
                 guard = "UVC"
             else:
                 guard = "PASS"
 
-            if is_bacterial:
-                result.bacterial_count += 1
-                result.bacterial_read_names.add(read_name)
-            if is_archaeal:
-                result.archaeal_count += 1
-                result.archaeal_read_names.add(read_name)
-            if is_fungal:
-                result.fungal_count += 1
-                result.fungal_read_names.add(read_name)
-            if is_protist:
-                result.protist_count += 1
-                result.protist_read_names.add(read_name)
-            if is_viral:
-                result.viral_count += 1
-                result.viral_read_names.add(read_name)
-            if is_univec_core:
-                result.univec_core_count += 1
-                result.univec_core_read_names.add(read_name)
-            if is_nonhuman:
-                result.nonhuman_count += 1
-                result.nonhuman_read_names.add(read_name)
-            if not is_nonhuman and not is_univec_core:
-                result.human_lineage_read_names.add(read_name)
-                result.human_lineage_count += 1
+            for cat, _label, _root in _CLADES:
+                if cat in clades:
+                    result.record(cat, read_name)
+            if nonhuman:
+                result.record("nonhuman", read_name)
+            elif "univec_core" not in clades:
+                result.record("human_lineage", read_name)
             if is_human:
                 result.human_count += 1
             elif taxid == 1:
                 result.root_count += 1
 
-            result.per_read_detail[read_name] = {
-                "status": status,
-                "taxid": taxid,
-                "domain": domain,
-                "guard_status": guard,
-                "is_nonhuman": is_nonhuman,
-                "kmer_string": kmer_string,
-            }
+            result.per_read_detail[read_name] = self._read_detail(
+                status, taxid, domain, guard, nonhuman, kmer_string)
 
 
 def run_kraken2_on_reads(child_bam, ref_fasta, read_names, kraken2_db,

@@ -153,34 +153,38 @@ def load_kmers_from_fasta(fasta_path):
 
 
 def estimate_fasta_sequence_count(fasta_path, sample_lines=1000):
-    """(count, extrapolated) estimate of FASTA entries from a prefix."""
+    """(count, extrapolated) estimate of FASTA entries from a prefix.
+
+    Reads up to *sample_lines* lines; when the file is larger than the
+    sample, the header density of the sampled bytes is scaled to the
+    file size (the reference's sampling estimator, ref utils.py:173–227).
+    """
     if sample_lines <= 0:
         raise ValueError("sample_lines must be > 0")
     try:
         file_size = os.path.getsize(fasta_path)
     except OSError:
+        file_size = 0
+    if not file_size:
         return 0, False
-    if file_size == 0:
-        return 0, False
-    sampled_bytes = 0
-    sampled_entries = 0
-    lines_read = 0
-    hit_eof = False
+
+    headers = bytes_seen = 0
+    exhausted = False
     with open(fasta_path, "rb") as fh:
-        while lines_read < sample_lines:
+        for _ in range(sample_lines):
             line = fh.readline()
             if not line:
-                hit_eof = True
+                exhausted = True
                 break
-            sampled_bytes += len(line)
-            lines_read += 1
-            if line.strip().startswith(b">"):
-                sampled_entries += 1
-    if sampled_bytes == 0 or sampled_entries == 0:
+            bytes_seen += len(line)
+            headers += line.lstrip().startswith(b">")
+    if not headers:
         return 0, False
-    if hit_eof:
-        return sampled_entries, False
-    return max(int(round(sampled_entries / sampled_bytes * file_size)), 1), True
+    if exhausted:
+        # whole file sampled — the count is exact
+        return headers, False
+    scaled = int(round(headers * file_size / bytes_seen))
+    return max(scaled, 1), True
 
 
 # ── Input validation (reference utils.py:230–350 error matrix) ─────

@@ -329,6 +329,46 @@ def _write_summary(summary_path, variants, annotations):
     return text
 
 
+def _fold_variant_reads(read_kmers_list, parent_kmer_set):
+    """Fold one variant's spanning reads into fragment sets + k-mer pools.
+
+    Fragment granularity: paired mates share a query name and count
+    once.  A fragment is *informative* when any of its alignments
+    carries a spanning k-mer absent from both parents (reference
+    vcf/pipeline.py:1667–1686).
+
+    Returns ``(spanning, informative, informative_alt, kmer_pool,
+    alt_kmer_pool)`` — three fragment-name sets and the union of
+    spanning / alt-supporting k-mers across all reads.
+    """
+    spanning, informative, informative_alt = set(), set(), set()
+    kmer_pool, alt_kmer_pool = set(), set()
+    for read_name, kmers, supports_alt in read_kmers_list:
+        spanning.add(read_name)
+        kmer_pool |= kmers
+        novel = not kmers <= parent_kmer_set
+        if novel:
+            informative.add(read_name)
+        if supports_alt:
+            alt_kmer_pool |= kmers
+            if novel:
+                informative_alt.add(read_name)
+    return spanning, informative, informative_alt, kmer_pool, alt_kmer_pool
+
+
+def _parent_count_stats(kmer_pool, parent_found_kmers):
+    """(max, mean, min) parent counts over the pool's parent-seen k-mers.
+
+    Mean is rounded to 2 decimals (the reference's metric format,
+    vcf/pipeline.py:1699–1717); an empty intersection yields (0, 0.0, 0).
+    """
+    counts = [parent_found_kmers[km] for km in kmer_pool
+              if km in parent_found_kmers]
+    if not counts:
+        return 0, 0.0, 0
+    return max(counts), round(statistics.mean(counts), 2), min(counts)
+
+
 def _run_pipeline_impl(args):
     """Run the five-step VCF annotation pipeline."""
     pipeline_start = time.monotonic()
@@ -497,58 +537,33 @@ def _run_pipeline_impl(args):
                 len(parent_kmer_set))
 
     for idx, var in enumerate(variants, 1):
-        alt = var["alt"] if var["alt"] is not None else "."
+        alt = "." if var["alt"] is None else var["alt"]
         var_key = f"{var['chrom']}:{var['pos']}:{var['ref']}:{alt}"
-        read_kmers_list = variant_read_kmers.get(var_key, [])
+        (spanning, informative, informative_alt, kmer_pool,
+         alt_kmer_pool) = _fold_variant_reads(
+            variant_read_kmers.get(var_key, []), parent_kmer_set)
 
-        spanning_names = set()
-        informative_names = set()
-        informative_alt_names = set()
-        all_variant_kmers = set()
-        alt_variant_kmers = set()
-        for read_name, kmers, supports_alt in read_kmers_list:
-            spanning_names.add(read_name)
-            all_variant_kmers.update(kmers)
-            if supports_alt:
-                alt_variant_kmers.update(kmers)
-            if not kmers.issubset(parent_kmer_set):
-                informative_names.add(read_name)
-                if supports_alt:
-                    informative_alt_names.add(read_name)
-
-        dkt = len(spanning_names)
-        dku = len(informative_names)
-        dka = len(informative_alt_names)
+        dkt, dku, dka = len(spanning), len(informative), len(informative_alt)
         running_reads += dkt
-        if dku > 0:
-            running_dnm += 1
+        running_dnm += 1 if dku else 0
 
-        parent_counts = [parent_found_kmers[k] for k in all_variant_kmers
-                         if k in parent_kmer_set]
-        max_pkc = max(parent_counts) if parent_counts else 0
-        avg_pkc = (round(statistics.mean(parent_counts), 2)
-                   if parent_counts else 0.0)
-        min_pkc = min(parent_counts) if parent_counts else 0
-
-        alt_parent_counts = [parent_found_kmers[k] for k in alt_variant_kmers
-                             if k in parent_kmer_set]
-        max_pkc_alt = max(alt_parent_counts) if alt_parent_counts else 0
-        avg_pkc_alt = (round(statistics.mean(alt_parent_counts), 2)
-                       if alt_parent_counts else 0.0)
-        min_pkc_alt = min(alt_parent_counts) if alt_parent_counts else 0
+        max_pkc, avg_pkc, min_pkc = _parent_count_stats(
+            kmer_pool, parent_found_kmers)
+        max_pkc_alt, avg_pkc_alt, min_pkc_alt = _parent_count_stats(
+            alt_kmer_pool, parent_found_kmers)
 
         annotations[var_key] = {
             "dku": dku, "dkt": dkt, "dka": dka,
-            "dku_dkt": round(dku / dkt, 4) if dkt > 0 else 0.0,
-            "dka_dkt": round(dka / dkt, 4) if dkt > 0 else 0.0,
+            "dku_dkt": round(dku / dkt, 4) if dkt else 0.0,
+            "dka_dkt": round(dka / dkt, 4) if dkt else 0.0,
             "max_pkc": max_pkc, "avg_pkc": avg_pkc, "min_pkc": min_pkc,
             "max_pkc_alt": max_pkc_alt, "avg_pkc_alt": avg_pkc_alt,
             "min_pkc_alt": min_pkc_alt,
         }
-        if informative_names:
-            informative_reads_by_variant[var_key] = informative_names
-        if informative_alt_names:
-            informative_alt_reads_by_variant[var_key] = informative_alt_names
+        if informative:
+            informative_reads_by_variant[var_key] = informative
+        if informative_alt:
+            informative_alt_reads_by_variant[var_key] = informative_alt
 
         if args.debug_kmers:
             logger.info("Variant %s: DKU=%d DKT=%d DKA=%d",
@@ -595,28 +610,27 @@ def _run_pipeline_impl(args):
                     format_elapsed(time.monotonic() - step_start))
         name_map = Kraken2Runner.load_name_map(kraken2_db)
 
+        from kmer_denovo_filter_tpu.kraken2 import TALLY_CATEGORIES
+
+        # Per-variant contamination fractions (ref vcf/pipeline.py:
+        # 1782–1807): for each classification category, the share of
+        # the variant's DKU/DKA fragments that kraken2 put there.
+        # Annotation key order (clades, nonhuman, unclassified,
+        # human_lineage) is pinned by the VCF INFO field layout.
+        fraction_labels = (TALLY_CATEGORIES[:-1]
+                           + ("unclassified", "human_lineage"))
         for var_key, ann in annotations.items():
             dku_names = informative_reads_by_variant.get(var_key, set())
             dka_names = informative_alt_reads_by_variant.get(var_key, set())
-            for label, read_set in (
-                ("bacterial", kraken2_result.bacterial_read_names),
-                ("archaeal", kraken2_result.archaeal_read_names),
-                ("fungal", kraken2_result.fungal_read_names),
-                ("protist", kraken2_result.protist_read_names),
-                ("viral", kraken2_result.viral_read_names),
-                ("univec_core", kraken2_result.univec_core_read_names),
-                ("nonhuman", kraken2_result.nonhuman_read_names),
-                ("unclassified", kraken2_result.unclassified_read_names),
-                ("human_lineage", kraken2_result.human_lineage_read_names),
-            ):
-                dku_count = len(dku_names.intersection(read_set))
-                dka_count = len(dka_names.intersection(read_set))
-                ann[f"dku_{label}_fraction"] = (
-                    round(dku_count / len(dku_names), _FRACTION_PRECISION)
-                    if dku_names else 0.0)
-                ann[f"dka_{label}_fraction"] = (
-                    round(dka_count / len(dka_names), _FRACTION_PRECISION)
-                    if dka_names else 0.0)
+            for label in fraction_labels:
+                classified = getattr(kraken2_result,
+                                     f"{label}_read_names")
+                for prefix, frag_names in (("dku", dku_names),
+                                           ("dka", dka_names)):
+                    ann[f"{prefix}_{label}_fraction"] = (
+                        round(len(frag_names & classified)
+                              / len(frag_names), _FRACTION_PRECISION)
+                        if frag_names else 0.0)
 
     # ── Step 5: Outputs ────────────────────────────────────────────
     step_start = time.monotonic()
