@@ -234,14 +234,42 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
+def _join_multihost():
+    """Join a multi-process deployment when configured.
+
+    Set ``KDF_COORDINATOR`` (host:port), ``KDF_NUM_PROCESSES`` and
+    ``KDF_PROCESS_ID`` on every process to run ``kmer-denovo`` /
+    ``kmer-discovery`` across N hosts: inputs stream in per-host
+    stripes, partial results merge at module boundaries, and process 0
+    writes the outputs.  A no-op without the env vars (single-host).
+
+    Deliberately imports bare ``jax`` only: ``jax.distributed`` must
+    join before anything touches the XLA backend, and importing the
+    engine modules creates device constants (which would commit it).
+    """
+    import os
+
+    coordinator = os.environ.get("KDF_COORDINATOR")
+    if not coordinator:
+        return
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=int(os.environ["KDF_NUM_PROCESSES"]),
+        process_id=int(os.environ["KDF_PROCESS_ID"]))
+
+
 def vcf_main(argv=None):
     """Entry point for ``kmer-denovo``."""
+    _join_multihost()
     from kmer_denovo_filter_tpu.vcf.pipeline import run_pipeline
     run_pipeline(parse_vcf_args(argv))
 
 
 def discovery_main(argv=None):
     """Entry point for ``kmer-discovery``."""
+    _join_multihost()
     from kmer_denovo_filter_tpu.discovery.pipeline import (
         run_discovery_pipeline,
     )
@@ -289,6 +317,7 @@ def report_main(argv=None):
 
 def main(argv=None):
     """Legacy combined entry point dispatching by mode."""
+    _join_multihost()
     args = parse_args(argv)
     if args.vcf is not None:
         if args.output is None:

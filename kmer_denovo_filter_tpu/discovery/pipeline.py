@@ -128,11 +128,20 @@ def ensure_ref_index(ref_fasta, kmer_size, ref_jf=None):
     for name, seq in read_fasta(ref_fasta).items():
         sc.feed_sequence(seq)
     keys, counts = sc.result()
-    try:
-        np.savez(cache, keys=keys, counts=counts, k=kmer_size)
-        logger.info("Reference k-mer cache written: %s", cache)
-    except OSError:
-        pass
+    # Multi-host runs build the (deterministic) index on every process;
+    # only process 0 may write the shared cache file (no write race).
+    from kmer_denovo_filter_tpu.parallel import multihost
+    if multihost.is_primary():
+        try:
+            # write-then-rename so concurrent readers (other processes
+            # of a multi-host run) never see a partial cache
+            tmp_cache = f"{cache}.tmp{os.getpid()}"
+            np.savez(tmp_cache, keys=keys, counts=counts, k=kmer_size)
+            os.replace(tmp_cache if os.path.exists(tmp_cache)
+                       else f"{tmp_cache}.npz", cache)
+            logger.info("Reference k-mer cache written: %s", cache)
+        except OSError:
+            pass
     logger.info("Reference set built in %s (%d k-mers)",
                 format_elapsed(time.monotonic() - build_start),
                 keys.shape[0])
@@ -142,12 +151,15 @@ def ensure_ref_index(ref_fasta, kmer_size, ref_jf=None):
 # ── Module 1: child counting & reference subtraction ───────────────
 
 
-def _extract_child_kmers_discovery(child_bam, kmer_size, min_child_count):
+def _extract_child_kmers_discovery(child_bam, kmer_size, min_child_count,
+                                   stripe=None):
     """Count all child k-mers on device; keep count >= min_child_count.
 
     Returns ``(candidate_keys, n_candidates)`` — the device analog of
     ``jellyfish count -C`` + ``dump -L min_child_count``
-    (reference discovery/pipeline.py:69–268).
+    (reference discovery/pipeline.py:69–268).  With ``stripe=(h, n)``
+    each host counts its input shard and the partial (keys, counts)
+    merge across processes before thresholding.
     """
     extract_start = time.monotonic()
     logger.info("Extracting child k-mers from BAM (k=%d, device engine)…",
@@ -156,10 +168,15 @@ def _extract_child_kmers_discovery(child_bam, kmer_size, min_child_count):
     sc = eng.make_stream_counter(kmer_size)
     n_reads = 0
     for codes, lengths in prefetch_batches(packed_batches(
-            child_bam, exclude_flags=_COUNT_EXCLUDE_FLAGS)):
+            child_bam, exclude_flags=_COUNT_EXCLUDE_FLAGS,
+            stripe=stripe)):
         sc.feed(codes, lengths)
         n_reads += codes.shape[0]
     keys, counts = sc.result()
+    if stripe is not None:
+        from kmer_denovo_filter_tpu.parallel import multihost
+        keys, counts = multihost.merge_counts(keys, counts)
+        n_reads = int(multihost.sum_aligned(np.int64(n_reads)))
     logger.info(
         "Child k-mer counting complete (%s, %d reads, %d distinct k-mers)",
         format_elapsed(time.monotonic() - extract_start), n_reads,
@@ -186,13 +203,16 @@ def _subtract_reference_kmers(ref_index, candidate_keys):
 # ── Module 2: parent filtering ─────────────────────────────────────
 
 
-def _count_parent_device(parent_bam, filter_keys, kmer_size, label):
+def _count_parent_device(parent_bam, filter_keys, kmer_size, label,
+                         stripe=None):
     """Filtered parent count (``--if`` analog) on the gated engine.
 
     Takes host-side *filter_keys* so the HBM-budget dispatch
     (``engine.make_parent_filter_counter``) decides whether the table
     materialises on device, shards across the mesh, or stays host-
     resident.  Returns int64 counts aligned with *filter_keys*.
+    With ``stripe=(h, n)`` each host counts its input shard; the
+    aligned partial tallies sum across processes.
     """
     scan_start = time.monotonic()
     logger.info("%s: scanning BAM (%s): %s", label,
@@ -203,10 +223,15 @@ def _count_parent_device(parent_bam, filter_keys, kmer_size, label):
     fc = eng.make_parent_filter_counter(filter_keys, kmer_size)
     n_reads = 0
     for codes, lengths in prefetch_batches(packed_batches(
-            parent_bam, exclude_flags=_COUNT_EXCLUDE_FLAGS)):
+            parent_bam, exclude_flags=_COUNT_EXCLUDE_FLAGS,
+            stripe=stripe)):
         fc.feed(codes, lengths)
         n_reads += codes.shape[0]
     counts = fc.result()
+    if stripe is not None:
+        from kmer_denovo_filter_tpu.parallel import multihost
+        counts = multihost.sum_aligned(np.asarray(counts))
+        n_reads = int(multihost.sum_aligned(np.int64(n_reads)))
     logger.info("  %s counting complete (%s, %d reads)",
                 label, format_elapsed(time.monotonic() - scan_start),
                 n_reads)
@@ -214,7 +239,7 @@ def _count_parent_device(parent_bam, filter_keys, kmer_size, label):
 
 
 def _filter_parents_discovery(mother_bam, father_bam, non_ref_keys,
-                              kmer_size, parent_max_count=0):
+                              kmer_size, parent_max_count=0, stripe=None):
     """Module 2: remove k-mers seen >parent_max_count in either parent.
 
     Sequential mother-then-father filtering with the reduced survivor
@@ -230,7 +255,8 @@ def _filter_parents_discovery(mother_bam, father_bam, non_ref_keys,
     log_memory("before parent filtering")
 
     mother_counts = _count_parent_device(mother_bam, non_ref_keys,
-                                         kmer_size, "Mother")
+                                         kmer_size, "Mother",
+                                         stripe=stripe)
     survive = mother_counts <= parent_max_count
     after_mother = non_ref_keys[survive]
     n_surviving = after_mother.shape[0]
@@ -242,7 +268,8 @@ def _filter_parents_discovery(mother_bam, father_bam, non_ref_keys,
         return 0, None
 
     father_counts = _count_parent_device(father_bam, after_mother,
-                                         kmer_size, "Father")
+                                         kmer_size, "Father",
+                                         stripe=stripe)
     survive = father_counts <= parent_max_count
     proband = after_mother[survive]
     n_proband = proband.shape[0]
@@ -344,29 +371,22 @@ def _infer_sv_type(region_a, region_b):
     return "BND" if region_a[0] != region_b[0] else "INTRA"
 
 
-def _process_informative_read(read, unique_in_read, kmer_hit_indices,
-                              kmer_size, reads_seen, read_hits,
-                              read_sv_meta, kmer_coverage, read_coverage):
-    """Record an informative read (reference core/bam_scanner.py:284–337).
+def _read_outcome(read, unique_in_read, kmer_hit_indices, kmer_size):
+    """Plain-data snapshot of one informative read.
 
-    Returns 1 when the read is unmapped-informative, else 0.
+    Everything region building / SV annotation needs, picklable for
+    the multi-host outcome merge (reference core/bam_scanner.py:284–337
+    collects the same fields inline).
     """
-    dedup_key = (read.query_name, read.is_supplementary)
-    if dedup_key in reads_seen:
-        return 0
-    reads_seen.add(dedup_key)
+    out = {"qname": read.query_name, "is_supp": read.is_supplementary,
+           "unmapped": read.is_unmapped, "unique": unique_in_read}
     if read.is_unmapped:
-        return 1
-
-    read_hits.append((
-        read.reference_name, read.reference_start, read.reference_end,
-        read.query_name, unique_in_read, read.is_supplementary))
-    chrom = read.reference_name
-    cov = _collect_kmer_ref_positions(read, kmer_hit_indices, kmer_size)
-    kmer_coverage[chrom] += cov
-    for pos in cov:
-        read_coverage[chrom][pos] += 1
-
+        return out
+    out["chrom"] = read.reference_name
+    out["start"] = read.reference_start
+    out["end"] = read.reference_end
+    out["cov"] = _collect_kmer_ref_positions(read, kmer_hit_indices,
+                                             kmer_size)
     # SV evidence snapshot: SA string kept on primary records only
     # (supplementary SA tags point back at the primary), mate status
     # meaningful only for paired reads, clip = longest softclip op.
@@ -382,12 +402,62 @@ def _process_informative_read(read, unique_in_read, kmer_hit_indices,
         meta["sa_str"] = read.get_tag("SA")
     if read.is_paired:
         meta["mate_is_unmapped"] = read.mate_is_unmapped
-    read_sv_meta[dedup_key] = meta
+    out["meta"] = meta
+    return out
+
+
+def _fold_outcome(out, state):
+    """Fold one outcome snapshot into the scan state (first-wins dedup
+    by (qname, is_supplementary), in encounter order).
+
+    Returns 1 when the read is unmapped-informative, else 0.
+    """
+    (read_hits, reads_seen, read_sv_meta, kmer_coverage,
+     read_coverage) = state
+    dedup_key = (out["qname"], out["is_supp"])
+    if dedup_key in reads_seen:
+        return 0
+    reads_seen.add(dedup_key)
+    if out["unmapped"]:
+        return 1
+    read_hits.append((out["chrom"], out["start"], out["end"],
+                      out["qname"], out["unique"], out["is_supp"]))
+    kmer_coverage[out["chrom"]] += out["cov"]
+    per_pos = read_coverage[out["chrom"]]
+    for pos in out["cov"]:
+        per_pos[pos] += 1
+    read_sv_meta[dedup_key] = out["meta"]
     return 0
 
 
+def _process_informative_read(read, unique_in_read, kmer_hit_indices,
+                              kmer_size, reads_seen, read_hits,
+                              read_sv_meta, kmer_coverage, read_coverage):
+    """Record an informative read (reference core/bam_scanner.py:284–337).
+
+    Returns 1 when the read is unmapped-informative, else 0.
+    """
+    if (read.query_name, read.is_supplementary) in reads_seen:
+        return 0
+    return _fold_outcome(
+        _read_outcome(read, unique_in_read, kmer_hit_indices, kmer_size),
+        (read_hits, reads_seen, read_sv_meta, kmer_coverage,
+         read_coverage))
+
+
+def _stripe_enumerated(gen, stripe):
+    """(global_index, item) pairs of *gen*, keeping only this stripe."""
+    if stripe is None:
+        yield from enumerate(gen)
+        return
+    h, n = stripe
+    for i, item in enumerate(gen):
+        if i % n == h:
+            yield i, item
+
+
 def _scan_child_reads(child_source, proband_index, kmer_size,
-                      min_dk_per_read, state):
+                      min_dk_per_read, state, stripe=None, collect=None):
     """Anchoring scan: batched device probe of every scannable child read.
 
     *state* is the mutable tuple (read_hits, reads_seen, read_sv_meta,
@@ -399,6 +469,10 @@ def _scan_child_reads(child_source, proband_index, kmer_size,
     objects built lazily for the informative minority only — reads are
     ~99.9% uninformative at WGS scale) and the per-record fallback for
     streaming/non-native readers.
+
+    ``stripe=(h, n)`` scans only batch stripe *h* of *n* (multi-host);
+    *collect* then gathers ordinal-keyed outcome snapshots instead of
+    folding into *state* (see :func:`_process_hit_rows`).
     """
     scanner = eng.make_scanner(proband_index)
     reader = getattr(child_source, "_reader", None)
@@ -407,15 +481,17 @@ def _scan_child_reads(child_source, proband_index, kmer_size,
                                         _ANCHOR_BATCH_READS)
         if it is not None:
             return _scan_child_reads_packed(
-                reader, it, scanner, kmer_size, min_dk_per_read, state)
+                reader, it, scanner, kmer_size, min_dk_per_read, state,
+                stripe, collect)
     if reader is None and getattr(child_source, "streaming", False):
         from kmer_denovo_filter_tpu.htsio import native
         if native.available():
             return _scan_child_reads_stream(
                 child_source, scanner, kmer_size, min_dk_per_read,
-                state)
+                state, stripe, collect)
     return _scan_child_reads_records(
-        child_source, scanner, kmer_size, min_dk_per_read, state)
+        child_source, scanner, kmer_size, min_dk_per_read, state,
+        stripe, collect)
 
 
 def _stream_indexed_batches(path, exclude_flags):
@@ -443,17 +519,18 @@ def _stream_indexed_batches(path, exclude_flags):
 
 
 def _scan_child_reads_stream(child_source, scanner, kmer_size,
-                             min_dk_per_read, state):
+                             min_dk_per_read, state, stripe=None,
+                             collect=None):
     """Streaming two-pass scan (WGS BAMs): native chunk decode →
     device mask → lazy record decode for informative rows only."""
     from kmer_denovo_filter_tpu.htsio.bam import AlignedRead
 
     unmapped_informative = 0
     total_scanned = 0
-    batches = _stream_indexed_batches(child_source.path,
-                                      _ANCHOR_EXCLUDE_FLAGS)
-    for codes, lengths, rec_idx, data, scan, refs in prefetch_batches(
-            batches):
+    batches = _stripe_enumerated(_stream_indexed_batches(
+        child_source.path, _ANCHOR_EXCLUDE_FLAGS), stripe)
+    for bi, (codes, lengths, rec_idx, data, scan,
+             refs) in prefetch_batches(batches):
         total_scanned += codes.shape[0]
         if codes.shape[1] < kmer_size:
             if not (lengths >= kmer_size).any():
@@ -471,13 +548,20 @@ def _scan_child_reads_stream(child_source, scanner, kmer_size,
             return AlignedRead(data[o:o + sz], refs)
 
         unmapped_informative += _process_hit_rows(
-            found, get_read, kmer_size, min_dk_per_read, state)
+            found, get_read, kmer_size, min_dk_per_read, state,
+            collect, bi)
     return unmapped_informative, total_scanned
 
 
 def _process_hit_rows(found, get_read, kmer_size, min_dk_per_read,
-                      state):
-    """Shared informative-read handling for both scan paths."""
+                      state, collect=None, batch_ord=0):
+    """Shared informative-read handling for all scan paths.
+
+    Folds each qualifying read into *state* directly, or — when
+    *collect* is a list (multi-host stripes) — appends
+    ``((batch_ord, row), outcome)`` so the global first-wins dedup can
+    run after merging every host's outcomes in encounter order.
+    """
     (read_hits, reads_seen, read_sv_meta,
      kmer_coverage, read_coverage) = state
     unmapped = 0
@@ -493,6 +577,10 @@ def _process_hit_rows(found, get_read, kmer_size, min_dk_per_read,
             kmer_hit_indices.add(int(p))
         if len(unique_in_read) < min_dk_per_read:
             continue
+        if collect is not None:
+            collect.append(((batch_ord, int(i)), _read_outcome(
+                read, unique_in_read, kmer_hit_indices, kmer_size)))
+            continue
         unmapped += _process_informative_read(
             read, unique_in_read, kmer_hit_indices, kmer_size,
             reads_seen, read_hits, read_sv_meta, kmer_coverage,
@@ -501,12 +589,14 @@ def _process_hit_rows(found, get_read, kmer_size, min_dk_per_read,
 
 
 def _scan_child_reads_packed(reader, batches, scanner, kmer_size,
-                             min_dk_per_read, state):
+                             min_dk_per_read, state, stripe=None,
+                             collect=None):
     """Two-pass scan: native packed decode → device mask → sparse
     lazy record decode for informative rows only."""
     unmapped_informative = 0
     total_scanned = 0
-    for codes, lengths, rec_idx in prefetch_batches(batches):
+    for bi, (codes, lengths, rec_idx) in prefetch_batches(
+            _stripe_enumerated(batches, stripe)):
         total_scanned += codes.shape[0]
         if codes.shape[1] < kmer_size:
             if not (lengths >= kmer_size).any():
@@ -517,21 +607,29 @@ def _scan_child_reads_packed(reader, batches, scanner, kmer_size,
         found = scanner(codes, lengths)
         unmapped_informative += _process_hit_rows(
             found, lambda i: reader.record_at(int(rec_idx[i])),
-            kmer_size, min_dk_per_read, state)
+            kmer_size, min_dk_per_read, state, collect, bi)
     return unmapped_informative, total_scanned
 
 
 def _scan_child_reads_records(child_source, scanner, kmer_size,
-                              min_dk_per_read, state):
+                              min_dk_per_read, state, stripe=None,
+                              collect=None):
     """Per-record fallback (streaming readers, no native scanner)."""
     unmapped_informative = 0
     total_scanned = 0
     batch = []
+    batch_ord = 0
 
     def _flush(batch):
-        nonlocal unmapped_informative
+        nonlocal unmapped_informative, total_scanned, batch_ord
+        bi = batch_ord
+        batch_ord += 1
         if not batch:
             return
+        if stripe is not None:
+            if bi % stripe[1] != stripe[0]:
+                return  # another host's stripe
+            total_scanned += len(batch)
         codes_list = [r.seq_codes() for r in batch]
         lengths = np.array([len(c) for c in codes_list], dtype=np.int32)
         lmax = int(lengths.max())
@@ -542,14 +640,15 @@ def _scan_child_reads_records(child_source, scanner, kmer_size,
         found = scanner(codes, lengths)
         unmapped_informative += _process_hit_rows(
             found, lambda i: batch[i], kmer_size, min_dk_per_read,
-            state)
+            state, collect, bi)
 
     for read in child_source.records_all():
         if read.flag & _ANCHOR_EXCLUDE_FLAGS:
             continue
         if read._l_seq == 0:
             continue
-        total_scanned += 1
+        if stripe is None:
+            total_scanned += 1
         if read._l_seq >= kmer_size:
             batch.append(read)
         if len(batch) >= _ANCHOR_BATCH_READS:
@@ -561,11 +660,14 @@ def _scan_child_reads_records(child_source, scanner, kmer_size,
 
 def _anchor_and_cluster(child_source, proband_index, kmer_size,
                         merge_distance=500, min_distinct_kmers_per_read=1,
-                        n_proband_unique=None):
+                        n_proband_unique=None, stripe=None):
     """Module 3: anchoring scan + single-pass region clustering.
 
     Mirrors reference discovery/pipeline.py:615–1153 with the device
-    probe replacing both scanning backends.
+    probe replacing both scanning backends.  With ``stripe=(h, n)``
+    each host scans its batch stripe and the sparse outcome snapshots
+    allgather + fold in global encounter order, so the clustered
+    result is identical to a single-process scan on every host.
     """
     anchor_start = time.monotonic()
     logger.info(
@@ -580,9 +682,19 @@ def _anchor_and_cluster(child_source, proband_index, kmer_size,
     read_coverage = collections.defaultdict(collections.Counter)
     state = (read_hits, reads_seen, read_sv_meta, kmer_coverage,
              read_coverage)
+    collect = [] if stripe is not None else None
     unmapped_informative, total_reads_scanned = _scan_child_reads(
         child_source, proband_index, kmer_size,
-        min_distinct_kmers_per_read, state)
+        min_distinct_kmers_per_read, state, stripe, collect)
+    if stripe is not None:
+        from kmer_denovo_filter_tpu.parallel import multihost
+        merged = sorted(
+            (item for part in multihost.allgather_object(collect)
+             for item in part), key=lambda kv: kv[0])
+        unmapped_informative = sum(
+            _fold_outcome(out, state) for _ord, out in merged)
+        total_reads_scanned = int(multihost.sum_aligned(
+            np.int64(total_reads_scanned)))
 
     log_memory("after anchoring complete")
     total_informative = len(read_hits) + unmapped_informative
@@ -1176,17 +1288,26 @@ def _write_discovery_summary(summary_path, regions, region_reads,
 
 
 def _write_informative_reads_discovery(child_source, proband_index,
-                                       kmer_size, output_bam):
+                                       kmer_size, output_bam,
+                                       stripe=None):
     """dk:i:1-tagged informative reads BAM (ref :1979–2079).
 
     The reference iterates ``bam.fetch()`` (mapped + placed-unmapped
     reads, excluding the unplaced-unmapped block); replicated here.
+    With ``stripe=(h, n)`` each host scans its batch stripe, the raw
+    records of informative rows allgather, and process 0 alone writes
+    the (coordinate-sorted) output with global first-wins dedup.
     """
+    from kmer_denovo_filter_tpu.htsio.bam import AlignedRead
+
     log_memory("before informative reads scan")
-    writer = BamWriter(output_bam, child_source.header_text,
-                       child_source.refs)
     scanner = eng.make_scanner(proband_index)
     written = set()
+    collect = [] if stripe is not None else None
+    writer = None
+    if stripe is None or stripe[0] == 0:
+        writer = BamWriter(output_bam, child_source.header_text,
+                           child_source.refs)
 
     def _emit(read):
         dedup_key = (read.query_name, read.is_supplementary)
@@ -1195,6 +1316,12 @@ def _write_informative_reads_discovery(child_source, proband_index,
         read.set_tag("dk", 1, value_type="i")
         writer.write(read)
         written.add(dedup_key)
+
+    def _handle(ordinal, read):
+        if collect is not None:
+            collect.append((ordinal, bytes(read._raw)))
+        else:
+            _emit(read)
 
     reader = getattr(child_source, "_reader", None)
     packed = None
@@ -1208,7 +1335,8 @@ def _write_informative_reads_discovery(child_source, proband_index,
         streaming_native = native.available()
     if packed is not None:
         tids = reader._scan["tids"]
-        for codes, lengths, rec_idx in prefetch_batches(packed):
+        for bi, (codes, lengths, rec_idx) in prefetch_batches(
+                _stripe_enumerated(packed, stripe)):
             if codes.shape[1] < kmer_size:
                 if not (lengths >= kmer_size).any():
                     continue
@@ -1220,12 +1348,12 @@ def _write_informative_reads_discovery(child_source, proband_index,
                 ri = int(rec_idx[i])
                 if tids[ri] < 0:
                     continue  # records_placed() writes placed only
-                _emit(reader.record_at(ri))
+                _handle((bi, int(i)), reader.record_at(ri))
     elif streaming_native:
-        from kmer_denovo_filter_tpu.htsio.bam import AlignedRead
         batches = _stream_indexed_batches(child_source.path, 0x500)
-        for (codes, lengths, rec_idx, data, scan,
-             refs) in prefetch_batches(batches):
+        for bi, (codes, lengths, rec_idx, data, scan,
+                 refs) in prefetch_batches(
+                _stripe_enumerated(batches, stripe)):
             if codes.shape[1] < kmer_size:
                 if not (lengths >= kmer_size).any():
                     continue
@@ -1239,12 +1367,18 @@ def _write_informative_reads_discovery(child_source, proband_index,
                     continue
                 o = int(scan["rec_offsets"][ri])
                 sz = int(scan["rec_sizes"][ri])
-                _emit(AlignedRead(data[o:o + sz], refs))
+                _handle((bi, int(i)), AlignedRead(data[o:o + sz], refs))
     else:
         batch = []
+        batch_ord = 0
 
         def _flush(batch):
+            nonlocal batch_ord
+            bi = batch_ord
+            batch_ord += 1
             if not batch:
+                return
+            if stripe is not None and bi % stripe[1] != stripe[0]:
                 return
             codes_list = [r.seq_codes() for r in batch]
             lengths = np.array([len(c) for c in codes_list],
@@ -1256,7 +1390,7 @@ def _write_informative_reads_discovery(child_source, proband_index,
                 codes[i, :len(c)] = c
             found = scanner(codes, lengths)
             for i in np.nonzero(found.any(axis=1))[0]:
-                _emit(batch[i])
+                _handle((bi, int(i)), batch[i])
 
         for read in child_source.records_placed():
             if read.is_secondary or read.is_duplicate:
@@ -1268,6 +1402,16 @@ def _write_informative_reads_discovery(child_source, proband_index,
                 _flush(batch)
                 batch = []
         _flush(batch)
+
+    if collect is not None:
+        from kmer_denovo_filter_tpu.parallel import multihost
+        merged = sorted(
+            (item for part in multihost.allgather_object(collect)
+             for item in part), key=lambda kv: kv[0])
+        if writer is None:
+            return  # only process 0 writes
+        for _ordinal, raw in merged:
+            _emit(AlignedRead(raw, child_source.refs))
     writer.close(sort=True, index=True)
     logger.info("Informative reads BAM written: %s (%d reads)",
                 output_bam, len(written))
@@ -1310,6 +1454,16 @@ def _run_discovery_pipeline_impl(args):
         min_dk_per_read = max(1, args.kmer_size // 4)
     memory_limit_gb = getattr(args, "memory", None)
 
+    # Multi-host deployment (KDF_COORDINATOR env / N processes): every
+    # host consumes its own input stripe of each BAM, partial results
+    # merge at module boundaries, and process 0 alone writes outputs.
+    from kmer_denovo_filter_tpu.parallel import multihost
+    stripe = multihost.stripe()
+    primary = multihost.is_primary()
+    if stripe is not None:
+        logger.info("  Multi-host run: process %d of %d (input stripe)",
+                    stripe[0], stripe[1])
+
     def _finish_empty(reason, n_candidates=0, n_non_ref=0):
         """Early exit: valid empty outputs + zeroed funnel metrics.
 
@@ -1318,16 +1472,17 @@ def _run_discovery_pipeline_impl(args):
         the metric keys and log text are byte-pinned.
         """
         logger.warning("%s; writing empty outputs", reason)
-        _write_empty_discovery_outputs(
-            bed_path, metrics_path, summary_path,
-            {"mode": "discovery",
-             "child_candidate_kmers": n_candidates,
-             "non_ref_kmers": n_non_ref,
-             "proband_unique_kmers": 0,
-             "informative_reads": 0,
-             "unmapped_informative_reads": 0,
-             "candidate_regions": 0},
-            bedpe_path=bedpe_path)
+        if primary:
+            _write_empty_discovery_outputs(
+                bed_path, metrics_path, summary_path,
+                {"mode": "discovery",
+                 "child_candidate_kmers": n_candidates,
+                 "non_ref_kmers": n_non_ref,
+                 "proband_unique_kmers": 0,
+                 "informative_reads": 0,
+                 "unmapped_informative_reads": 0,
+                 "candidate_regions": 0},
+                bedpe_path=bedpe_path)
         logger.info("Pipeline finished in %s",
                     format_elapsed(time.monotonic() - pipeline_start))
 
@@ -1421,7 +1576,8 @@ def _run_discovery_pipeline_impl(args):
         step_start = time.monotonic()
         logger.info("[Module 1] Child k-mer extraction & reference subtraction")
         candidate_keys, n_candidates = _extract_child_kmers_discovery(
-            args.child, args.kmer_size, args.min_child_count)
+            args.child, args.kmer_size, args.min_child_count,
+            stripe=stripe)
 
         if n_candidates == 0:
             _finish_empty("No child candidate k-mers found")
@@ -1443,7 +1599,7 @@ def _run_discovery_pipeline_impl(args):
         logger.info("[Module 2] Parent filtering")
         n_proband_unique, proband_keys = _filter_parents_discovery(
             args.mother, args.father, non_ref_keys, args.kmer_size,
-            parent_max_count=args.parent_max_count)
+            parent_max_count=args.parent_max_count, stripe=stripe)
         logger.info("[Module 2] Complete (%s)",
                     format_elapsed(time.monotonic() - step_start))
         log_memory("after Module 2")
@@ -1460,7 +1616,7 @@ def _run_discovery_pipeline_impl(args):
     proband_index = eng.KmerIndex(proband_keys, args.kmer_size)
     logger.info("[Module 2b] Complete (%s)",
                 format_elapsed(time.monotonic() - step_start))
-    if getattr(args, "save_proband_index", False):
+    if getattr(args, "save_proband_index", False) and primary:
         snap_path = f"{out_prefix}.proband_unique.kdx.npz"
         np.savez(snap_path, keys=proband_keys, k=args.kmer_size,
                  child_candidate_kmers=n_candidates,
@@ -1480,7 +1636,7 @@ def _run_discovery_pipeline_impl(args):
         child_source, proband_index, args.kmer_size,
         merge_distance=args.cluster_distance,
         min_distinct_kmers_per_read=min_dk_per_read,
-        n_proband_unique=n_proband_unique)
+        n_proband_unique=n_proband_unique, stripe=stripe)
     logger.info("[Module 3] Complete (%s)",
                 format_elapsed(time.monotonic() - step_start))
     log_memory("after Module 3")
@@ -1489,7 +1645,8 @@ def _run_discovery_pipeline_impl(args):
     logger.info("[Module 4] Writing informative reads BAM: %s",
                 info_bam_path)
     _write_informative_reads_discovery(
-        child_source, proband_index, args.kmer_size, info_bam_path)
+        child_source, proband_index, args.kmer_size, info_bam_path,
+        stripe=stripe)
 
     try:
         if not getattr(args, "tmp_dir", None) and os.path.isdir(tmp_root):
@@ -1528,14 +1685,16 @@ def _run_discovery_pipeline_impl(args):
         "min_supporting_reads": min_reads,
         "min_distinct_kmers": min_kmers,
     }
-    _write_bed(regions, region_reads, region_kmers, bed_path,
-               region_annotations=region_annotations, filters=bed_filters)
-    _write_bedgraph(kmer_coverage, bedgraph_path,
-                    read_coverage=read_coverage,
-                    min_reads=min_bedgraph_reads)
-    _write_read_coverage_bed(kmer_coverage, read_coverage,
-                             read_cov_bed_path,
-                             min_reads=min_bedgraph_reads)
+    if primary:
+        _write_bed(regions, region_reads, region_kmers, bed_path,
+                   region_annotations=region_annotations,
+                   filters=bed_filters)
+        _write_bedgraph(kmer_coverage, bedgraph_path,
+                        read_coverage=read_coverage,
+                        min_reads=min_bedgraph_reads)
+        _write_read_coverage_bed(kmer_coverage, read_coverage,
+                                 read_cov_bed_path,
+                                 min_reads=min_bedgraph_reads)
 
     logger.info(
         "  Coverage data: kmer_coverage=%d chroms, read_coverage=%d chroms",
@@ -1546,7 +1705,8 @@ def _run_discovery_pipeline_impl(args):
     del read_coverage
     log_memory("after freeing coverage data")
 
-    _write_bedpe(sv_links, bedpe_path)
+    if primary:
+        _write_bedpe(sv_links, bedpe_path)
 
     candidate_comparison = None
     candidate_summary = getattr(args, "candidate_summary", None)
@@ -1629,21 +1789,22 @@ def _run_discovery_pipeline_impl(args):
         "loci": dnm_evaluation,
     }
 
-    with open(metrics_path, "w") as fh:
-        json.dump(metrics, fh, indent=2)
-    logger.info("[Module 4] Metrics written to: %s", metrics_path)
+    if primary:
+        with open(metrics_path, "w") as fh:
+            json.dump(metrics, fh, indent=2)
+        logger.info("[Module 4] Metrics written to: %s", metrics_path)
 
-    logger.info("[Module 4] Writing summary: %s", summary_path)
-    _write_discovery_summary(
-        summary_path, regions, region_reads, region_kmers, metrics,
-        candidate_comparison=candidate_comparison,
-        region_annotations=region_annotations,
-        dnm_evaluation=dnm_evaluation)
+        logger.info("[Module 4] Writing summary: %s", summary_path)
+        _write_discovery_summary(
+            summary_path, regions, region_reads, region_kmers, metrics,
+            candidate_comparison=candidate_comparison,
+            region_annotations=region_annotations,
+            dnm_evaluation=dnm_evaluation)
     logger.info("[Module 4] Output complete (%s)",
                 format_elapsed(time.monotonic() - step_start))
 
     report_path = getattr(args, "report", None)
-    if report_path:
+    if report_path and primary:
         logger.info("[Report] Generating interactive HTML report: %s",
                     report_path)
         from kmer_denovo_filter_tpu.report import generate_report

@@ -640,13 +640,30 @@ class BamReader:
         return AlignedRead(self._data[o:o + size], self.refs)
 
 
-def packed_batches(path, exclude_flags=0, batch_reads=8192):
+def _stripe_items(gen, stripe):
+    """Yield items of *gen* owned by this stripe: index ≡ h (mod n)."""
+    if stripe is None:
+        yield from gen
+        return
+    h, n = stripe
+    for i, item in enumerate(gen):
+        if i % n == h:
+            yield item
+
+
+def packed_batches(path, exclude_flags=0, batch_reads=8192, stripe=None):
     """Packed read batches, choosing whole-file vs streaming decode.
 
     Small files inflate once and reuse the native scan; files above
     ``KDF_STREAM_THRESHOLD_BYTES`` (default 1 GiB compressed) stream
     with O(batch) memory — the whole-BAM counting scans of WGS
     pipelines go through here.
+
+    ``stripe=(h, n)`` restricts the yield to input shard *h* of *n*
+    (multi-host per-host feeds): the streaming path stripes whole
+    chunks (non-owned chunks skip code extraction and batching), the
+    whole-file path stripes batches.  The union of all stripes is
+    exactly the unstriped stream.
     """
     import os as _os
 
@@ -657,8 +674,10 @@ def packed_batches(path, exclude_flags=0, batch_reads=8192):
     except OSError:
         size = 0
     if size > threshold:
-        return stream_packed(path, exclude_flags, batch_reads)
-    return BamReader(path).iter_packed(exclude_flags, batch_reads)
+        return stream_packed(path, exclude_flags, batch_reads,
+                             stripe=stripe)
+    return _stripe_items(
+        BamReader(path).iter_packed(exclude_flags, batch_reads), stripe)
 
 
 class BaiIndex:
@@ -983,7 +1002,7 @@ def stream_scan_chunks(path, chunk_bytes=64 << 20):
                 break
 
 
-def stream_packed(path, exclude_flags=0, batch_reads=8192):
+def stream_packed(path, exclude_flags=0, batch_reads=8192, stripe=None):
     """Memory-bounded packed batches straight off the BGZF stream.
 
     Unlike :class:`BamReader` (which inflates the whole file — the
@@ -993,12 +1012,17 @@ def stream_packed(path, exclude_flags=0, batch_reads=8192):
     hundred GB).  Yields the same (codes, lengths) batches as
     ``iter_packed``.  With the native scanner present the walk runs
     in C++ per chunk; the pure-Python record walk is the fallback.
+
+    ``stripe=(h, n)`` keeps only chunk stripe *h* of *n* (native path;
+    non-owned chunks still advance the record walk but skip extraction
+    and batching) or batch stripe *h* (Python fallback).
     """
     from kmer_denovo_filter_tpu.htsio import native
 
     if native.available():
         def _native_stream():
-            for data, scan, _refs in stream_scan_chunks(path):
+            chunks = _stripe_items(stream_scan_chunks(path), stripe)
+            for data, scan, _refs in chunks:
                 res = native.bam_codes(data, scan, exclude_flags)
                 if res is None:
                     raise RuntimeError("native scanner unavailable")
@@ -1017,13 +1041,16 @@ def stream_packed(path, exclude_flags=0, batch_reads=8192):
             first = next(gen)
         except StopIteration:
             return
-        except RuntimeError:
+        except RuntimeError as e:
+            if "native scanner unavailable" not in str(e):
+                raise
             first = None
         if first is not None:
             yield first
             yield from gen
             return
-    yield from _stream_packed_python(path, exclude_flags, batch_reads)
+    yield from _stripe_items(
+        _stream_packed_python(path, exclude_flags, batch_reads), stripe)
 
 
 def _stream_packed_python(path, exclude_flags=0, batch_reads=8192):

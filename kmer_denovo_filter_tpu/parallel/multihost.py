@@ -76,6 +76,100 @@ def initialize(coordinator_address=None, num_processes=None,
     return True
 
 
+def active():
+    """True when this run spans multiple processes.
+
+    Requires :func:`initialize` (or ``jax.distributed.initialize``) to
+    have been called; single-process runs always return False.
+    """
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is None:
+        return False
+    return jax.process_count() > 1
+
+
+def process_index():
+    return jax.process_index() if active() else 0
+
+
+def process_count():
+    return jax.process_count() if active() else 1
+
+
+def is_primary():
+    """True on the process that owns output writing (process 0)."""
+    return process_index() == 0
+
+
+def stripe():
+    """(process_id, n_processes) input-shard assignment, or None.
+
+    The per-host BAM-shard analog of the reference's per-contig worker
+    pool (reference discovery/pipeline.py:734–792): host *i* consumes
+    chunk/batch stripe ``i mod n`` of each input stream.
+    """
+    return (process_index(), process_count()) if active() else None
+
+
+def allgather_bytes(payload):
+    """Gather one bytes payload from every process, in process order."""
+    from jax.experimental import multihost_utils
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n = np.array([arr.shape[0]], dtype=np.int64)
+    sizes = np.asarray(multihost_utils.process_allgather(n)).reshape(-1)
+    cap = max(1, int(sizes.max()))
+    padded = np.zeros(cap, dtype=np.uint8)
+    padded[:arr.shape[0]] = arr
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    gathered = gathered.reshape(process_count(), cap)
+    return [gathered[i, :int(sizes[i])].tobytes()
+            for i in range(process_count())]
+
+
+def allgather_object(obj):
+    """Gather one picklable object from every process (process order)."""
+    import pickle
+
+    return [pickle.loads(b)
+            for b in allgather_bytes(pickle.dumps(obj, protocol=4))]
+
+
+def merge_counts(keys, counts):
+    """Merge per-host (keys, counts) partial k-mer counts globally.
+
+    Every process contributes the sorted output of its local stream
+    counter; the merged result (concatenate → lexsort → segment-sum)
+    is identical on every host and equal to a single-process count of
+    the union of the input stripes.
+    """
+    parts = allgather_object((np.asarray(keys), np.asarray(counts)))
+    all_keys = np.concatenate([p[0] for p in parts], axis=0)
+    all_counts = np.concatenate([p[1] for p in parts], axis=0)
+    if all_keys.shape[0] == 0:
+        return all_keys, all_counts
+    order = enc.lexsort_keys(all_keys)
+    sk = all_keys[order]
+    sc = all_counts[order]
+    new = np.empty(sk.shape[0], dtype=bool)
+    new[0] = True
+    new[1:] = (sk[1:] != sk[:-1]).any(axis=1)
+    seg = np.cumsum(new) - 1
+    merged = np.zeros(int(seg[-1]) + 1, dtype=np.int64)
+    np.add.at(merged, seg, sc.astype(np.int64))
+    return sk[new], merged
+
+
+def sum_aligned(values):
+    """Element-wise sum of one aligned array across all processes."""
+    from jax.experimental import multihost_utils
+
+    stacked = np.asarray(multihost_utils.process_allgather(
+        np.asarray(values)))
+    return stacked.reshape((process_count(),) + np.asarray(values).shape
+                           ).sum(axis=0)
+
+
 def global_mesh():
     """1-D mesh over every device of every process."""
     return Mesh(np.array(jax.devices()), (AXIS,))

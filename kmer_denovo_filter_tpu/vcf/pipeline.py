@@ -17,6 +17,8 @@ import statistics
 import sys
 import time
 
+import numpy as np
+
 from kmer_denovo_filter_tpu import engine as eng
 from kmer_denovo_filter_tpu.htsio.bam import BamWriter, open_bam
 from kmer_denovo_filter_tpu.htsio.vcf import (
@@ -189,7 +191,8 @@ def _make_filtered_counter(index):
     return eng.make_filtered_counter(index)
 
 
-def _scan_parent_device(parent_bam_path, child_index, label):
+def _scan_parent_device(parent_bam_path, child_index, label,
+                        stripe=None):
     """Step 3: filtered parent count on the TPU engine.
 
     Streams all primary, non-duplicate, non-supplementary parent reads
@@ -197,6 +200,9 @@ def _scan_parent_device(parent_bam_path, child_index, label):
     reference core/jellyfish_wrappers.py:159) through the device
     probe-tally.  Returns ``{canonical_kmer: parent_count}`` for
     count >= 1 (the ``jellyfish dump -c -L 1`` contract).
+
+    With ``stripe=(h, n)`` each host counts its input shard of the
+    parent BAM; the aligned tallies sum across processes.
     """
     from kmer_denovo_filter_tpu.htsio.bam import packed_batches
 
@@ -208,10 +214,15 @@ def _scan_parent_device(parent_bam_path, child_index, label):
     fc = _make_filtered_counter(child_index)
     n_reads = 0
     for codes, lengths in prefetch_batches(
-            packed_batches(parent_bam_path, exclude_flags=0xD00)):
+            packed_batches(parent_bam_path, exclude_flags=0xD00,
+                           stripe=stripe)):
         fc.feed(codes, lengths)
         n_reads += codes.shape[0]
     counts = fc.result()
+    if stripe is not None:
+        from kmer_denovo_filter_tpu.parallel import multihost
+        counts = multihost.sum_aligned(np.asarray(counts))
+        n_reads = int(multihost.sum_aligned(np.int64(n_reads)))
     strings = child_index.to_strings()
     found = {s: int(c) for s, c in zip(strings, counts) if c > 0}
     logger.info("  %s scan complete — %d reads, %d k-mers found (%s)",
@@ -390,6 +401,16 @@ def _run_pipeline_impl(args):
 
     validate_inputs(args)
 
+    # Multi-host deployment (KDF_COORDINATOR env / N processes): the
+    # parent scans stream per-host input stripes and merge; process 0
+    # alone runs the optional Kraken2 stage and writes outputs.
+    from kmer_denovo_filter_tpu.parallel import multihost
+    stripe = multihost.stripe()
+    primary = multihost.is_primary()
+    if stripe is not None:
+        logger.info("  Multi-host run: process %d of %d (input stripe)",
+                    stripe[0], stripe[1])
+
     logger.info("=" * 60)
     logger.info("  kmer-denovo  —  pipeline starting")
     logger.info("=" * 60)
@@ -440,10 +461,11 @@ def _run_pipeline_impl(args):
 
     if not variants:
         logger.warning("No variants found in VCF; writing empty output")
-        write_annotated_vcf(args.vcf, args.output, {}, args.proband_id)
-        if args.metrics:
-            with open(args.metrics, "w") as fh:
-                json.dump({"total_variants": 0}, fh, indent=2)
+        if primary:
+            write_annotated_vcf(args.vcf, args.output, {}, args.proband_id)
+            if args.metrics:
+                with open(args.metrics, "w") as fh:
+                    json.dump({"total_variants": 0}, fh, indent=2)
         logger.info("Pipeline finished in %s",
                     format_elapsed(time.monotonic() - pipeline_start))
         return
@@ -484,7 +506,8 @@ def _run_pipeline_impl(args):
 
         parent_start = time.monotonic()
         logger.info("[Step 3/5] ── Mother scan (1/2) ──")
-        mother_kmers = _scan_parent_device(args.mother, child_index, "Mother")
+        mother_kmers = _scan_parent_device(args.mother, child_index,
+                                           "Mother", stripe=stripe)
         parent_found_kmers.update(mother_kmers)
         logger.info(
             "[Step 3/5] Mother done — %d / %d child k-mers found in "
@@ -493,7 +516,8 @@ def _run_pipeline_impl(args):
 
         parent_start = time.monotonic()
         logger.info("[Step 3/5] ── Father scan (2/2) ──")
-        father_kmers = _scan_parent_device(args.father, child_index, "Father")
+        father_kmers = _scan_parent_device(args.father, child_index,
+                                           "Father", stripe=stripe)
         parent_found_kmers.update(father_kmers)
         logger.info(
             "[Step 3/5] Father done — %d / %d child k-mers found in "
@@ -585,6 +609,17 @@ def _run_pipeline_impl(args):
         "[Step 4/5] Annotation complete — %d likely de novo, "
         "%d inherited (%s)", likely_dnm, n_variants - likely_dnm,
         format_elapsed(time.monotonic() - step_start))
+
+    if not primary:
+        # non-primary processes contributed their parent-scan stripes;
+        # the optional Kraken2 stage and all output writing belong to
+        # process 0
+        logger.info("Pipeline finished successfully in %s "
+                    "(multi-host worker %d; outputs written by "
+                    "process 0)",
+                    format_elapsed(time.monotonic() - pipeline_start),
+                    stripe[0])
+        return
 
     # ── Kraken2 stage (optional) ───────────────────────────────────
     kraken2_result = None

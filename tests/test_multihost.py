@@ -153,3 +153,174 @@ def test_two_process_sharded_count(tmp_path):
     expected = eng.scan_reads_for_hits(index, codes_all, lengths_all)
     assert np.array_equal(stitched, expected)
     assert expected.any()
+
+
+# ── End-to-end: 2-process kmer-discovery deployment ─────────────────
+
+E2E_WORKER = r"""
+import os, sys
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+out_prefix = sys.argv[4]
+giab = sys.argv[5]
+candidate_summary = sys.argv[6]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+# the deployment contract: KDF_* env + the stock CLI entry point
+os.environ["KDF_COORDINATOR"] = f"localhost:{port}"
+os.environ["KDF_NUM_PROCESSES"] = str(nproc)
+os.environ["KDF_PROCESS_ID"] = str(pid)
+
+from kmer_denovo_filter_tpu.cli import discovery_main
+
+discovery_main([
+    "--child", os.path.join(giab, "HG002_child.bam"),
+    "--mother", os.path.join(giab, "HG004_mother.bam"),
+    "--father", os.path.join(giab, "HG003_father.bam"),
+    "--ref-fasta", os.path.join(giab, "mini_ref.fa"),
+    "--ref-jf", os.path.join(giab, "mini_ref.fa.k31.jf"),
+    "--out-prefix", out_prefix,
+    "--min-child-count", "3",
+    "--kmer-size", "31",
+    "--candidate-summary", candidate_summary,
+])
+print(f"[{pid}] discovery pipeline done")
+"""
+
+
+@pytest.mark.skipif(os.environ.get("KDF_SKIP_MULTIHOST") == "1",
+                    reason="multihost harness disabled")
+def test_two_process_discovery_end_to_end(tmp_path,
+                                          generated_example_output,
+                                          generated_discovery_output):
+    """`kmer-discovery` as a 2-process deployment writes outputs (from
+    process 0) byte-identical to the single-process run."""
+    from tests.conftest import GIAB_DIR, GIAB_DISCOVERY_DATA_EXISTS
+
+    if not GIAB_DISCOVERY_DATA_EXISTS:
+        pytest.skip("GIAB discovery test data not available")
+
+    worker = tmp_path / "worker_e2e.py"
+    worker.write_text(E2E_WORKER)
+    out_prefix = str(tmp_path / "mh_discovery")
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), "2", str(port),
+         out_prefix, GIAB_DIR, generated_example_output["summary"]],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(2)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+
+    # process 0 wrote every output file; byte parity with single-process
+    single = generated_discovery_output
+    for key, suffix in [("bed", ".bed"),
+                        ("bedgraph", ".kmer_coverage.bedgraph"),
+                        ("read_coverage_bed", ".read_coverage.bed"),
+                        ("metrics", ".metrics.json"),
+                        ("summary", ".summary.txt"),
+                        ("bedpe", ".sv.bedpe")]:
+        multi_path = out_prefix + suffix
+        assert os.path.isfile(multi_path), f"missing {multi_path}"
+        with open(multi_path, "rb") as fh:
+            multi_bytes = fh.read()
+        with open(single[key], "rb") as fh:
+            single_bytes = fh.read()
+        assert multi_bytes == single_bytes, f"{suffix} differs"
+
+    # informative BAM: identical record set (BGZF framing may differ)
+    from kmer_denovo_filter_tpu.htsio.bam import BamReader
+
+    def bam_records(path):
+        r = BamReader(path)
+        return [(rec.query_name, rec.tid, rec.pos, rec.flag,
+                 rec.query_sequence, rec.get_tag("dk"))
+                for rec in r.records]
+
+    assert (bam_records(out_prefix + ".informative.bam")
+            == bam_records(single["bam"]))
+
+
+VCF_E2E_WORKER = r"""
+import os, sys
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+outdir = sys.argv[4]
+giab = sys.argv[5]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+os.environ["KDF_COORDINATOR"] = f"localhost:{port}"
+os.environ["KDF_NUM_PROCESSES"] = str(nproc)
+os.environ["KDF_PROCESS_ID"] = str(pid)
+
+from kmer_denovo_filter_tpu.cli import vcf_main
+
+vcf_main([
+    "--vcf", os.path.join(giab, "candidates.vcf.gz"),
+    "--child", os.path.join(giab, "HG002_child.bam"),
+    "--mother", os.path.join(giab, "HG004_mother.bam"),
+    "--father", os.path.join(giab, "HG003_father.bam"),
+    "--output", os.path.join(outdir, "out.vcf.gz"),
+    "--metrics", os.path.join(outdir, "metrics.json"),
+    "--summary", os.path.join(outdir, "summary.txt"),
+    "--proband-id", "HG002",
+])
+print(f"[{pid}] vcf pipeline done")
+"""
+
+
+@pytest.mark.skipif(os.environ.get("KDF_SKIP_MULTIHOST") == "1",
+                    reason="multihost harness disabled")
+def test_two_process_vcf_end_to_end(tmp_path, generated_example_output):
+    """`kmer-denovo` as a 2-process deployment: parent scans stripe
+    across processes; process 0's outputs match single-process."""
+    import gzip
+
+    from tests.conftest import GIAB_DIR, GIAB_DATA_EXISTS
+
+    if not GIAB_DATA_EXISTS:
+        pytest.skip("GIAB test data not available")
+
+    worker = tmp_path / "worker_vcf.py"
+    worker.write_text(VCF_E2E_WORKER)
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), "2", str(port),
+         str(tmp_path), GIAB_DIR],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(2)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+
+    def vcf_data_lines(path):
+        with gzip.open(path, "rt") as fh:
+            return [l for l in fh if not l.startswith("#")]
+
+    assert (vcf_data_lines(str(tmp_path / "out.vcf.gz"))
+            == vcf_data_lines(generated_example_output["vcf"]))
+    with open(tmp_path / "metrics.json") as fh:
+        multi_metrics = fh.read()
+    with open(generated_example_output["metrics"]) as fh:
+        single_metrics = fh.read()
+    assert multi_metrics == single_metrics
+    with open(tmp_path / "summary.txt") as fh:
+        multi_summary = fh.read()
+    with open(generated_example_output["summary"]) as fh:
+        single_summary = fh.read()
+    assert multi_summary == single_summary
