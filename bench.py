@@ -155,18 +155,11 @@ def bench_wgs_wide(jnp, pj, rng, genome):
     return BATCH_READS * N_BATCHES_WGS / (time.perf_counter() - start)
 
 
-def bench_end_to_end(jax, jnp, dev, enc, rng, genome, tmpdir):
-    """Host BAM decode → 4-bit pack → transfer → device tally."""
-    import functools
-    import os
-
-    from kmer_denovo_filter_tpu.htsio import native
+def _write_synth_bam(rng, genome, n_reads, path):
+    """Synthetic coordinate-sorted BAM of position-local reads."""
     from kmer_denovo_filter_tpu.htsio.bam import BamWriter, encode_read
 
-    # synthetic coordinate-sorted BAM, N_BATCHES_E2E batches long
-    n_reads = BATCH_READS * N_BATCHES_E2E
     reads = synth_reads(rng, genome, n_reads, READ_LEN)
-    path = os.path.join(tmpdir, "bench.bam")
     header = ("@HD\tVN:1.6\tSO:coordinate\n"
               f"@SQ\tSN:chr1\tLN:{len(genome)}\n")
     w = BamWriter(path, header, [("chr1", len(genome))])
@@ -179,6 +172,60 @@ def bench_end_to_end(jax, jnp, dev, enc, rng, genome, tmpdir):
                           quals)
         w.write_raw(0, 1000 + i, raw)
     w.close()
+    return reads
+
+
+def bench_host_decode(rng, genome, tmpdir):
+    """Decode-only rate of the streaming WGS input path (no device).
+
+    Times ``stream_packed`` — ParallelBgzfReader pooled inflate + C++
+    whole-record chunk walk + 2-bit code extraction — the producer
+    that must outrun the device step on real hosts (reference analog:
+    ``samtools fasta -@ threads``, jellyfish_wrappers.py:158–165).
+    Returns {threads: reads/s} for 1 thread and all cores.
+    """
+    import os
+
+    from kmer_denovo_filter_tpu.htsio.bam import stream_packed
+
+    n_reads = BATCH_READS * 8
+    path = os.path.join(tmpdir, "decode.bam")
+    _write_synth_bam(rng, genome, n_reads, path)
+    ncpu = os.cpu_count() or 1
+    rates = {}
+    old = os.environ.get("KDF_BGZF_THREADS")
+    try:
+        for threads in sorted({1, ncpu}):
+            os.environ["KDF_BGZF_THREADS"] = str(threads)
+            # warm pass fills the page cache; timed pass measures
+            for _ in range(2):
+                start = time.perf_counter()
+                total = 0
+                for codes, _lens in stream_packed(
+                        path, 0xD00, BATCH_READS):
+                    total += codes.shape[0]
+                elapsed = time.perf_counter() - start
+            assert total == n_reads, (total, n_reads)
+            rates[threads] = total / elapsed
+    finally:
+        if old is None:
+            os.environ.pop("KDF_BGZF_THREADS", None)
+        else:
+            os.environ["KDF_BGZF_THREADS"] = old
+    return rates
+
+
+def bench_end_to_end(jax, jnp, dev, enc, rng, genome, tmpdir):
+    """Host BAM decode → 4-bit pack → transfer → device tally."""
+    import functools
+    import os
+
+    from kmer_denovo_filter_tpu.htsio import native
+
+    # synthetic coordinate-sorted BAM, N_BATCHES_E2E batches long
+    n_reads = BATCH_READS * N_BATCHES_E2E
+    path = os.path.join(tmpdir, "bench.bam")
+    _write_synth_bam(rng, genome, n_reads, path)
 
     t = rng.integers(0, 2 ** 32, (TABLE_M, W), dtype=np.uint32)
     t[:, 1] &= 0xFFFFFFFC
@@ -268,6 +315,17 @@ def main():
             bench_wgs_wide(jnp, pj, rng, genome), 1)
     except Exception as e:
         details["wgs_k63_error"] = str(e)[:200]
+    try:
+        import os
+        with tempfile.TemporaryDirectory() as tmpdir:
+            rates = bench_host_decode(rng, genome, tmpdir)
+        ncpu = os.cpu_count() or 1
+        details["host_decode_reads_per_s"] = round(
+            rates[max(rates)], 1)
+        details["host_decode_reads_per_s_1t"] = round(rates[1], 1)
+        details["host_decode_threads"] = ncpu
+    except Exception as e:
+        details["host_decode_error"] = str(e)[:200]
     try:
         with tempfile.TemporaryDirectory() as tmpdir:
             e2e = bench_end_to_end(jax, jnp, dev, enc, rng, genome,

