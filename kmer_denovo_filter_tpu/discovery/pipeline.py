@@ -174,27 +174,49 @@ def _extract_child_kmers_discovery(child_bam, kmer_size, min_child_count,
         n_reads += codes.shape[0]
     keys, counts = sc.result()
     if stripe is not None:
+        # owner-sharded merge: this process keeps ONLY its hash shard
+        # (O(total/N) per host); the count threshold below then
+        # applies shard-locally and only survivors ever gather
+        # (multihost.merge_counts_sharded)
         from kmer_denovo_filter_tpu.parallel import multihost
-        keys, counts = multihost.merge_counts(keys, counts)
+        keys, counts = multihost.merge_counts_sharded(keys, counts)
         n_reads = int(multihost.sum_aligned(np.int64(n_reads)))
+        n_distinct = int(multihost.sum_aligned(
+            np.int64(keys.shape[0])))
+    else:
+        n_distinct = keys.shape[0]
     logger.info(
         "Child k-mer counting complete (%s, %d reads, %d distinct k-mers)",
         format_elapsed(time.monotonic() - extract_start), n_reads,
-        keys.shape[0])
+        n_distinct)
     log_memory("after child k-mer counting")
     log_device_memory("after child k-mer counting")
 
     keep = counts >= min_child_count
     candidates = keys[keep]
+    n_candidates = candidates.shape[0]
+    if stripe is not None:
+        from kmer_denovo_filter_tpu.parallel import multihost
+        n_candidates = int(multihost.sum_aligned(
+            np.int64(n_candidates)))
     logger.info("Child candidate k-mers (count >= %d): %d",
-                min_child_count, candidates.shape[0])
-    return candidates, candidates.shape[0]
+                min_child_count, n_candidates)
+    return candidates, n_candidates
 
 
-def _subtract_reference_kmers(ref_index, candidate_keys):
-    """Keep candidate keys absent from the reference set."""
+def _subtract_reference_kmers(ref_index, candidate_keys, stripe=None):
+    """Keep candidate keys absent from the reference set.
+
+    With ``stripe`` set, *candidate_keys* is this process's owner
+    shard: membership applies shard-locally (the replicated reference
+    index serves any key subset) and only the surviving non-reference
+    sets gather into the identical global sorted array on every host.
+    """
     member = ref_index.membership(candidate_keys)
     non_ref = candidate_keys[~member]
+    if stripe is not None:
+        from kmer_denovo_filter_tpu.parallel import multihost
+        non_ref = multihost.allgather_keys_sorted(non_ref)
     logger.info("Non-reference child k-mers after subtraction: %d",
                 non_ref.shape[0])
     return non_ref, non_ref.shape[0]
@@ -1584,7 +1606,7 @@ def _run_discovery_pipeline_impl(args):
             return
 
         non_ref_keys, n_non_ref = _subtract_reference_kmers(
-            ref_index, candidate_keys)
+            ref_index, candidate_keys, stripe=stripe)
         logger.info("[Module 1] Complete (%s)",
                     format_elapsed(time.monotonic() - step_start))
         log_memory("after Module 1")

@@ -160,6 +160,114 @@ def merge_counts(keys, counts):
     return sk[new], merged
 
 
+# Transient-memory accounting of the last owner-sharded merge: every
+# field is bytes (or a ratio) observed on THIS process.  The 1/N
+# memory contract is tested against these (tests/test_multihost.py).
+LAST_MERGE_STATS = {}
+
+
+def _owner_of_keys(keys, n):
+    """Stable uniform owner process for each (N, W) uint32 key row.
+
+    Fixed-point scale of the fmix32 chain over the key words — the
+    same hash family as the tile-join route, so ownership is identical
+    on every host and independent of input order.
+    """
+    from kmer_denovo_filter_tpu.ops import pallas_join as pj
+
+    h = pj.route_hash_np(np.ascontiguousarray(keys, np.uint32))
+    return ((h.astype(np.uint64) * np.uint64(n))
+            >> np.uint64(32)).astype(np.int64)
+
+
+def _merge_sorted_parts(parts_keys, parts_counts):
+    """Concatenate per-host partials and segment-sum equal keys."""
+    all_keys = np.concatenate(parts_keys, axis=0)
+    all_counts = np.concatenate(parts_counts, axis=0)
+    if all_keys.shape[0] == 0:
+        return all_keys, all_counts.astype(np.int64)
+    order = enc.lexsort_keys(all_keys)
+    sk = all_keys[order]
+    sc = all_counts[order]
+    new = np.empty(sk.shape[0], dtype=bool)
+    new[0] = True
+    new[1:] = (sk[1:] != sk[:-1]).any(axis=1)
+    seg = np.cumsum(new) - 1
+    merged = np.zeros(int(seg[-1]) + 1, dtype=np.int64)
+    np.add.at(merged, seg, sc.astype(np.int64))
+    return sk[new], merged
+
+
+def merge_counts_sharded(keys, counts):
+    """Owner-sharded merge of per-host partial counts.
+
+    Unlike :func:`merge_counts`, NO process ever materializes the
+    global table: each host routes its partial rows to their hash
+    owner in N allgather rounds (non-owners drop a round's payload
+    immediately), so per-host transient memory is O(total / N) and
+    the returned ``(keys, counts)`` hold ONLY this process's shard —
+    disjoint across processes, union = the global merge.  Threshold
+    filters then apply shard-locally and only survivors gather
+    (:func:`allgather_keys_sorted`).
+
+    Replaces the page-cache-shared global mmap of the reference's
+    worker pool (reference core/jellyfish_wrappers.py:376–381) with
+    a partitioned-ownership design at WGS table scales (BASELINE.md
+    Module-1 envelope 80–120 GB).
+    """
+    import pickle
+
+    keys = np.asarray(keys)
+    counts = np.asarray(counts)
+    n = process_count()
+    me = process_index()
+    if n == 1:
+        k, c = _merge_sorted_parts([keys], [counts])
+        LAST_MERGE_STATS.update(
+            n_processes=1, local_in_bytes=keys.nbytes + counts.nbytes,
+            peak_round_bytes=0, shard_out_bytes=k.nbytes + c.nbytes)
+        return k, c
+    owner = _owner_of_keys(keys, n)
+    order = np.argsort(owner, kind="stable")
+    so = owner[order]
+    bounds = np.searchsorted(so, np.arange(n + 1))
+    sk = keys[order]
+    sc = counts[order]
+    mine_k = None
+    peak_round = 0
+    for d in range(n):
+        sl = slice(bounds[d], bounds[d + 1])
+        payload = pickle.dumps((sk[sl], sc[sl]), protocol=4)
+        parts = allgather_bytes(payload)
+        round_bytes = sum(len(b) for b in parts)
+        peak_round = max(peak_round, round_bytes)
+        if d == me:
+            loaded = [pickle.loads(b) for b in parts]
+            mine_k, mine_c = _merge_sorted_parts(
+                [p[0] for p in loaded], [p[1] for p in loaded])
+        # non-owners drop this round's parts before the next gather
+        del parts
+    LAST_MERGE_STATS.update(
+        n_processes=n, local_in_bytes=keys.nbytes + counts.nbytes,
+        peak_round_bytes=peak_round,
+        shard_out_bytes=mine_k.nbytes + mine_c.nbytes)
+    return mine_k, mine_c
+
+
+def allgather_keys_sorted(keys):
+    """Gather disjoint per-process key shards into the global sorted
+    key array (identical on every host; lexicographic order matches
+    the single-process pipeline's sorted tables)."""
+    parts = allgather_object(np.asarray(keys))
+    parts = [p for p in parts if p.shape[0]]
+    if not parts:
+        return np.asarray(keys).reshape(0, np.asarray(keys).shape[-1]
+                                        if np.asarray(keys).ndim > 1
+                                        else 1)
+    merged = np.concatenate(parts, axis=0)
+    return merged[enc.lexsort_keys(merged)]
+
+
 def sum_aligned(values):
     """Element-wise sum of one aligned array across all processes."""
     from jax.experimental import multihost_utils
@@ -198,13 +306,20 @@ def distribute_read_batch(codes, lengths, mesh):
 
 
 def sharded_count_multihost(codes, lengths, k, mesh=None,
-                            cap_per_shard=None):
+                            cap_per_shard=None, per_process=False):
     """Distributed canonical k-mer count with per-host input feeds.
 
     Same collective program as the single-host
     :func:`~kmer_denovo_filter_tpu.parallel.sharded_count` (via
-    :func:`make_count_program`); inputs are process-local batches and
-    the merged ``(keys, counts)`` result is identical on every host.
+    :func:`make_count_program`); inputs are process-local batches.
+
+    With ``per_process=False`` the merged ``(keys, counts)`` result
+    gathers tiled to every host (fine at GIAB scale; O(global table)
+    per host).  With ``per_process=True`` NO cross-host table gather
+    happens at all: each process reads only its local devices' hash
+    shards (``addressable_shards``), returning its disjoint slice of
+    the global table — per-host memory is O(total / n_processes), the
+    owner-resident contract of :func:`merge_counts_sharded`.
     """
     from jax.experimental import multihost_utils
 
@@ -226,6 +341,23 @@ def sharded_count_multihost(codes, lengths, k, mesh=None,
         if not bool(np.asarray(overflow).any()):
             break
         cap_per_shard *= 2
+
+    if per_process:
+        # local-shard extraction only — no table ever crosses DCN
+        out_keys = []
+        out_counts = []
+        for sh_k, sh_s, sh_c in zip(skeys.addressable_shards,
+                                    starts.addressable_shards,
+                                    counts.addressable_shards):
+            kk = np.asarray(sh_k.data).reshape(-1, w)
+            ss = np.asarray(sh_s.data).reshape(-1)
+            cc = np.asarray(sh_c.data).reshape(-1)
+            out_keys.append(kk[ss])
+            out_counts.append(cc[ss].astype(np.int64))
+        keys = np.concatenate(out_keys, axis=0)
+        cnts = np.concatenate(out_counts, axis=0)
+        order = enc.lexsort_keys(keys)
+        return keys[order], cnts[order]
 
     skeys = np.asarray(
         multihost_utils.process_allgather(skeys, tiled=True))

@@ -172,6 +172,223 @@ def run_sort(rng, genome):
     timeit("sort i32 single [unsort]", s1_64, lo_i32)
 
 
+# ── Tally kernel v3 ─────────────────────────────────────────────────
+# Static 2-partition unroll per sub-chunk (masks make out-of-span
+# partitions contribute zero automatically), ONE batched bf16 MXU dot
+# per sub-chunk, dynamic fori tail only for the rare span > 2.
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK_T = pj.CHUNK_T
+NSUB_T = pj.NSUB_T
+SUB_ROWS = pj.SUB_ROWS
+TILE_KEYS = pj.TILE_KEYS
+
+
+def _tally_kernel_v3(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
+                     sp_ref, acc_in_hbm, acc_out_hbm, accw, sem_in,
+                     sem_out, *, w_part):
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    baseb = meta_ref[c] * w_part
+    base8 = pl.multiple_of(meta_ref[nc + c], 8)
+    din = pltpu.make_async_copy(
+        acc_out_hbm.at[pl.ds(base8, w_part), :], accw, sem_in)
+    din.start()
+    din.wait()
+
+    for s in range(NSUB_T):
+        st = meta_ref[2 * nc + c * NSUB_T + s]
+        span = meta_ref[2 * nc + nc * NSUB_T + c * NSUB_T + s]
+        q0t = s0_ref[s, :].reshape(SUB_ROWS, 1)
+        q1t = s1_ref[s, :].reshape(SUB_ROWS, 1)
+        relt = sp_ref[s, :].reshape(SUB_ROWS, 1)
+        relt = relt - st
+
+        def tally1(eq2, t, arow, _relt=relt):
+            maskv = (_relt == t).astype(jnp.float32).reshape(
+                1, SUB_ROWS)
+            cnt = jax.lax.dot_general(
+                maskv, eq2.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            accw[pl.ds(arow, 1), :] += cnt.astype(jnp.int32)
+
+        row0 = st - baseb
+
+        @pl.when(row0 + span <= w_part)
+        def _fast(q0t=q0t, q1t=q1t, relt=relt, st=st, span=span,
+                  row0=row0):
+            # rows row0 and row0+1 unconditionally (row0+1 clamps
+            # in-bounds when span == 1; its mask row is then all-zero
+            # so the junk compare contributes nothing)
+            eq0 = ((q0t == t0lo[pl.ds(row0, 1), :])
+                   & (q1t == t1lo[pl.ds(row0, 1), :]))
+            r1 = jnp.minimum(row0 + 1, w_part - 1)
+            eq1 = ((q0t == t0lo[pl.ds(r1, 1), :])
+                   & (q1t == t1lo[pl.ds(r1, 1), :]))
+            eq2 = jnp.concatenate(
+                [eq0.astype(jnp.float32), eq1.astype(jnp.float32)],
+                axis=1)                              # (128, 2048)
+            m0 = (relt == 0).astype(jnp.float32)
+            m1 = ((relt == 1) & (span > 1)).astype(jnp.float32)
+            mask2 = jnp.concatenate(
+                [m0.reshape(1, SUB_ROWS), m1.reshape(1, SUB_ROWS)],
+                axis=0)                              # (2, 128)
+            cnt = jax.lax.dot_general(
+                mask2, eq2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (2, 2048)
+            arow = st - base8
+            accw[pl.ds(arow, 1), :] += cnt[0:1, :TILE_KEYS].astype(
+                jnp.int32)
+            a1 = jnp.minimum(arow + 1, w_part - 1)
+            accw[pl.ds(a1, 1), :] += jnp.where(
+                span > 1, cnt[1:2, TILE_KEYS:], 0.0).astype(jnp.int32)
+
+            @pl.when(span > 2)
+            def _tail():
+                def body(t, _):
+                    row = row0 + t
+                    eqt = ((q0t == t0lo[pl.ds(row, 1), :])
+                           & (q1t == t1lo[pl.ds(row, 1), :]))
+                    tally1(eqt, t, st - base8 + t)
+                    return 0
+                jax.lax.fori_loop(2, span, body, 0)
+
+        @pl.when(row0 + span > w_part)
+        def _straddle(q0t=q0t, q1t=q1t, st=st, span=span, row0=row0):
+            def body(t, _):
+                row = row0 + t
+                rlo = jnp.minimum(row, w_part - 1)
+                rhi = jnp.maximum(row - w_part, 0)
+                in_lo = row < w_part
+                v0 = jnp.where(in_lo, t0lo[pl.ds(rlo, 1), :],
+                               t0hi[pl.ds(rhi, 1), :])
+                v1 = jnp.where(in_lo, t1lo[pl.ds(rlo, 1), :],
+                               t1hi[pl.ds(rhi, 1), :])
+                eq2 = (q0t == v0) & (q1t == v1)
+                tally1(eq2, t, st - base8 + t)
+                return 0
+            jax.lax.fori_loop(0, span, body, 0)
+
+    dout = pltpu.make_async_copy(
+        accw, acc_out_hbm.at[pl.ds(base8, w_part), :], sem_out)
+    dout.start()
+    dout.wait()
+
+
+def _tally_call_v3(meta, t0, t1, s0r, s1r, spr, acc, w_part,
+                   interpret):
+    nc = s0r.shape[0] // NSUB_T
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TILE_KEYS),
+                         lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TILE_KEYS),
+                         lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((w_part, TILE_KEYS), jnp.int32),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_tally_kernel_v3, w_part=w_part),
+        out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={8: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, t0, t0, t1, t1, s0r, s1r, spr, acc)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "p", "w_part", "interpret"))
+def join_tally_step_v3(t0, t1, acc, codes, lengths, k, p,
+                       w_part=pj.W_PART_TALLY, interpret=False):
+    keys, _valid = dev.extract_canonical_windows(codes, lengths, k)
+    flat = keys.reshape(-1, 2)
+    pad = (-flat.shape[0]) % CHUNK_T
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.full((pad, 2), jnp.uint32(0xFFFFFFFF))], axis=0)
+    n = flat.shape[0]
+    w0, w1 = flat[:, 0], flat[:, 1]
+    sent = (w0 == jnp.uint32(0xFFFFFFFF)) & (w1 == jnp.uint32(0xFFFFFFFF))
+    h, low = pj._mix_keys(w0, w1)
+    hi = jnp.where(sent, jnp.uint32(0xFFFFFFFF), h)
+    lo = jnp.where(sent, jnp.uint32(0xFFFFFFFF), low)
+    s0, s1 = jax.lax.sort((hi, lo), num_keys=1)
+    spart = pj._part_from_hi(s0, p)
+    nc = n // CHUNK_T
+    sp2 = spart.reshape(nc * NSUB_T, SUB_ROWS)
+    sub_start = sp2[:, 0]
+    sub_span = (sp2[:, -1] - sub_start + 1).astype(jnp.int32)
+    first = sub_start.reshape(nc, NSUB_T)[:, 0]
+    blk = first // w_part
+    base8 = (first // 8) * 8
+    last = sp2[:, -1].reshape(nc, NSUB_T)[:, -1]
+    overflow = ((jnp.max(last - blk * w_part + 1) > 2 * w_part)
+                | (jnp.max(last - base8 + 1) > w_part - 1))
+    meta = jnp.concatenate([blk, base8, sub_start, sub_span])
+    s0r = s0.reshape(n // 128, 128)
+    s1r = s1.reshape(n // 128, 128)
+    spr = spart.reshape(n // 128, 128)
+    acc_out = _tally_call_v3(meta, t0, t1, s0r, s1r, spr, acc, w_part,
+                             interpret)
+    return acc_out, overflow
+
+
+def run_kernel(rng, genome):
+    codes = jnp.asarray(synth_reads(rng, genome, BATCH_READS, READ_LEN))
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+    WGS_TABLE_M = 1 << 24
+    gcodes = jnp.asarray(np.asarray(genome).reshape(-1, 256))
+    glens = jnp.full(gcodes.shape[0], 256, dtype=np.int32)
+    gkeys, gvalid = dev.extract_canonical_windows(gcodes, glens, K)
+    gk = np.asarray(gkeys)[np.asarray(gvalid)]
+    g64 = (gk[:, 0].astype(np.uint64) << 32) | gk[:, 1]
+    k64 = np.unique(np.concatenate([
+        rng.integers(0, 2 ** 62, size=WGS_TABLE_M, dtype=np.uint64),
+        g64]))
+    keys = np.stack([(k64 >> 32).astype(np.uint32),
+                     k64.astype(np.uint32)], 1)
+    t0, t1, _perm, p = pj.build_tile_partitions(keys)
+    t0j, t1j = jnp.asarray(t0), jnp.asarray(t1)
+    acc = jnp.zeros(t0.shape, jnp.int32)
+
+    # parity: v3 acc vs prod acc
+    a1, ov1 = pj.join_tally_step(t0j, t1j, acc, codes, lengths, K, p)
+    a3, ov3 = join_tally_step_v3(t0j, t1j, acc, codes, lengths, K, p)
+    assert not bool(ov1) and not bool(ov3), (bool(ov1), bool(ov3))
+    same = np.array_equal(np.asarray(a1), np.asarray(a3))
+    print("tally v3 parity:", same, flush=True)
+    assert same
+    timeit("tally v1 full step",
+           lambda a, c, l: pj.join_tally_step(
+               t0j, t1j, a, c, l, K, p)[0], acc, codes, lengths)
+    timeit("tally v3 full step",
+           lambda a, c, l: join_tally_step_v3(
+               t0j, t1j, a, c, l, K, p)[0], acc, codes, lengths)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("devices:", jax.devices(), flush=True)
@@ -181,6 +398,8 @@ def main():
         run_extract(rng, genome)
     if which in ("sort", "all"):
         run_sort(rng, genome)
+    if which in ("kernel",):
+        run_kernel(rng, genome)
 
 
 if __name__ == "__main__":

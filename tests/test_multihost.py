@@ -155,6 +155,114 @@ def test_two_process_sharded_count(tmp_path):
     assert expected.any()
 
 
+# ── Owner-sharded merge: 1/N memory contract ────────────────────────
+
+SHARDED_MERGE_WORKER = r"""
+import os, sys
+import numpy as np
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+outdir = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+os.environ["KDF_COORDINATOR"] = f"localhost:{port}"
+os.environ["KDF_NUM_PROCESSES"] = str(nproc)
+os.environ["KDF_PROCESS_ID"] = str(pid)
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=nproc, process_id=pid)
+
+from kmer_denovo_filter_tpu.parallel import multihost
+
+# per-host partials with heavy cross-host key overlap (the WGS case:
+# every host's stripe sees most distinct genome k-mers)
+rng = np.random.default_rng(100 + pid)
+n_rows = 4096
+keys = rng.integers(0, 512, size=(n_rows, 2)).astype(np.uint32)
+keys[:, 1] &= np.uint32(0xFFFFFFFC)
+counts = rng.integers(1, 5, size=n_rows).astype(np.int64)
+
+my_keys, my_counts = multihost.merge_counts_sharded(keys, counts)
+stats = dict(multihost.LAST_MERGE_STATS)
+
+# shard keys must actually be owned by this process
+owner = multihost._owner_of_keys(my_keys, nproc)
+assert (owner == pid).all(), "foreign keys in shard"
+
+survivors = my_keys[my_counts >= 8]
+global_survivors = multihost.allgather_keys_sorted(survivors)
+
+np.savez(os.path.join(outdir, f"shard_{pid}.npz"),
+         keys=my_keys, counts=my_counts, in_keys=keys,
+         in_counts=counts, survivors=global_survivors,
+         peak_round_bytes=stats["peak_round_bytes"],
+         local_in_bytes=stats["local_in_bytes"])
+print(f"[{pid}] shard rows={my_keys.shape[0]} "
+      f"peak_round={stats['peak_round_bytes']}")
+"""
+
+
+@pytest.mark.skipif(os.environ.get("KDF_SKIP_MULTIHOST") == "1",
+                    reason="multihost harness disabled")
+def test_four_process_sharded_merge_memory(tmp_path):
+    """merge_counts_sharded: disjoint owner shards whose union equals
+    the global merge, with per-round transient bytes ~1/N of the
+    global table (no host ever materializes the whole table)."""
+    nproc = 4
+    worker = tmp_path / "worker_merge.py"
+    worker.write_text(SHARDED_MERGE_WORKER)
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), str(nproc), str(port),
+         str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(nproc)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+
+    shards = [np.load(tmp_path / f"shard_{pid}.npz")
+              for pid in range(nproc)]
+
+    # oracle: single-host merge of every input partial
+    from kmer_denovo_filter_tpu.ops import encode as enc
+
+    all_k = np.concatenate([s["in_keys"] for s in shards])
+    all_c = np.concatenate([s["in_counts"] for s in shards])
+    order = enc.lexsort_keys(all_k)
+    sk, sc = all_k[order], all_c[order]
+    new = np.ones(sk.shape[0], dtype=bool)
+    new[1:] = (sk[1:] != sk[:-1]).any(axis=1)
+    seg = np.cumsum(new) - 1
+    want_counts = np.zeros(int(seg[-1]) + 1, dtype=np.int64)
+    np.add.at(want_counts, seg, sc)
+    want_keys = sk[new]
+
+    got_k = np.concatenate([s["keys"] for s in shards])
+    got_c = np.concatenate([s["counts"] for s in shards])
+    o2 = enc.lexsort_keys(got_k)
+    assert np.array_equal(got_k[o2], want_keys)
+    assert np.array_equal(got_c[o2], want_counts)
+
+    # disjointness: union row count == sum of shard rows
+    assert sum(s["keys"].shape[0] for s in shards) == want_keys.shape[0]
+
+    # 1/N transient memory: each owner round gathers ~global/N bytes
+    global_bytes = want_keys.nbytes + want_counts.nbytes
+    for s in shards:
+        assert int(s["peak_round_bytes"]) < global_bytes / nproc * 2.5, (
+            int(s["peak_round_bytes"]), global_bytes)
+
+    # shard-local filters + survivor gather match the global filter
+    want_surv = want_keys[want_counts >= 8]
+    for s in shards:
+        assert np.array_equal(s["survivors"], want_surv)
+
+
 # ── End-to-end: 2-process kmer-discovery deployment ─────────────────
 
 E2E_WORKER = r"""
@@ -194,11 +302,14 @@ print(f"[{pid}] discovery pipeline done")
 
 @pytest.mark.skipif(os.environ.get("KDF_SKIP_MULTIHOST") == "1",
                     reason="multihost harness disabled")
-def test_two_process_discovery_end_to_end(tmp_path,
-                                          generated_example_output,
-                                          generated_discovery_output):
-    """`kmer-discovery` as a 2-process deployment writes outputs (from
-    process 0) byte-identical to the single-process run."""
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_discovery_end_to_end_multiprocess(tmp_path, nproc,
+                                           generated_example_output,
+                                           generated_discovery_output):
+    """`kmer-discovery` as an N-process deployment writes outputs
+    (from process 0) byte-identical to the single-process run; the
+    4-process case exercises the owner-sharded Module-1 merge with
+    uneven stripes."""
     from tests.conftest import GIAB_DIR, GIAB_DISCOVERY_DATA_EXISTS
 
     if not GIAB_DISCOVERY_DATA_EXISTS:
@@ -212,10 +323,10 @@ def test_two_process_discovery_end_to_end(tmp_path,
     env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
                          + os.pathsep + env.get("PYTHONPATH", ""))
     procs = [subprocess.Popen(
-        [sys.executable, str(worker), str(pid), "2", str(port),
+        [sys.executable, str(worker), str(pid), str(nproc), str(port),
          out_prefix, GIAB_DIR, generated_example_output["summary"]],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-        text=True) for pid in range(2)]
+        text=True) for pid in range(nproc)]
     outs = [p.communicate(timeout=600) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
