@@ -100,6 +100,80 @@ class TestBuildMiniRef:
         assert bmr.cluster_intervals([]) == []
 
 
+class TestDownloadKraken2Checksum:
+    """SHA-256 verification + ambiguity handling of the download
+    script (reference scripts/download_kraken2_db.sh:80–154 plus the
+    checksum/resume hardening)."""
+
+    def _script(self, tmp_path, payload_dirs):
+        import stat
+        import tarfile
+        bindir = tmp_path / "bin"
+        bindir.mkdir()
+        payload = tmp_path / "payload"
+        for d in payload_dirs:
+            (payload / d).mkdir(parents=True)
+            for f in ("hash.k2d", "opts.k2d", "taxo.k2d"):
+                (payload / d / f).write_bytes(b"\x00" * 8)
+        tarball = tmp_path / "db.tar.gz"
+        with tarfile.open(tarball, "w:gz") as tf:
+            for d in payload_dirs:
+                tf.add(payload / d, arcname=d)
+        wget = bindir / "wget"
+        wget.write_text(
+            "#!/usr/bin/env bash\n"
+            f'echo "$@" >> {tmp_path}/wget.log\n'
+            'out=""\n'
+            'while [[ $# -gt 0 ]]; do\n'
+            '  if [[ "$1" == "-O" ]]; then out="$2"; shift 2; '
+            'else shift; fi\n'
+            'done\n'
+            f'cp {tarball} "$out"\n')
+        wget.chmod(wget.stat().st_mode | stat.S_IEXEC)
+        return bindir, tarball
+
+    def _run(self, bindir, args):
+        import os
+        import subprocess
+        env = dict(os.environ, PATH=f"{bindir}:{os.environ['PATH']}")
+        return subprocess.run(
+            ["bash", "scripts/download_kraken2_db.sh"] + args,
+            capture_output=True, text=True, env=env, cwd="/root/repo")
+
+    def test_checksum_pass_and_fail(self, tmp_path):
+        import hashlib
+        bindir, tarball = self._script(tmp_path, ["k2"])
+        good = hashlib.sha256(tarball.read_bytes()).hexdigest()
+        out = self._run(bindir, ["--db", str(tmp_path / "ok"),
+                                 "--sha256", good])
+        assert out.returncode == 0, out.stderr
+        assert "Checksum OK" in out.stdout
+        out = self._run(bindir, ["--db", str(tmp_path / "bad"),
+                                 "--sha256", "0" * 64])
+        assert out.returncode != 0
+        assert "SHA-256 mismatch" in out.stderr
+
+    def test_ambiguous_layout_rejected(self, tmp_path):
+        bindir, _ = self._script(tmp_path, ["k2_a", "k2_b"])
+        out = self._run(bindir, ["--db", str(tmp_path / "db")])
+        assert out.returncode != 0
+        assert "multiple Kraken2 database directories" in out.stderr
+
+    def test_taxonomy_warnings(self, tmp_path):
+        bindir, _ = self._script(tmp_path, ["k2"])
+        out = self._run(bindir, ["--db", str(tmp_path / "db")])
+        assert out.returncode == 0, out.stderr
+        assert "nodes.dmp not found" in out.stderr
+        assert "names.dmp not found" in out.stderr
+
+    def test_keep_tarball(self, tmp_path):
+        bindir, _ = self._script(tmp_path, ["k2"])
+        dest = tmp_path / "db"
+        out = self._run(bindir, ["--db", str(dest), "--keep-tarball"])
+        assert out.returncode == 0, out.stderr
+        assert (dest / "kraken2_db.tar.gz").exists()
+
+
 class TestDownloadKraken2Script:
     """Fake-`wget` harness for scripts/download_kraken2_db.sh (the
     reference's test_download_kraken2_db_script.py pattern: a PATH
@@ -142,10 +216,13 @@ class TestDownloadKraken2Script:
             ["bash", "scripts/download_kraken2_db.sh", str(dest)],
             capture_output=True, text=True, env=env, cwd="/root/repo")
         assert out.returncode == 0, out.stderr
-        assert "Kraken2 database ready" in out.stdout
+        assert "Database ready" in out.stdout
         log = (tmp_path / "wget.log").read_text()
         assert "genome-idx.s3.amazonaws.com" in log
+        assert "--continue" in log  # resumable download
         assert (dest / "k2_standard" / "hash.k2d").exists()
+        # tarball removed after extraction (reference behavior)
+        assert not (dest / "kraken2_db.tar.gz").exists()
 
     def test_fails_without_k2d_files(self, tmp_path):
         import os
@@ -177,7 +254,7 @@ class TestDownloadKraken2Script:
              str(tmp_path / "db2")],
             capture_output=True, text=True, env=env, cwd="/root/repo")
         assert out.returncode != 0
-        assert "not found" in out.stderr
+        assert "missing required database file" in out.stderr
 
 
 class TestShardedBenchScript:
