@@ -356,6 +356,210 @@ def join_tally_step_v3(t0, t1, acc, codes, lengths, k, p,
     return acc_out, overflow
 
 
+# ── Tally kernel v4: bulk per-chunk transposes ──────────────────────
+# v3 measured only −1.1 ms: the dynamic-loop overhead is not the
+# dominant per-sub cost.  Suspect: the 3 lane→sublane relayouts per
+# sub-chunk (q0t/q1t/relt).  v4 transposes the whole (NSUB_T, 128)
+# query block once per chunk and lane-slices (128, 1) columns per sub.
+
+
+def _tally_kernel_v4(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
+                     sp_ref, acc_in_hbm, acc_out_hbm, accw, sem_in,
+                     sem_out, *, w_part, no_dot=False):
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    baseb = meta_ref[c] * w_part
+    base8 = pl.multiple_of(meta_ref[nc + c], 8)
+    din = pltpu.make_async_copy(
+        acc_out_hbm.at[pl.ds(base8, w_part), :], accw, sem_in)
+    din.start()
+    din.wait()
+
+    q0T = s0_ref[...].T          # (128, NSUB_T), one relayout/chunk
+    q1T = s1_ref[...].T
+    spT = sp_ref[...].T
+
+    for s in range(NSUB_T):
+        st = meta_ref[2 * nc + c * NSUB_T + s]
+        span = meta_ref[2 * nc + nc * NSUB_T + c * NSUB_T + s]
+        q0t = q0T[:, s:s + 1]    # (128, 1) lane slice, no relayout
+        q1t = q1T[:, s:s + 1]
+        relt = spT[:, s:s + 1] - st
+
+        def tally1(eq2, t, arow, _relt=relt):
+            maskv = (_relt == t).astype(jnp.float32).reshape(
+                1, SUB_ROWS)
+            cnt = jax.lax.dot_general(
+                maskv, eq2.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            accw[pl.ds(arow, 1), :] += cnt.astype(jnp.int32)
+
+        row0 = st - baseb
+
+        @pl.when(row0 + span <= w_part)
+        def _fast(q0t=q0t, q1t=q1t, relt=relt, st=st, span=span,
+                  row0=row0):
+            eq0 = ((q0t == t0lo[pl.ds(row0, 1), :])
+                   & (q1t == t1lo[pl.ds(row0, 1), :]))
+            r1 = jnp.minimum(row0 + 1, w_part - 1)
+            eq1 = ((q0t == t0lo[pl.ds(r1, 1), :])
+                   & (q1t == t1lo[pl.ds(r1, 1), :]))
+            eq2 = jnp.concatenate(
+                [eq0.astype(jnp.float32), eq1.astype(jnp.float32)],
+                axis=1)                              # (128, 2048)
+            arow = st - base8
+            if no_dot:
+                # diagnostic: skip the MXU reduction to expose the
+                # compare + transpose + slice cost alone (NOT exact)
+                accw[pl.ds(arow, 1), :] += eq2[0:1, :TILE_KEYS].astype(
+                    jnp.int32)
+                return
+            m0 = (relt == 0).astype(jnp.float32)
+            m1 = ((relt == 1) & (span > 1)).astype(jnp.float32)
+            mask2 = jnp.concatenate(
+                [m0.reshape(1, SUB_ROWS), m1.reshape(1, SUB_ROWS)],
+                axis=0)                              # (2, 128)
+            cnt = jax.lax.dot_general(
+                mask2, eq2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (2, 2048)
+            accw[pl.ds(arow, 1), :] += cnt[0:1, :TILE_KEYS].astype(
+                jnp.int32)
+            a1 = jnp.minimum(arow + 1, w_part - 1)
+            accw[pl.ds(a1, 1), :] += jnp.where(
+                span > 1, cnt[1:2, TILE_KEYS:], 0.0).astype(jnp.int32)
+
+            @pl.when(span > 2)
+            def _tail():
+                def body(t, _):
+                    row = row0 + t
+                    eqt = ((q0t == t0lo[pl.ds(row, 1), :])
+                           & (q1t == t1lo[pl.ds(row, 1), :]))
+                    tally1(eqt, t, st - base8 + t)
+                    return 0
+                jax.lax.fori_loop(2, span, body, 0)
+
+        @pl.when(row0 + span > w_part)
+        def _straddle(q0t=q0t, q1t=q1t, st=st, span=span, row0=row0):
+            def body(t, _):
+                row = row0 + t
+                rlo = jnp.minimum(row, w_part - 1)
+                rhi = jnp.maximum(row - w_part, 0)
+                in_lo = row < w_part
+                v0 = jnp.where(in_lo, t0lo[pl.ds(rlo, 1), :],
+                               t0hi[pl.ds(rhi, 1), :])
+                v1 = jnp.where(in_lo, t1lo[pl.ds(rlo, 1), :],
+                               t1hi[pl.ds(rhi, 1), :])
+                eq2 = (q0t == v0) & (q1t == v1)
+                tally1(eq2, t, st - base8 + t)
+                return 0
+            jax.lax.fori_loop(0, span, body, 0)
+
+    dout = pltpu.make_async_copy(
+        accw, acc_out_hbm.at[pl.ds(base8, w_part), :], sem_out)
+    dout.start()
+    dout.wait()
+
+
+def _tally_call_v4(meta, t0, t1, s0r, s1r, spr, acc, w_part,
+                   interpret, no_dot=False):
+    nc = s0r.shape[0] // NSUB_T
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TILE_KEYS),
+                         lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TILE_KEYS),
+                         lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((w_part, TILE_KEYS), jnp.int32),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_tally_kernel_v4, w_part=w_part,
+                          no_dot=no_dot),
+        out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={8: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, t0, t0, t1, t1, s0r, s1r, spr, acc)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "p", "w_part", "interpret", "no_dot",
+                     "fused_extract"))
+def join_tally_step_v4(t0, t1, acc, codes, lengths, k, p,
+                       w_part=pj.W_PART_TALLY, interpret=False,
+                       no_dot=False, fused_extract=False):
+    if fused_extract:
+        from kmer_denovo_filter_tpu.ops.pallas_extract import (
+            extract_mixed,
+        )
+        hi2, lo2 = extract_mixed(codes, lengths, k,
+                                 interpret=interpret)
+        hi = hi2.reshape(-1)
+        lo = lo2.reshape(-1)
+        pad = (-hi.shape[0]) % CHUNK_T
+        if pad:
+            hi = jnp.concatenate(
+                [hi, jnp.full(pad, jnp.uint32(0xFFFFFFFF))])
+            lo = jnp.concatenate(
+                [lo, jnp.full(pad, jnp.uint32(0xFFFFFFFF))])
+    else:
+        keys, _valid = dev.extract_canonical_windows(codes, lengths, k)
+        flat = keys.reshape(-1, 2)
+        pad = (-flat.shape[0]) % CHUNK_T
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.full((pad, 2), jnp.uint32(0xFFFFFFFF))],
+                axis=0)
+        w0, w1 = flat[:, 0], flat[:, 1]
+        sent = ((w0 == jnp.uint32(0xFFFFFFFF))
+                & (w1 == jnp.uint32(0xFFFFFFFF)))
+        h, low = pj._mix_keys(w0, w1)
+        hi = jnp.where(sent, jnp.uint32(0xFFFFFFFF), h)
+        lo = jnp.where(sent, jnp.uint32(0xFFFFFFFF), low)
+    n = hi.shape[0]
+    s0, s1 = jax.lax.sort((hi, lo), num_keys=1)
+    spart = pj._part_from_hi(s0, p)
+    nc = n // CHUNK_T
+    sp2 = spart.reshape(nc * NSUB_T, SUB_ROWS)
+    sub_start = sp2[:, 0]
+    sub_span = (sp2[:, -1] - sub_start + 1).astype(jnp.int32)
+    first = sub_start.reshape(nc, NSUB_T)[:, 0]
+    blk = first // w_part
+    base8 = (first // 8) * 8
+    last = sp2[:, -1].reshape(nc, NSUB_T)[:, -1]
+    overflow = ((jnp.max(last - blk * w_part + 1) > 2 * w_part)
+                | (jnp.max(last - base8 + 1) > w_part - 1))
+    meta = jnp.concatenate([blk, base8, sub_start, sub_span])
+    s0r = s0.reshape(n // 128, 128)
+    s1r = s1.reshape(n // 128, 128)
+    spr = spart.reshape(n // 128, 128)
+    acc_out = _tally_call_v4(meta, t0, t1, s0r, s1r, spr, acc, w_part,
+                             interpret, no_dot)
+    return acc_out, overflow
+
+
 def run_kernel(rng, genome):
     codes = jnp.asarray(synth_reads(rng, genome, BATCH_READS, READ_LEN))
     lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
@@ -370,23 +574,50 @@ def run_kernel(rng, genome):
         g64]))
     keys = np.stack([(k64 >> 32).astype(np.uint32),
                      k64.astype(np.uint32)], 1)
-    t0, t1, _perm, p = pj.build_tile_partitions(keys)
+    t0, t1, perm, p = pj.build_tile_partitions(keys)
     t0j, t1j = jnp.asarray(t0), jnp.asarray(t1)
     acc = jnp.zeros(t0.shape, jnp.int32)
+    real = perm >= 0
+    pad_rows = t0.shape[0] - perm.shape[0]
+    real_full = np.concatenate(
+        [real, np.zeros((pad_rows, real.shape[1]), bool)])
 
-    # parity: v3 acc vs prod acc
+    def real_tally(a):
+        return np.asarray(a)[:perm.shape[0]][real]
+
+    # parity on real (non-padding) slots
     a1, ov1 = pj.join_tally_step(t0j, t1j, acc, codes, lengths, K, p)
-    a3, ov3 = join_tally_step_v3(t0j, t1j, acc, codes, lengths, K, p)
-    assert not bool(ov1) and not bool(ov3), (bool(ov1), bool(ov3))
-    same = np.array_equal(np.asarray(a1), np.asarray(a3))
-    print("tally v3 parity:", same, flush=True)
-    assert same
+    a4, ov4 = join_tally_step_v4(t0j, t1j, acc, codes, lengths, K, p)
+    af, ovf = join_tally_step_v4(t0j, t1j, acc, codes, lengths, K, p,
+                                 fused_extract=True)
+    assert not bool(ov1) and not bool(ov4) and not bool(ovf)
+    same4 = np.array_equal(real_tally(a1), real_tally(a4))
+    samef = np.array_equal(real_tally(a1), real_tally(af))
+    print(f"tally v4 parity: {same4}  fused-extract parity: {samef}",
+          flush=True)
+    assert same4 and samef
     timeit("tally v1 full step",
            lambda a, c, l: pj.join_tally_step(
                t0j, t1j, a, c, l, K, p)[0], acc, codes, lengths)
     timeit("tally v3 full step",
            lambda a, c, l: join_tally_step_v3(
                t0j, t1j, a, c, l, K, p)[0], acc, codes, lengths)
+    timeit("tally v4 full step",
+           lambda a, c, l: join_tally_step_v4(
+               t0j, t1j, a, c, l, K, p)[0], acc, codes, lengths)
+    timeit("tally v4 no-dot (diagnostic)",
+           lambda a, c, l: join_tally_step_v4(
+               t0j, t1j, a, c, l, K, p, no_dot=True)[0],
+           acc, codes, lengths)
+    timeit("tally v4 + fused extract",
+           lambda a, c, l: join_tally_step_v4(
+               t0j, t1j, a, c, l, K, p, fused_extract=True)[0],
+           acc, codes, lengths)
+
+    from kmer_denovo_filter_tpu.ops.pallas_extract import extract_mixed
+    timeit("extract_mixed alone",
+           lambda c, l: extract_mixed(c, l, K)[0][:1, :1],
+           codes, lengths)
 
 
 def main():

@@ -351,3 +351,235 @@ class TestResultSummary:
         hlf = len(res.human_lineage_read_names) / res.total
         uf = len(res.unclassified_read_names) / res.total
         assert nhf + ucf + hlf + uf == pytest.approx(1.0)
+
+
+class TestHomologyGuardPerDomain:
+    """Per-domain mixed-vs-pure guard matrix (reference
+    tests/test_kraken2.py:717–841): a read whose LCA lands in a
+    non-human domain but whose k-mer votes include ANY human evidence
+    is cleared from that domain AND from the non-human set."""
+
+    CASES = [
+        ("bacterial", 562, "bacterial_read_names"),
+        ("archaeal", ARCHAEA_TAXID, "archaeal_read_names"),
+        ("viral", 10407, "viral_read_names"),
+        ("fungal", FUNGI_TAXID, "fungal_read_names"),
+        ("protist", 5000, "protist_read_names"),
+    ]
+
+    @pytest.mark.parametrize("cat,taxid,names_attr", CASES)
+    def test_mixed_skipped_pure_kept(self, db, cat, taxid, names_attr):
+        lines = [
+            f"C\tr_mixed\t{taxid}\t100\t{taxid}:8 {HUMAN_TAXID}:4",
+            f"C\tr_pure\t{taxid}\t100\t{taxid}:10 0:2",
+        ]
+        res = _mock_run(db, lines,
+                        {"r_mixed": "ACGT", "r_pure": "ACGT"})
+        assert getattr(res, names_attr) == {"r_pure"}
+        assert "r_mixed" not in res.nonhuman_read_names
+        assert "r_pure" in res.nonhuman_read_names
+        assert res.nonhuman_read_names == {"r_pure"}
+        # guarded read keeps its pre-guard domain label in the detail
+        d = res.per_read_detail["r_mixed"]
+        assert d["guard_status"] == "HHG"
+        assert not d["is_nonhuman"]
+        # and lands in the human-lineage partition set
+        assert "r_mixed" in res.human_lineage_read_names
+
+    def test_human_subspecies_counts_as_human(self, db):
+        # LCA below Homo sapiens (96061) is human, guard HUMAN
+        res = _mock_run(db, ["C\tr_sub\t96061\t100\t96061:66"],
+                        {"r_sub": "ACGT"})
+        assert res.human_count == 1
+        assert res.per_read_detail["r_sub"]["guard_status"] == "HUMAN"
+        assert "r_sub" in res.human_lineage_read_names
+
+
+class TestUniVecDepth:
+    """UniVec Core exclusion matrix (reference
+    tests/test_kraken2.py:944–1088)."""
+
+    def test_univec_root_taxid(self, db):
+        res = _mock_run(
+            db, [f"C\tr\t{UNIVEC_CORE_TAXID}\t100\t"
+                 f"{UNIVEC_CORE_TAXID}:66"], {"r": "ACGT"})
+        assert res.univec_core_read_names == {"r"}
+        assert res.nonhuman_read_names == set()
+        assert res.per_read_detail["r"]["guard_status"] == "UVC"
+
+    def test_univec_child_taxid(self, db):
+        res = _mock_run(db, ["C\tr\t810771\t100\t810771:66"],
+                        {"r": "ACGT"})
+        assert res.univec_core_read_names == {"r"}
+        assert res.nonhuman_read_names == set()
+
+    def test_univec_fallback_without_taxonomy(self, tmp_path):
+        # no nodes.dmp: only exact root-taxid matching applies, and
+        # the UniVec root is still excluded from non-human
+        (tmp_path / "opts.k2d").write_bytes(
+            struct.pack("<Q", 35) + b"\x00" * 24)
+        kr = Kraken2Runner(str(tmp_path))
+        proc = mock.MagicMock()
+        proc.returncode = 0
+        proc.pid = 1
+        proc.communicate.return_value = (
+            f"C\tr\t{UNIVEC_CORE_TAXID}\t100\t".encode(), b"")
+        with mock.patch("subprocess.Popen", return_value=proc):
+            res = kr.classify_sequences({"r": "ACGT"})
+        assert res.univec_core_read_names == {"r"}
+        assert res.nonhuman_read_names == set()
+
+    def test_univec_with_human_kmers_also_excluded(self, db):
+        res = _mock_run(
+            db, [f"C\tr\t810771\t100\t810771:30 {HUMAN_TAXID}:36"],
+            {"r": "ACGT"})
+        assert res.nonhuman_read_names == set()
+        assert "r" in res.human_lineage_read_names
+        assert res.per_read_detail["r"]["guard_status"] == "HHG"
+
+
+class TestDbLayouts:
+    """Versioned-subdir and root-level DB layouts (reference
+    tests/test_kraken2.py:116–157, 488–531, 1118–1146)."""
+
+    def test_kmer_length_from_versioned_subdir(self, tmp_path):
+        sub = tmp_path / "k2_NCBI_reference_20251007"
+        sub.mkdir()
+        (sub / "opts.k2d").write_bytes(
+            struct.pack("<Q", 29) + b"\x00" * 24)
+        assert Kraken2Runner.read_kmer_length(str(tmp_path)) == 29
+
+    def test_root_level_nodes_dmp(self, tmp_path):
+        with open(tmp_path / "nodes.dmp", "w") as fh:
+            fh.write("1\t|\t1\t|\tno rank\t|\n")
+            fh.write(f"{BACTERIA_TAXID}\t|\t1\t|\tsuperkingdom\t|\n")
+        pm = Kraken2Runner.load_parent_map(str(tmp_path))
+        assert pm == {1: 1, BACTERIA_TAXID: 1}
+
+    def test_taxonomy_subdir_preferred_over_root(self, tmp_path):
+        # conflicting trees: taxonomy/ must win
+        with open(tmp_path / "nodes.dmp", "w") as fh:
+            fh.write("7\t|\t1\t|\tx\t|\n")
+        tax = tmp_path / "taxonomy"
+        tax.mkdir()
+        with open(tax / "nodes.dmp", "w") as fh:
+            fh.write("8\t|\t1\t|\tx\t|\n")
+        pm = Kraken2Runner.load_parent_map(str(tmp_path))
+        assert 8 in pm and 7 not in pm
+
+    def test_names_subdir_preferred_over_root(self, tmp_path):
+        with open(tmp_path / "names.dmp", "w") as fh:
+            fh.write("7\t|\tWrong name\t|\t\t|\tscientific name\t|\n")
+        tax = tmp_path / "taxonomy"
+        tax.mkdir()
+        with open(tax / "names.dmp", "w") as fh:
+            fh.write("8\t|\tRight name\t|\t\t|\tscientific name\t|\n")
+        nm = Kraken2Runner.load_name_map(str(tmp_path))
+        assert nm == {8: "Right_name"}
+
+
+class TestFourSetPartitionMatrix:
+    """Exhaustive NHF+UCF+HLF+UF partition (reference
+    tests/test_kraken2.py:843–943, 1287–1510): every read lands in
+    exactly one of the four sets, across all domains, guards, root,
+    ambiguous ancestors, and unclassified reads."""
+
+    LINES = [
+        ("r_ecoli", f"C\tr_ecoli\t562\t100\t562:66"),
+        ("r_arch", f"C\tr_arch\t{ARCHAEA_TAXID}\t100\t"
+                   f"{ARCHAEA_TAXID}:66"),
+        ("r_fungus", f"C\tr_fungus\t{FUNGI_TAXID}\t100\t"
+                     f"{FUNGI_TAXID}:66"),
+        ("r_protist", "C\tr_protist\t5000\t100\t5000:66"),
+        ("r_hbv", "C\tr_hbv\t10407\t100\t10407:66"),
+        ("r_hbv_int", f"C\tr_hbv_int\t10407\t100\t"
+                      f"10407:30 {HUMAN_TAXID}:36"),
+        ("r_human", f"C\tr_human\t{HUMAN_TAXID}\t100\t"
+                    f"{HUMAN_TAXID}:66"),
+        ("r_sub", "C\tr_sub\t96061\t100\t96061:66"),
+        ("r_meta", f"C\tr_meta\t{METAZOA_TAXID}\t100\t"
+                   f"{METAZOA_TAXID}:66"),
+        ("r_euk", f"C\tr_euk\t{EUKARYOTA_TAXID}\t100\t"
+                  f"{EUKARYOTA_TAXID}:66"),
+        ("r_root", "C\tr_root\t1\t100\t1:66"),
+        ("r_vec", "C\tr_vec\t810771\t100\t810771:66"),
+        ("r_un", "U\tr_un\t0\t100\t"),
+    ]
+
+    def _result(self, db):
+        return _mock_run(db, [l for _n, l in self.LINES],
+                         {n: "ACGT" for n, _l in self.LINES})
+
+    def test_partition_is_exact(self, db):
+        res = self._result(db)
+        names = {n for n, _l in self.LINES}
+        sets = [res.nonhuman_read_names, res.univec_core_read_names,
+                res.human_lineage_read_names,
+                res.unclassified_read_names]
+        union = set().union(*sets)
+        assert union == names
+        assert sum(len(s) for s in sets) == len(names)  # disjoint
+
+    def test_expected_membership(self, db):
+        res = self._result(db)
+        assert res.nonhuman_read_names == {
+            "r_ecoli", "r_arch", "r_fungus", "r_protist", "r_hbv"}
+        assert res.univec_core_read_names == {"r_vec"}
+        assert res.unclassified_read_names == {"r_un"}
+        # human, subspecies, metazoa/eukaryota ancestors, root, and
+        # the HHG-guarded integration read all fall to human-lineage
+        assert res.human_lineage_read_names == {
+            "r_human", "r_sub", "r_meta", "r_euk", "r_root",
+            "r_hbv_int"}
+
+    def test_ambiguous_eukaryota_not_nonhuman(self, db):
+        res = self._result(db)
+        assert "r_euk" not in res.nonhuman_read_names
+        d = res.per_read_detail["r_euk"]
+        assert d["domain"] in ("Ambiguous_Ancestor", "Protist")
+
+    def test_root_read_counted_and_in_lineage(self, db):
+        res = self._result(db)
+        assert res.root_count == 1
+        assert "r_root" in res.human_lineage_read_names
+        assert res.per_read_detail["r_root"]["domain"] == "Root"
+
+    def test_domain_counts(self, db):
+        res = self._result(db)
+        assert res.bacterial_count == 1
+        assert res.archaeal_count == 1
+        assert res.fungal_count == 1
+        # Eukaryota-LCA reads count as protist (protist = eukaryota −
+        # metazoa − fungi − viridiplantae includes the root, reference
+        # kmer_utils.py:717) while staying out of the non-human set
+        assert res.protist_count == 2
+        assert res.viral_count == 1  # the guarded one is cleared
+        assert res.human_count == 2  # human + subspecies
+
+
+class TestPerReadDetailDepth:
+    """Per-read detail contract (reference
+    tests/test_kraken2.py:1147–1285)."""
+
+    def test_detail_fields_populated(self, db):
+        res = _mock_run(db, ["C\tr\t562\t100\t562:40 0:26"],
+                        {"r": "ACGT"})
+        d = res.per_read_detail["r"]
+        assert d == {"status": "C", "taxid": 562,
+                     "domain": "Bacteria", "guard_status": "PASS",
+                     "is_nonhuman": True,
+                     "kmer_string": "562:40 0:26"}
+
+    def test_unclassified_detail(self, db):
+        res = _mock_run(db, ["U\tr\t0\t100\t"], {"r": "ACGT"})
+        d = res.per_read_detail["r"]
+        assert d["status"] == "U"
+        assert d["domain"] == "Unclassified"
+        assert d["guard_status"] == "UNCLASSIFIED"
+
+    def test_empty_result_has_empty_detail_and_sets(self, db):
+        res = Kraken2Runner(db).classify_sequences({})
+        assert res.per_read_detail == {}
+        assert res.human_lineage_read_names == set()
+        assert res.unclassified_read_names == set()
+        assert res.nonhuman_read_names == set()

@@ -255,3 +255,100 @@ class TestSpanBeds:
         assert list(tbx.query("chr1", 100, 120))
         assert list(tbx.query("chr2", 510, 515))
         assert not list(tbx.query("chr2", 9000, 9100))
+
+
+class TestReadDetailBedEdges:
+    """Reference test_kraken2_bed.py:268–321 edge cases."""
+
+    def _load(self, path):
+        with gzip.open(path, "rt") as fh:
+            lines = fh.read().rstrip("\n").split("\n")
+        return lines[0].split("\t"), [l.split("\t") for l in lines[1:]]
+
+    def test_multi_variant_same_read_one_row_per_variant(
+            self, tmp_path):
+        informative = {"chr1:1000:A:T": {"shared"},
+                       "chr1:1005:G:C": {"shared"}}
+        result = _FakeResult({"shared": _detail(kmers="562:10")})
+        path = str(tmp_path / "mv.bed.gz")
+        write_kraken2_read_detail_bed(path, informative, {}, result,
+                                      NAME_MAP)
+        _h, rows = self._load(path)
+        assert len(rows) == 2
+        assert rows[0][3] == "chr1:1000:A:T"
+        assert rows[1][3] == "chr1:1005:G:C"
+
+    def test_indel_chrom_end_is_pos_plus_ref_len(self, tmp_path):
+        informative = {"chr1:1000:ATG:A": {"r"}}
+        result = _FakeResult({"r": _detail(kmers="562:10")})
+        path = str(tmp_path / "indel.bed.gz")
+        write_kraken2_read_detail_bed(path, informative, {}, result,
+                                      NAME_MAP)
+        _h, rows = self._load(path)
+        assert (rows[0][1], rows[0][2]) == ("1000", "1003")
+
+
+class TestSpanBedEdges:
+    """Reference test_kraken2_bed.py:574–614, 832–1056 edge cases."""
+
+    def _load(self, path):
+        with gzip.open(path, "rt") as fh:
+            lines = fh.read().rstrip("\n").split("\n")
+        return lines[0].split("\t"), [l.split("\t") for l in lines[1:]]
+
+    def _one_read(self, **meta_kw):
+        alignment_meta = {"shared": [_meta(start=1000, end=1200,
+                                           **meta_kw)]}
+        informative = {"chr1:1050:A:T": {"shared"},
+                       "chr1:1100:G:C": {"shared"}}
+        result = _FakeResult({"shared": _detail(kmers="562:10")})
+        return alignment_meta, informative, {}, result
+
+    def test_multi_variant_comma_separated(self, tmp_path):
+        path = str(tmp_path / "mv.bed.gz")
+        write_kraken2_span_bed(path, *self._one_read(), NAME_MAP)
+        header, rows = self._load(path)
+        assert len(rows) == 1
+        variants = rows[0][header.index("variant")].split(",")
+        assert sorted(variants) == ["chr1:1050:A:T", "chr1:1100:G:C"]
+
+    def test_no_clips_expanded_matches_standard_coords(self, tmp_path):
+        span = str(tmp_path / "s.bed.gz")
+        exp = str(tmp_path / "e.bed.gz")
+        write_kraken2_span_bed(span, *self._one_read(), NAME_MAP)
+        write_kraken2_expanded_span_bed(exp, *self._one_read(),
+                                        NAME_MAP)
+        _hs, rs = self._load(span)
+        _he, re_ = self._load(exp)
+        assert (rs[0][0], rs[0][1], rs[0][2]) == (
+            re_[0][0], re_[0][1], re_[0][2])
+
+    def test_column_counts_consistent(self, tmp_path):
+        span = str(tmp_path / "s.bed.gz")
+        exp = str(tmp_path / "e.bed.gz")
+        write_kraken2_span_bed(span, *self._one_read(scl=5), NAME_MAP)
+        write_kraken2_expanded_span_bed(exp, *self._one_read(scl=5),
+                                        NAME_MAP)
+        for path in (span, exp):
+            header, rows = self._load(path)
+            assert all(len(r) == len(header) for r in rows)
+        # expanded adds the aligned_start/aligned_end pair
+        hs, _ = self._load(span)
+        he, _ = self._load(exp)
+        assert len(he) == len(hs) + 2
+
+    def test_split_read_produces_two_rows(self, tmp_path):
+        alignment_meta = {"r": [
+            _meta(start=1000, end=1100, sa=True),
+            _meta(chrom="chr5", start=5000, end=5100, sa=True,
+                  supp=True)]}
+        informative = {"chr1:1050:A:T": {"r"}}
+        result = _FakeResult({"r": _detail(kmers="562:10")})
+        path = str(tmp_path / "split.bed.gz")
+        write_kraken2_span_bed(path, alignment_meta, informative, {},
+                               result, NAME_MAP)
+        header, rows = self._load(path)
+        assert len(rows) == 2
+        assert {r[0] for r in rows} == {"chr1", "chr5"}
+        split = header.index("is_split")
+        assert all(r[split] == "true" for r in rows)

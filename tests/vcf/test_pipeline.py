@@ -572,3 +572,68 @@ class TestSummaryFields:
                        for l in lines)
         data = [l for l in lines if l and not l.startswith("#")]
         assert "DKU=" in data[0].split("\t")[7]
+
+
+class TestDecomposedMultiallelicSnv:
+    """Two same-position SNV rows with different ALTs (decomposed
+    multiallelic, reference tests/vcf/test_pipeline.py:1223–1315):
+    annotations key on (chrom, pos, ref, alt) so each row is
+    independent — the uncarried allele's DKA must be exactly 0."""
+
+    def test_uncarried_alt_gets_zero_dka(self, trio, tmp_path):
+        seq, mpos = trio["seq"], trio["pos0"]
+        carried = trio["alt"]
+        uncarried = next(b for b in "ACGT"
+                         if b not in (seq[mpos], carried))
+        vcf = str(tmp_path / "decomp.vcf.gz")
+        create_vcf(vcf, "chr1", [
+            (mpos + 1, seq[mpos], carried),
+            (mpos + 1, seq[mpos], uncarried),
+        ])
+        out, metrics, _ = _run(trio, tmp_path,
+                               ["--proband-id", "HG002"], vcf=vcf)
+        fields = _read_vcf_fields(out)
+        assert len(fields) == 2
+        assert int(fields[0]["DKA"]) > 0
+        assert int(fields[1]["DKA"]) == 0
+        # both rows share the locus's unique k-mers (DKU from any
+        # de novo fragment spanning the position)
+        assert int(fields[1]["DKU"]) > 0
+
+
+class TestMultiallelicPipelineIntegration:
+    """Single multiallelic record end-to-end (reference
+    tests/vcf/test_pipeline.py:1452–1570): the GT-selected ALT drives
+    the allele-specific annotation."""
+
+    def _multi_vcf(self, trio, tmp_path, gts, sample="HG002"):
+        seq, mpos = trio["seq"], trio["pos0"]
+        carried = trio["alt"]
+        other = next(b for b in "ACGT"
+                     if b not in (seq[mpos], carried))
+        # ALT order puts the carried allele SECOND: only GT-informed
+        # selection can pick it
+        vcf = str(tmp_path / "multi.vcf.gz")
+        create_vcf(vcf, "chr1",
+                   [(mpos + 1, seq[mpos], f"{other},{carried}")],
+                   sample=sample, gts=gts)
+        return vcf
+
+    def test_proband_alt2_selected(self, trio, tmp_path):
+        vcf = self._multi_vcf(trio, tmp_path, ["0/2"])
+        out, _, _ = _run(trio, tmp_path, ["--proband-id", "HG002"],
+                         vcf=vcf)
+        (f,) = _read_vcf_fields(out)
+        # the carried (second) allele was annotated: alt-supporting
+        # fragments exist
+        assert int(f["DKA"]) > 0
+
+    def test_no_proband_id_falls_back_to_first_alt(self, trio,
+                                                   tmp_path):
+        vcf = self._multi_vcf(trio, tmp_path, ["0/2"])
+        out, _, _ = _run(trio, tmp_path, vcf=vcf)
+        (f,) = _read_vcf_fields(out)
+        # first ALT is NOT carried by any read → zero alt support,
+        # matching the reference's documented fallback behavior
+        assert int(f["DKA"]) == 0
+        assert int(f["DKU"]) > 0
