@@ -2,9 +2,11 @@
 mates, unmapped reads, open_bam dispatch, and pipeline parity vs BAM.
 
 Mirrors the reference's CRAM acceptance surface (reference cli.py:13-24
-— CRAM anywhere a BAM is accepted, ref FASTA required).  No htslib
-exists in this image, so conformance is established by self round-trip
-plus unit tests of each codec against hand-computed bit patterns.
+— CRAM anywhere a BAM is accepted, ref FASTA required).  These tests
+cover the codecs with self round-trips and hand-computed bit patterns;
+third-party interchange against a REAL htslib samtools (both
+directions) lives in tests/test_cram_conformance.py, which runs
+wherever samtools is on PATH (installed by the CI workflow).
 """
 
 import os
