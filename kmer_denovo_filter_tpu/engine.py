@@ -476,9 +476,18 @@ class FilteredCounter:
             self.acc = jnp.zeros(t0.shape, dtype=jnp.int32)
             self.w_part = pj.W_PART_TALLY
         elif self.pallas_wide:
-            planes, _perm, _p = index.tile_partitions_wide()
+            planes, _perm, p = index.tile_partitions_wide()
             self.acc = jnp.zeros(planes[0].shape, dtype=jnp.int32)
-            self.w_part = pj.W_PART_TALLY
+            self.w_part = min(pj.W_PART_TALLY,
+                              pj.max_wide_w_part_tally(index.w))
+            # Window-sparse batches (large k ⇒ few windows per read)
+            # would spread a chunk's queries over more partitions than
+            # the VMEM window covers; accumulate extracted keys across
+            # feeds and join once per dense super-batch (~256 queries
+            # per partition keeps chunk spans ≤ ~40 rows).
+            self._wide_buf = []
+            self._wide_buf_rows = 0
+            self._wide_flush_rows = 256 * p
         elif index.mid and not index.small:
             tblocks, _perm, _p_bits = index.hash_partitions()
             self.acc = jnp.zeros(tblocks.shape[:2], dtype=jnp.int32)
@@ -506,30 +515,35 @@ class FilteredCounter:
             from kmer_denovo_filter_tpu.ops import pallas_join as pj
             if kind == "pallas":
                 t0, t1, _perm, p = idx.tile_partitions()
+                w_cap = pj.MAX_W_PART_TALLY
 
                 def attempt(acc0):
                     return pj.join_tally_step(
                         t0, t1, acc0, codes_j, lens_j, idx.k, p,
                         self.w_part, interpret=_pallas_interpret())
             else:
+                # codes_j holds the accumulated flat key super-batch
                 planes, _perm, p = idx.tile_partitions_wide()
+                w_cap = pj.max_wide_w_part_tally(idx.w)
 
                 def attempt(acc0):
-                    return pj.join_tally_step_wide(
-                        planes, acc0, codes_j, lens_j, idx.k, p,
-                        self.w_part, interpret=_pallas_interpret())
+                    return pj.join_tally_flat_wide(
+                        planes, acc0, codes_j, p, self.w_part,
+                        interpret=_pallas_interpret())
             while True:
-                if self.w_part >= pj.MAX_W_PART_TALLY:
+                if self.w_part >= w_cap:
                     # sparse/skewed batch: its few distinct keys spread
                     # over more partitions than the largest window
                     # covers (e.g. the near-empty final batch of a
                     # file).  Tally it exactly via dedup + host-side
                     # searchsorted — one rare host round-trip.
-                    self._tally_batch_on_host(codes_j, lens_j)
+                    if kind == "pallas":
+                        self._tally_batch_on_host(codes_j, lens_j)
+                    else:
+                        self._tally_flat_on_host(codes_j)
                     acc = acc_before
                     break
-                self.w_part = min(self.w_part * 2,
-                                  pj.MAX_W_PART_TALLY)
+                self.w_part = min(self.w_part * 2, w_cap)
                 acc, overflow = attempt(acc_before)
                 if not bool(overflow):
                     break
@@ -560,8 +574,12 @@ class FilteredCounter:
         idx = self.index
         keys, _valid = dev.extract_canonical_windows(
             codes_j, lens_j, idx.k)
-        skeys, starts, counts = dev.sort_count(
-            keys.reshape(-1, idx.w), idx.w)
+        self._tally_flat_on_host(keys.reshape(-1, idx.w))
+
+    def _tally_flat_on_host(self, flat_j):
+        """Exact host tally of a flat key stream (see above)."""
+        idx = self.index
+        skeys, starts, counts = dev.sort_count(flat_j, idx.w)
         skeys = np.asarray(skeys)
         mask = np.asarray(starts) & ~(skeys == _SENTINEL32).all(axis=1)
         uk = skeys[mask]
@@ -598,14 +616,30 @@ class FilteredCounter:
     def _feed_pallas_wide(self, codes_j, lens_j):
         from kmer_denovo_filter_tpu.ops import pallas_join as pj
         idx = self.index
+        flat = pj.extract_flat_keys(codes_j, lens_j, idx.k)
+        self._wide_buf.append(flat)
+        self._wide_buf_rows += flat.shape[0]
+        if self._wide_buf_rows >= self._wide_flush_rows:
+            self._flush_wide()
+
+    def _flush_wide(self):
+        """Join the accumulated wide-key super-batch."""
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        if not self._wide_buf:
+            return
+        idx = self.index
         planes, _perm, p = idx.tile_partitions_wide()
+        flat = (self._wide_buf[0] if len(self._wide_buf) == 1
+                else jnp.concatenate(self._wide_buf, axis=0))
+        self._wide_buf = []
+        self._wide_buf_rows = 0
         self._resolve_pending()
         acc_before = self.acc
-        acc, overflow = pj.join_tally_step_wide(
-            planes, acc_before, codes_j, lens_j, idx.k, p,
-            self.w_part, interpret=_pallas_interpret())
+        acc, overflow = pj.join_tally_flat_wide(
+            planes, acc_before, flat, p, self.w_part,
+            interpret=_pallas_interpret())
         self.acc = acc
-        self._pending = ("pallas_wide", codes_j, lens_j, acc_before,
+        self._pending = ("pallas_wide", flat, None, acc_before,
                          overflow, None)
 
     def feed(self, codes, lengths):
@@ -652,6 +686,8 @@ class FilteredCounter:
     def result(self):
         """int64 counts aligned with the index's sorted keys."""
         idx = self.index
+        if self.pallas_wide:
+            self._flush_wide()  # join any buffered partial super-batch
         self._resolve_pending()
         if self.pallas or self.pallas_wide:
             if self.pallas:
@@ -716,12 +752,13 @@ def scan_reads_for_hits(index, codes, lengths):
         from kmer_denovo_filter_tpu.ops import pallas_join as pj
         if index.w <= pj.MAX_W_WIDE:
             planes, _perm, p = index.tile_partitions_wide()
-            w_part = pj.W_PART
+            w_cap = pj.max_wide_w_part_member(index.w)
+            w_part = min(pj.W_PART, w_cap)
             found, overflow = pj.join_member_step_wide(
                 planes, codes_j, lens_j, index.k, p, w_part,
                 interpret=_pallas_interpret())
-            while bool(overflow) and w_part < pj.MAX_W_PART:
-                w_part = min(w_part * 2, pj.MAX_W_PART)
+            while bool(overflow) and w_part < w_cap:
+                w_part = min(w_part * 2, w_cap)
                 found, overflow = pj.join_member_step_wide(
                     planes, codes_j, lens_j, index.k, p, w_part,
                     interpret=_pallas_interpret())

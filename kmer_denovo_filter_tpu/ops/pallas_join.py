@@ -719,14 +719,43 @@ def build_shard_tile_partitions_wide(keys_np, s, p=None):
 
 
 # ── Generic-W tile-join (k > 31) ────────────────────────────────────
-# Wide keys (W words, 3 ≤ W ≤ 8 ⇒ k ≤ 127; beyond that the XLA
-# partitioned sweep remains) can't ride the bijective pair mix, so the
-# route sort orders by a UNIFORM HASH of the whole key (one sort key)
-# and carries the raw words as payload; the kernel compares raw words
-# against W lane-major planes.  Sentinels are detected post-sort (all
-# words F) and excluded from spans, exactly like route_presorted.
+# Wide keys (W words, 3 ≤ W ≤ 13 ⇒ every supported k ≤ 201) can't ride
+# the bijective pair mix, so the route sort orders by a UNIFORM HASH
+# of the whole key (one sort key) and carries the raw words as
+# payload; the kernel compares raw words against W lane-major planes.
+# Sentinels are detected post-sort (all words F) and excluded from
+# spans, exactly like route_presorted.
+#
+# Wide widths above 8 carry a VMEM constraint: the tally pipeline
+# holds 2·W double-buffered (w_part, 1024) window blocks, so w_part
+# must shrink as W grows (`max_wide_w_part_tally`).  Large-k batches
+# are window-sparse (k=151 ⇒ 2 windows per 152 bp read), so the
+# engine accumulates extracted keys across read batches and joins
+# once per dense super-batch (engine.FilteredCounter), keeping chunk
+# partition spans inside those smaller windows.
 
-MAX_W_WIDE = 8
+MAX_W_WIDE = 13
+
+_VMEM_BUDGET = 12 << 20  # leave headroom under the ~16 MB/core VMEM
+
+
+def max_wide_w_part_tally(w):
+    """Largest tally window (rows) whose 2·W double-buffered blocks +
+    accumulator slab fit the VMEM budget, floored to 8.  Widths ≤ 8
+    keep the measured MAX_W_PART_TALLY ceiling."""
+    if w <= 8:
+        return MAX_W_PART_TALLY
+    per_row = 4 * TILE_KEYS * (4 * w + 1)  # 2W blocks ×2 buffers + acc
+    return max(8, min(MAX_W_PART_TALLY,
+                      _VMEM_BUDGET // per_row // 8 * 8))
+
+
+def max_wide_w_part_member(w):
+    """Largest member window whose W scratch buffers fit VMEM."""
+    if w <= 8:
+        return MAX_W_PART
+    per_row = 4 * TILE_KEYS * w
+    return max(8, min(MAX_W_PART, _VMEM_BUDGET // per_row // 8 * 8))
 
 
 def route_hash_np(words):
@@ -999,15 +1028,9 @@ def _member_call_wide(meta, planes, qplanes, spr, w, w_part,
     )(meta, *planes, *qplanes, spr)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "p", "w_part", "interpret"))
-def join_tally_step_wide(planes, acc, codes, lengths, k, p,
-                         w_part=W_PART_TALLY, interpret=False):
-    """Generic-W fused tally step (k > 31): extract → hash route →
-    wide tile-join.  *planes* is a tuple of W (rows, 1024) uint32."""
+def _tally_flat_wide(planes, acc, flat, p, w_part, interpret):
+    """Route + wide tile-join of an (N, W) flat key stream."""
     w = len(planes)
-    keys, _valid = dev.extract_canonical_windows(codes, lengths, k)
-    flat = keys.reshape(-1, w)
     (qplanes, spr, cfirst, clast, sub_start, sub_span, _sidx,
      n) = _route_wide(flat, p, CHUNK_T, NSUB_T, with_idx=False)
     blk = cfirst // w_part
@@ -1018,6 +1041,42 @@ def join_tally_step_wide(planes, acc, codes, lengths, k, p,
     acc_out = _tally_call_wide(meta, planes, qplanes, spr, acc, w,
                                w_part, interpret)
     return acc_out, overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("p", "w_part", "interpret"))
+def join_tally_flat_wide(planes, acc, flat, p, w_part=W_PART_TALLY,
+                         interpret=False):
+    """Wide tally over pre-extracted flat keys (sentinel rows allowed).
+
+    The k > 127 entry point: window-sparse read batches accumulate
+    their extracted keys across feeds and join once per dense
+    super-batch (engine.FilteredCounter flush), so chunk partition
+    spans stay within the VMEM-constrained wide windows
+    (`max_wide_w_part_tally`).
+    """
+    return _tally_flat_wide(planes, acc, flat, p, w_part, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k",))
+def extract_flat_keys(codes, lengths, k):
+    """Extract canonical windows as an (N, W) flat key stream
+    (sentinels mark invalid windows) for deferred joining."""
+    keys, _valid = dev.extract_canonical_windows(codes, lengths, k)
+    return keys.reshape(-1, keys.shape[-1])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "p", "w_part", "interpret"))
+def join_tally_step_wide(planes, acc, codes, lengths, k, p,
+                         w_part=W_PART_TALLY, interpret=False):
+    """Generic-W fused tally step (k > 31): extract → hash route →
+    wide tile-join.  *planes* is a tuple of W (rows, 1024) uint32."""
+    w = len(planes)
+    keys, _valid = dev.extract_canonical_windows(codes, lengths, k)
+    flat = keys.reshape(-1, w)
+    return _tally_flat_wide(planes, acc, flat, p, w_part, interpret)
 
 
 @functools.partial(

@@ -549,3 +549,92 @@ class TestHostFilteredCounter:
         monkeypatch.setattr(eng, "_DEVICE_TABLE_MAX_BYTES", 8 << 30)
         fc2 = eng.make_parent_filter_counter(keys, 31)
         assert isinstance(fc2, eng.FilteredCounter)
+
+
+class TestWideKTileJoin:
+    """k > 127 (W 9..13) rides the wide tile-join via cross-batch
+    window accumulation instead of falling off the ~10x partitioned-
+    sweep cliff; exact vs the host oracle (Pallas interpreter)."""
+
+    def _setup(self, k, monkeypatch, n_filter=40, read_len=None):
+        monkeypatch.setenv("KDF_PALLAS_INTERPRET", "1")
+        monkeypatch.setattr(eng, "_SMALL_TABLE_M", 0)
+        read_len = read_len or (k + 9)   # window-sparse reads
+        stream = random_reads(120, read_len, with_n=False, seed=77)
+        stream = [s for s in stream if len(s) >= k]
+        filter_reads = stream[:n_filter]
+        filter_set = set()
+        for s in filter_reads:
+            cap, _ = K.extract_read_kmers(s, k)
+            filter_set.update(cap.values())
+        fidx = eng.KmerIndex.from_strings(filter_set, k)
+        fidx.small = False
+        fidx.mid = False
+        oc = Counter()
+        for s in stream:
+            cap, _ = K.extract_read_kmers(s, k)
+            for c in cap.values():
+                if c in filter_set:
+                    oc[c] += 1
+        return fidx, stream, filter_set, oc
+
+    @pytest.mark.parametrize("k", [151, 201])
+    def test_filtered_counter_accumulates_and_matches_oracle(
+            self, k, monkeypatch):
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        assert enc.words_per_kmer(k) > 8  # genuinely past old cliff
+        assert enc.words_per_kmer(k) <= pj.MAX_W_WIDE
+        fidx, stream, _fs, oc = self._setup(k, monkeypatch)
+        fc = eng.FilteredCounter(fidx)
+        assert fc.pallas_wide
+        # raise the density threshold so the sparse batches genuinely
+        # buffer across feeds before the single dense join
+        fc._wide_flush_rows = 10 ** 9
+        for lo in range(0, len(stream), 30):
+            batch, lens = pack_reads(stream[lo:lo + 30])
+            fc.feed(batch, lens)
+        assert fc._wide_buf_rows > 0  # accumulated, not yet joined
+        assert fc._pending is None    # no join dispatched yet
+        res = fc.result()
+        assert fc._wide_buf_rows == 0
+        got = {s: int(c) for s, c in zip(fidx.to_strings(), res)
+               if c > 0}
+        assert got == dict(oc)
+
+    def test_mid_feed_flush_crossing_threshold(self, monkeypatch):
+        """Crossing the dense-super-batch threshold mid-stream joins
+        the buffered keys and keeps tallies exact."""
+        k = 151
+        fidx, stream, _fs, oc = self._setup(k, monkeypatch)
+        fc = eng.FilteredCounter(fidx)
+        fc._wide_flush_rows = 64  # force a flush on every feed
+        for lo in range(0, len(stream), 30):
+            batch, lens = pack_reads(stream[lo:lo + 30])
+            fc.feed(batch, lens)
+        res = fc.result()
+        got = {s: int(c) for s, c in zip(fidx.to_strings(), res)
+               if c > 0}
+        assert got == dict(oc)
+
+    def test_wide_vmem_window_caps(self):
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        # W <= 8 keeps the measured ceilings
+        assert pj.max_wide_w_part_tally(4) == pj.MAX_W_PART_TALLY
+        assert pj.max_wide_w_part_member(8) == pj.MAX_W_PART
+        # W = 13 windows stay inside the VMEM budget
+        w13 = pj.max_wide_w_part_tally(13)
+        assert 8 <= w13 < pj.MAX_W_PART_TALLY
+        assert 4 * pj.TILE_KEYS * (4 * 13 + 1) * w13 <= (12 << 20)
+
+    def test_scan_hits_falls_back_exactly(self, monkeypatch):
+        """Member scan at k=151: sparse batches overflow the wide
+        windows and must fall through to an exact XLA path."""
+        k = 151
+        fidx, stream, filter_set, _oc = self._setup(k, monkeypatch)
+        batch, lens = pack_reads(stream[:40])
+        got = eng.scan_reads_for_hits(fidx, batch, lens)
+        for i, s in enumerate(stream[:40]):
+            per_pos, _ = K.extract_read_kmers(s, k)
+            want = [per_pos.get(j) in filter_set
+                    for j in range(len(s) - k + 1)]
+            assert list(got[i][:len(want)]) == want
