@@ -475,6 +475,13 @@ class FilteredCounter:
             t0, _t1, _perm, _p = index.tile_partitions()
             self.acc = jnp.zeros(t0.shape, dtype=jnp.int32)
             self.w_part = pj.W_PART_TALLY
+            # Dedup-first tally (pj.join_tally_step_dedup): collapse
+            # coverage duplicates before the global route sort + join.
+            # Disabled per-counter once a batch shows the stream does
+            # not dedup (u_chunk doubled past half the local chunk).
+            self._dedup = os.environ.get("KDF_DEDUP_JOIN") != "0"
+            self._dd_w_part = pj.W_PART_DD
+            self._dd_u_chunk = pj.U_CHUNK_DD
         elif self.pallas_wide:
             planes, _perm, p = index.tile_partitions_wide()
             self.acc = jnp.zeros(planes[0].shape, dtype=jnp.int32)
@@ -511,6 +518,32 @@ class FilteredCounter:
         if not bool(overflow):
             return
         idx = self.index
+        if kind == "pallas_dd":
+            from kmer_denovo_filter_tpu.ops import pallas_join as pj
+            t0, t1, _perm, p = idx.tile_partitions()
+            ovf_s, ovf_u = cap
+            while self._dedup:
+                if bool(ovf_u):
+                    if self._dd_u_chunk * 2 > pj.LCHUNK_DD // 2:
+                        # stream doesn't dedup — the local sort stops
+                        # paying; replay plain and stay there
+                        self._dedup = False
+                        break
+                    self._dd_u_chunk *= 2
+                if bool(ovf_s):
+                    if self._dd_w_part >= pj.MAX_W_PART_TALLY:
+                        self._dedup = False
+                        break
+                    self._dd_w_part = min(self._dd_w_part * 2,
+                                          pj.MAX_W_PART_TALLY)
+                acc, ovf_s, ovf_u = pj.join_tally_step_dedup(
+                    t0, t1, acc_before, codes_j, lens_j, idx.k, p,
+                    self._dd_w_part, self._dd_u_chunk,
+                    interpret=_pallas_interpret())
+                if not bool(ovf_s) and not bool(ovf_u):
+                    self.acc = acc
+                    return
+            kind = "pallas"  # replay through the plain-path ladder
         if kind in ("pallas", "pallas_wide"):
             from kmer_denovo_filter_tpu.ops import pallas_join as pj
             if kind == "pallas":
@@ -606,6 +639,15 @@ class FilteredCounter:
         # io-alias gets a fresh XLA copy because _pending still holds
         # the input buffer, so replaying from it is exact.
         acc_before = self.acc
+        if self._dedup:
+            acc, ovf_s, ovf_u = pj.join_tally_step_dedup(
+                t0, t1, acc_before, codes_j, lens_j, idx.k, p,
+                self._dd_w_part, self._dd_u_chunk,
+                interpret=_pallas_interpret())
+            self.acc = acc
+            self._pending = ("pallas_dd", codes_j, lens_j, acc_before,
+                             ovf_s | ovf_u, (ovf_s, ovf_u))
+            return
         acc, overflow = pj.join_tally_step(
             t0, t1, acc_before, codes_j, lens_j, idx.k, p, self.w_part,
             interpret=_pallas_interpret())

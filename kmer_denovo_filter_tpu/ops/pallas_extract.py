@@ -1,19 +1,20 @@
 """Fused Pallas canonical-window extraction + key mixing (W == 2).
 
 The XLA extraction graph (ops/device.py:extract_canonical_windows)
-measures ~6.4 ms per 32k-read batch on v5e — ~100× above its VPU op
-cost — because its long elementwise chain with misaligned lane slices
-materializes intermediates to HBM at every step.  This kernel runs the
-whole chain VMEM-resident per read block: 2-bit doubling packs (4
-shift-OR steps instead of 16), canonical min(fwd, rc), dyadic N-window
-OR, and the route mix (pallas_join Feistel) — one HBM read of the
-codes, one write of the mixed key planes.
+measures ~6.3 ms per 32k-read batch on v5e — ~100× above its VPU op
+cost.  This kernel runs the whole chain VMEM-resident per read block:
+2-bit doubling packs (4 shift-OR steps instead of 16), canonical
+min(fwd, rc), dyadic N-window OR, and the route mix (pallas_join
+Feistel) — one HBM read of the codes, one write of the mixed key
+planes.  Measured 6.44 ms in its first version — parity of cost with
+the XLA graph, not yet a win (PERF.md round-4 section tracks the
+per-block roll-chain suspects); its value today is the fused mixed
+sort-ready output layout that the dedup tally consumes directly.
 
 Output layout is sort-ready: (B, S_pad) uint32 ``hi``/``lo`` planes
 with S_pad a 128-lane multiple; padding columns and invalid windows
 hold the (0xFFFFFFFF, 0xFFFFFFFF) sentinel pair, which routes to the
-last partition exactly like the XLA path's padded rows
-(pallas_join._route).  ``reshape(-1)`` of these planes is therefore a
+last partition exactly like the XLA route's padded rows.  ``reshape(-1)`` of these planes is therefore a
 valid pre-padded query stream with no concatenation pass.
 
 Replaces the extract+mix+pad prefix of the reference's parent-scan

@@ -215,58 +215,6 @@ def build_tile_partitions(keys_np, p=None):
     return t0, t1, perm, p
 
 
-def _route(flat, p, with_idx):
-    """XLA routing: hash → sort by partition hash → chunk metadata.
-
-    Returns (s0, s1, sp) as (n/128, 128) arrays plus per-chunk
-    8-aligned window ``base``, per-sub ``sub_start``/``sub_span``, the
-    window requirement ``need`` (max partitions any chunk touches,
-    alignment margin included), and the sort permutation if asked.
-
-    The sort orders by the mixed high word ALONE (``num_keys=1``):
-    partition grouping is a function of ``hi`` only and the join never
-    needs within-partition order, so the cheaper single-key comparator
-    applies (measured 29.8 → 21.8 ms on the 4.7M-row member sort with
-    the index payload).  Sentinel rows are therefore handled uniformly
-    rather than special-cased: re-pinned to the (F, F) pair they sort
-    last into partition p-1, where they can only match the table's
-    (F, F) *padding* slots — junk found-bits that the member path masks
-    with ``valid`` / the original-length slice (no real key mixes to
-    (F, F): see the preimage assert above).
-    """
-    pad = (-flat.shape[0]) % CHUNK_ROWS
-    if pad:
-        flat = jnp.concatenate(
-            [flat, jnp.full((pad, 2), jnp.uint32(0xFFFFFFFF))], axis=0)
-    n = flat.shape[0]
-    w0, w1 = flat[:, 0], flat[:, 1]
-    sent = (w0 == jnp.uint32(0xFFFFFFFF)) & (w1 == jnp.uint32(0xFFFFFFFF))
-    h, low = _mix_keys(w0, w1)
-    hi = jnp.where(sent, jnp.uint32(0xFFFFFFFF), h)
-    lo = jnp.where(sent, jnp.uint32(0xFFFFFFFF), low)
-    if with_idx:
-        idx0 = jnp.arange(n, dtype=jnp.int32)
-        s0, s1, sidx = jax.lax.sort((hi, lo, idx0), num_keys=1)
-    else:
-        s0, s1 = jax.lax.sort((hi, lo), num_keys=1)
-        sidx = None
-    spart = _part_from_hi(s0, p)
-    nc = n // CHUNK_ROWS
-    sp2 = spart.reshape(nc * NSUB, SUB_ROWS)
-    # partitions are monotone in the sorted hi, so each sub-chunk's
-    # span is just last − first + 1
-    sub_start = sp2[:, 0]
-    sub_span = (sp2[:, -1] - sub_start + 1).astype(jnp.int32)
-    first = sub_start.reshape(nc, NSUB)[:, 0]
-    base = (first // 8) * 8  # HBM slab starts must be 8-row aligned
-    last = sp2[:, -1].reshape(nc, NSUB)[:, -1]
-    need = jnp.max(last - base + 1)
-    s0r = s0.reshape(n // 128, 128)
-    s1r = s1.reshape(n // 128, 128)
-    spr = spart.reshape(n // 128, 128)
-    return s0r, s1r, spr, base, sub_start, sub_span, need, sidx, n
-
-
 def _join_kernel(meta_ref, t0_hbm, t1_hbm, s0_ref, s1_ref, sp_ref,
                  found_ref, t0w, t1w, sem_t0, sem_t1, *, w_part):
     """One member-scan chunk: DMA the partition window, join sub-chunks.
@@ -451,7 +399,7 @@ def join_tally_step(t0, t1, acc, codes, lengths, k, p,
     w0, w1 = flat[:, 0], flat[:, 1]
     sent = (w0 == jnp.uint32(0xFFFFFFFF)) & (w1 == jnp.uint32(0xFFFFFFFF))
     h, low = _mix_keys(w0, w1)
-    # single-key route sort + uniform sentinel handling, as in _route:
+    # single-key route sort + uniform sentinel handling:
     # re-pinned sentinels land in partition p-1 where they can only
     # match the table's (F, F) padding slots, whose tallies result()
     # drops via the perm (padding lanes carry perm -1)
@@ -520,15 +468,41 @@ def join_member_step(t0, t1, codes, lengths, k, p, w_part=W_PART,
                      interpret=False):
     """Fused anchoring step: per-window membership via the tile-join.
 
-    Returns (found (B, S) bool, overflow).
+    Returns (found (B, S) bool, overflow).  Extraction + mixing run
+    as one Pallas kernel (pallas_extract.extract_mixed) whose
+    sentinel-padded (B, S_pad) planes flatten straight into the
+    route sort — no reshape/concat/mix graph between extraction and
+    routing.
     """
+    from kmer_denovo_filter_tpu.ops.pallas_extract import extract_mixed
     b, length = codes.shape
     s = length - k + 1
-    keys, valid = dev.extract_canonical_windows(codes, lengths, k)
-    flat = keys.reshape(-1, 2)
-    n_orig = flat.shape[0]
-    s0r, s1r, spr, base, sub_start, sub_span, need, sidx, n = _route(
-        flat, p, with_idx=True)
+    hi2, lo2 = extract_mixed(codes, lengths, k, interpret=interpret)
+    s_pad = hi2.shape[1]
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    valid = ~((hi2 == sentinel) & (lo2 == sentinel))
+    hi = hi2.reshape(-1)
+    lo = lo2.reshape(-1)
+    n_orig = hi.shape[0]
+    pad = (-n_orig) % CHUNK_ROWS
+    if pad:
+        hi = jnp.concatenate([hi, jnp.full(pad, sentinel)])
+        lo = jnp.concatenate([lo, jnp.full(pad, sentinel)])
+    n = hi.shape[0]
+    idx0 = jnp.arange(n, dtype=jnp.int32)
+    s0, s1, sidx = jax.lax.sort((hi, lo, idx0), num_keys=1)
+    spart = _part_from_hi(s0, p)
+    nc = n // CHUNK_ROWS
+    sp2 = spart.reshape(nc * NSUB, SUB_ROWS)
+    sub_start = sp2[:, 0]
+    sub_span = (sp2[:, -1] - sub_start + 1).astype(jnp.int32)
+    first = sub_start.reshape(nc, NSUB)[:, 0]
+    base = (first // 8) * 8
+    last = sp2[:, -1].reshape(nc, NSUB)[:, -1]
+    need = jnp.max(last - base + 1)
+    s0r = s0.reshape(n // 128, 128)
+    s1r = s1.reshape(n // 128, 128)
+    spr = spart.reshape(n // 128, 128)
     overflow = need > w_part
     meta = _pack_meta(base, sub_start, sub_span)
     found_sorted = _member_call(meta, t0, t1, s0r, s1r, spr, w_part,
@@ -541,8 +515,268 @@ def join_member_step(t0, t1, codes, lengths, k, p, w_part=W_PART,
         jnp.int32)
     ordered = jax.lax.sort(packed)
     found_flat = (ordered & 1) > 0
-    found = found_flat[:n_orig].reshape(b, s) & valid
+    found = (found_flat[:n_orig].reshape(b, s_pad)[:, :s]
+             & valid[:, :s])
     return found, overflow
+
+
+# ── Batch-local dedup tally (round 4) ───────────────────────────────
+# Coverage-local read batches (a coordinate-sorted WGS BAM) repeat
+# each genome k-mer ~coverage× — the window stream dedups ~4× even
+# after sequencing-error singletons.  This path collapses duplicates
+# BEFORE the expensive global route sort and join:
+#
+#   fused Pallas extract+mix (pallas_extract.extract_mixed)
+#     → segmented 8192-row local sort (0.35× the global sort cost)
+#     → adjacent-run detection + monotone-rank log-shift compaction
+#       (13 pull steps, no scatter anywhere — collision-free because
+#       dup-counts are non-decreasing, see _dedup_compact)
+#     → small global 3-operand sort of the compacted stream
+#     → WEIGHTED tile-join kernel (run multiplicities ride the MXU
+#       tally dot's mask operand)
+#
+# Counts are exact: a run split across chunks (or by a rare mixed-hi
+# collision interleaving) just yields two weighted rows whose tallies
+# sum to the same total.  Replaces jellyfish's per-window counting
+# loop (reference core/jellyfish_wrappers.py:189–200) with work
+# proportional to the batch's distinct k-mers.
+
+LCHUNK_DD = 8192           # local dedup chunk (rows)
+CHUNK_DD = 4096            # join-kernel query rows per grid step
+NSUB_DD = CHUNK_DD // SUB_ROWS
+W_PART_DD = 256            # compacted streams are partition-sparser
+# Per-chunk unique capacity (doubled on overflow).  Measured at 40×
+# coverage / 0.3% error: max locals ~1570 of 8192; 1792 keeps a
+# margin while cutting 12% of zero-weight junk rows from the global
+# sort + join (18.99 → 18.26 ms/batch).
+U_CHUNK_DD = 1792
+
+
+def _dedup_compact(hi, lo, u_chunk):
+    """Mixed flat stream → per-chunk (keys, weights), compacted.
+
+    Rows past a chunk's unique count keep stale in-chunk key values
+    with weight 0 — harmless to the weighted join and still
+    hash-local, so spans stay tight.  Returns flat
+    ``(hi, lo, wgt, overflow)`` of ``(n / LCHUNK_DD) * u_chunk`` rows;
+    *overflow* means some chunk had more than *u_chunk* uniques and
+    the caller must retry with a doubled capacity.
+
+    The compaction is the classic monotone-rank bit-serial shift: row
+    *i*'s target slot is ``i − d_i`` with ``d_i`` its chunk-local
+    duplicate count so far; ``d`` is non-decreasing, which makes the
+    13 pull steps collision-free (for live rows *i < i′* at step
+    mask *m*, ``(d_{i′}&m) − (d_i&m) ≤ d_{i′} − d_i < i′ − i``).
+    """
+    n = hi.shape[0]
+    nloc = n // LCHUNK_DD
+    h2 = hi.reshape(nloc, LCHUNK_DD)
+    l2 = lo.reshape(nloc, LCHUNK_DD)
+    hs, ls = jax.lax.sort((h2, l2), dimension=1, num_keys=1)
+    prev_h = jnp.pad(hs[:, :-1], ((0, 0), (1, 0)),
+                     constant_values=0x12345678)
+    prev_l = jnp.pad(ls[:, :-1], ((0, 0), (1, 0)))
+    st = (hs != prev_h) | (ls != prev_l)
+    rank = jnp.cumsum(st.astype(jnp.int32), axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 1)
+    d = col - rank + 1
+    # payload word: original column (14 bits, for run lengths by
+    # position diff) | shift distance d (14 bits)
+    wd = (col << 14) | (d & 0x3FFF)
+    live = st
+    for j in range(13):
+        s = 1 << j
+
+        def shl(a, fill, _s=s):
+            return jnp.concatenate(
+                [a[:, _s:],
+                 jnp.full((a.shape[0], _s), fill, a.dtype)], axis=1)
+
+        src_live = shl(live, False)
+        src_wd = shl(wd, 0)
+        flag = src_live & (((src_wd >> j) & 1) == 1)
+        stays = live & (((wd >> j) & 1) == 0)
+        hs = jnp.where(flag, shl(hs, jnp.uint32(0xFFFFFFFF)), hs)
+        ls = jnp.where(flag, shl(ls, jnp.uint32(0xFFFFFFFF)), ls)
+        wd = jnp.where(flag, src_wd, wd)
+        live = flag | stays
+    u_c = rank[:, -1:]
+    live_f = col < u_c
+    pos = (wd >> 14) & 0x3FFF
+    nxt = jnp.concatenate(
+        [pos[:, 1:],
+         jnp.full((nloc, 1), LCHUNK_DD, jnp.int32)], axis=1)
+    nxt_live = jnp.concatenate(
+        [live_f[:, 1:], jnp.zeros((nloc, 1), bool)], axis=1)
+    nxt = jnp.where(nxt_live, nxt, LCHUNK_DD)
+    wgt = jnp.where(live_f, nxt - pos, 0)
+    overflow = jnp.max(u_c) > u_chunk
+    return (hs[:, :u_chunk].reshape(-1),
+            ls[:, :u_chunk].reshape(-1),
+            wgt[:, :u_chunk].reshape(-1), overflow)
+
+
+def _tally_kernel_w(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
+                    sp_ref, w_ref, acc_in_hbm, acc_out_hbm, accw,
+                    sem_in, sem_out, *, w_part):
+    """Weighted tally chunk: like _tally_kernel, but each query row
+    carries a run multiplicity that rides the MXU dot's mask."""
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    baseb = meta_ref[c] * w_part
+    base8 = pl.multiple_of(meta_ref[nc + c], 8)
+    din = pltpu.make_async_copy(
+        acc_out_hbm.at[pl.ds(base8, w_part), :], accw, sem_in)
+    din.start()
+    din.wait()
+
+    for s in range(NSUB_DD):
+        st = meta_ref[2 * nc + c * NSUB_DD + s]
+        span = meta_ref[2 * nc + nc * NSUB_DD + c * NSUB_DD + s]
+        q0t = s0_ref[s, :].reshape(SUB_ROWS, 1)
+        q1t = s1_ref[s, :].reshape(SUB_ROWS, 1)
+        relt = sp_ref[s, :].reshape(SUB_ROWS, 1) - st
+        wt = w_ref[s, :].reshape(SUB_ROWS, 1).astype(jnp.float32)
+
+        def tally(eq2, t, arow, _relt=relt, _wt=wt):
+            # per-sub weighted sums stay ≤ 128·8192 < 2^24: f32 exact
+            maskv = jnp.where(_relt == t, _wt, 0.0).reshape(
+                1, SUB_ROWS)
+            cnt = jax.lax.dot_general(
+                maskv, eq2.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            accw[pl.ds(arow, 1), :] += cnt.astype(jnp.int32)
+
+        @pl.when(st - baseb + span <= w_part)
+        def _fast(q0t=q0t, q1t=q1t, st=st, span=span):
+            def body(t, _):
+                row = st - baseb + t
+                eq2 = ((q0t == t0lo[pl.ds(row, 1), :])
+                       & (q1t == t1lo[pl.ds(row, 1), :]))
+                tally(eq2, t, st - base8 + t)
+                return 0
+            jax.lax.fori_loop(0, span, body, 0)
+
+        @pl.when(st - baseb + span > w_part)
+        def _straddle(q0t=q0t, q1t=q1t, st=st, span=span):
+            def body(t, _):
+                row = st - baseb + t
+                rlo = jnp.minimum(row, w_part - 1)
+                rhi = jnp.maximum(row - w_part, 0)
+                in_lo = row < w_part
+                v0 = jnp.where(in_lo, t0lo[pl.ds(rlo, 1), :],
+                               t0hi[pl.ds(rhi, 1), :])
+                v1 = jnp.where(in_lo, t1lo[pl.ds(rlo, 1), :],
+                               t1hi[pl.ds(rhi, 1), :])
+                eq2 = (q0t == v0) & (q1t == v1)
+                tally(eq2, t, st - base8 + t)
+                return 0
+            jax.lax.fori_loop(0, span, body, 0)
+
+    dout = pltpu.make_async_copy(
+        accw, acc_out_hbm.at[pl.ds(base8, w_part), :], sem_out)
+    dout.start()
+    dout.wait()
+
+
+def _tally_call_w(meta, t0, t1, s0r, s1r, spr, wr, acc, w_part,
+                  interpret):
+    nc = s0r.shape[0] // NSUB_DD
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TILE_KEYS),
+                         lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TILE_KEYS),
+                         lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB_DD, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB_DD, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB_DD, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB_DD, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((w_part, TILE_KEYS), jnp.int32),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_tally_kernel_w, w_part=w_part),
+        out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={9: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, t0, t0, t1, t1, s0r, s1r, spr, wr, acc)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "p", "w_part", "u_chunk", "interpret"))
+def join_tally_step_dedup(t0, t1, acc, codes, lengths, k, p,
+                          w_part=W_PART_DD, u_chunk=U_CHUNK_DD,
+                          interpret=False):
+    """Dedup-first fused tally step (k ≤ 31).
+
+    Returns ``(acc', ovf_span, ovf_u)``: *ovf_span* means a chunk's
+    partition span missed the window blocks (retry with doubled
+    *w_part*); *ovf_u* means a local chunk had more than *u_chunk*
+    distinct keys (retry with doubled *u_chunk*, or fall back to
+    :func:`join_tally_step` when dedup stops paying).
+    """
+    from kmer_denovo_filter_tpu.ops.pallas_extract import extract_mixed
+    hi2, lo2 = extract_mixed(codes, lengths, k, interpret=interpret)
+    hi = hi2.reshape(-1)
+    lo = lo2.reshape(-1)
+    pad = (-hi.shape[0]) % LCHUNK_DD
+    if pad:
+        hi = jnp.concatenate(
+            [hi, jnp.full(pad, jnp.uint32(0xFFFFFFFF))])
+        lo = jnp.concatenate(
+            [lo, jnp.full(pad, jnp.uint32(0xFFFFFFFF))])
+    hc, lc, wc, ovf_u = _dedup_compact(hi, lo, u_chunk)
+    s0, s1, sw = jax.lax.sort((hc, lc, wc), num_keys=1)
+    n2 = s0.shape[0]
+    pad2 = (-n2) % CHUNK_DD
+    if pad2:
+        s0 = jnp.concatenate(
+            [s0, jnp.full(pad2, jnp.uint32(0xFFFFFFFF))])
+        s1 = jnp.concatenate(
+            [s1, jnp.full(pad2, jnp.uint32(0xFFFFFFFF))])
+        sw = jnp.concatenate([sw, jnp.zeros(pad2, jnp.int32)])
+        n2 += pad2
+    spart = _part_from_hi(s0, p)
+    nc = n2 // CHUNK_DD
+    sp2 = spart.reshape(nc * NSUB_DD, SUB_ROWS)
+    sub_start = sp2[:, 0]
+    sub_span = (sp2[:, -1] - sub_start + 1).astype(jnp.int32)
+    first = sub_start.reshape(nc, NSUB_DD)[:, 0]
+    blk = first // w_part
+    base8 = (first // 8) * 8
+    last = sp2[:, -1].reshape(nc, NSUB_DD)[:, -1]
+    ovf_span = ((jnp.max(last - blk * w_part + 1) > 2 * w_part)
+                | (jnp.max(last - base8 + 1) > w_part))
+    meta = jnp.concatenate([blk, base8, sub_start, sub_span])
+    s0r = s0.reshape(n2 // 128, 128)
+    s1r = s1.reshape(n2 // 128, 128)
+    spr = spart.reshape(n2 // 128, 128)
+    swr = sw.reshape(n2 // 128, 128)
+    acc_out = _tally_call_w(meta, t0, t1, s0r, s1r, spr, swr, acc,
+                            w_part, interpret)
+    return acc_out, ovf_span, ovf_u
 
 
 # ── Shard-local routing (multi-chip tile-join) ──────────────────────

@@ -631,7 +631,744 @@ def main():
         run_sort(rng, genome)
     if which in ("kernel",):
         run_kernel(rng, genome)
+    if which in ("pieces5",):
+        run_pieces5(rng, genome)
+    if which in ("v5",):
+        run_v5(rng, genome)
+    if which in ("prof5",):
+        run_prof5(rng, genome)
+    if which in ("xextract",):
+        run_xextract(rng, genome)
+    if which in ("xextract3",):
+        run_xextract3(rng, genome)
 
+
+
+
+# ── v5 pieces: primitive costs for the dedup-join pipeline ──────────
+# Batch-local dedup before the join: segmented local sort → run-length
+# weights → log-shift compaction (monotone-rank pull shifts, no
+# scatter) → small global sort → weighted kernel.  These timings
+# validate the stage budget before the pipeline is built.
+
+def run_pieces5(rng, genome):
+    codes = jnp.asarray(synth_reads(rng, genome, BATCH_READS, READ_LEN))
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+    keys, _ = jax.jit(dev.extract_canonical_windows,
+                      static_argnames=("k",))(codes, lengths, K)
+    flat = np.asarray(keys).reshape(-1, 2)
+    pad = (-flat.shape[0]) % 8192
+    flat = np.concatenate(
+        [flat, np.full((pad, 2), 0xFFFFFFFF, np.uint32)])
+    h, lo = pj.mix_keys_np(flat[:, 0], flat[:, 1])
+    n = h.shape[0]
+    print(f"n={n}")
+    LC = 8192
+    nloc = n // LC
+    h2 = jnp.asarray(h.reshape(nloc, LC))
+    l2 = jnp.asarray(lo.reshape(nloc, LC))
+
+    seg_sort = jax.jit(lambda a, b: jax.lax.sort(
+        (a, b), dimension=1, num_keys=1))
+    timeit("seg sort (512,8192) 2op nk=1", seg_sort, h2, l2)
+    seg_sort3 = jax.jit(lambda a, b, c: jax.lax.sort(
+        (a, b, c), dimension=1, num_keys=1))
+    i2 = jnp.tile(jnp.arange(LC, dtype=jnp.int32)[None, :], (nloc, 1))
+    timeit("seg sort (512,8192) 3op nk=1", seg_sort3, h2, l2, i2)
+
+    hs, ls = seg_sort(h2, l2)
+
+    @jax.jit
+    def flags_and_d(hs, ls):
+        prev_h = jnp.pad(hs[:, :-1], ((0, 0), (1, 0)),
+                         constant_values=0x12345678)
+        prev_l = jnp.pad(ls[:, :-1], ((0, 0), (1, 0)))
+        st = (hs != prev_h) | (ls != prev_l)
+        rank = jnp.cumsum(st.astype(jnp.int32), axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 1)
+        d = col - rank + 1
+        return st, rank, d
+
+    timeit("flags + cumsum + d", lambda a, b: flags_and_d(a, b)[2][:1, :1],
+           hs, ls)
+
+    st, rank, d = flags_and_d(hs, ls)
+
+    @functools.partial(jax.jit, static_argnames=("u_chunk",))
+    def compact(hs, ls, st, rank, d, u_chunk=2048):
+        col = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 1)
+        # payload: original column (13b) for weight-by-diff, d (13b),
+        # live (1b)
+        wd = (col << 14) | (d & 0x3FFF)
+        live = st
+        for j in range(13):
+            s = 1 << j
+            def shl(a, fill):
+                return jnp.concatenate(
+                    [a[:, s:], jnp.full((a.shape[0], s), fill,
+                                        a.dtype)], axis=1)
+            src_live = shl(live, False)
+            src_wd = shl(wd, 0)
+            flag = src_live & (((src_wd >> j) & 1) == 1)
+            stays = live & (((wd >> j) & 1) == 0)
+            hs = jnp.where(flag, shl(hs, 0), hs)
+            ls = jnp.where(flag, shl(ls, 0), ls)
+            wd = jnp.where(flag, src_wd, wd)
+            live = flag | stays
+        hs2, ls2, wd2 = hs, ls, wd
+        u_c = rank[:, -1:]
+        colu = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 1)
+        live_f = colu < u_c
+        pos = (wd2 >> 14) & 0x3FFF
+        nxt = jnp.concatenate(
+            [pos[:, 1:], jnp.full((pos.shape[0], 1), LC, jnp.int32)],
+            axis=1)
+        nxt_live = jnp.concatenate(
+            [live_f[:, 1:], jnp.zeros((pos.shape[0], 1), bool)],
+            axis=1)
+        nxt = jnp.where(nxt_live, nxt, LC)
+        wgt = jnp.where(live_f, nxt - pos, 0)
+        return (hs2[:, :u_chunk], ls2[:, :u_chunk],
+                wgt[:, :u_chunk], jnp.max(u_c))
+
+    timeit("compaction 13 pull steps",
+           lambda a, b, c, e, f: compact(a, b, c, e, f)[3],
+           hs, ls, st, rank, d)
+
+    hc, lc, wc, umax = jax.jit(compact)(hs, ls, st, rank, d)
+    print(f"max local uniques: {int(umax)} (cap 2048)")
+    # host-side correctness of compaction: weights of real rows should
+    # sum to LC per chunk
+    wsum = np.asarray(jnp.sum(wc, axis=1))
+    print("weight sums == LC:", bool((wsum == LC).all()))
+
+    hcf = hc.reshape(-1)
+    lcf = lc.reshape(-1)
+    wcf = wc.reshape(-1)
+    gsort = jax.jit(lambda a, b, c: jax.lax.sort(
+        (a, b, c), num_keys=1))
+    timeit(f"global sort {hcf.shape[0]} rows 3op", gsort, hcf, lcf,
+           wcf)
+
+    cum = jax.jit(lambda a: jnp.cumsum(a, axis=1))
+    timeit("bare cumsum (512,8192)", cum,
+           jnp.asarray(st.astype(jnp.int32)))
+
+
+
+
+# ── v5: batch-local dedup join ──────────────────────────────────────
+# Fused Pallas extract+mix → segmented local sort (8192-row chunks) →
+# run-length dedup via monotone-rank log-shift compaction (no scatter)
+# → small global 3-operand sort → WEIGHTED tile-join kernel.  At 40×
+# coverage the compacted stream is ~4× smaller than the raw window
+# stream, shrinking both the global sort and the join.
+
+LCHUNK5 = 8192
+CHUNK_T5 = 4096
+NSUB_T5 = CHUNK_T5 // SUB_ROWS
+
+
+def _tally_kernel_w(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
+                    sp_ref, w_ref, acc_in_hbm, acc_out_hbm, accw,
+                    sem_in, sem_out, *, w_part):
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    baseb = meta_ref[c] * w_part
+    base8 = pl.multiple_of(meta_ref[nc + c], 8)
+    din = pltpu.make_async_copy(
+        acc_out_hbm.at[pl.ds(base8, w_part), :], accw, sem_in)
+    din.start()
+    din.wait()
+
+    for s in range(NSUB_T5):
+        st = meta_ref[2 * nc + c * NSUB_T5 + s]
+        span = meta_ref[2 * nc + nc * NSUB_T5 + c * NSUB_T5 + s]
+        q0t = s0_ref[s, :].reshape(SUB_ROWS, 1)
+        q1t = s1_ref[s, :].reshape(SUB_ROWS, 1)
+        relt = sp_ref[s, :].reshape(SUB_ROWS, 1) - st
+        wt = w_ref[s, :].reshape(SUB_ROWS, 1).astype(jnp.float32)
+
+        def tally(eq2, t, arow, _relt=relt, _wt=wt):
+            maskv = jnp.where(_relt == t, _wt, 0.0).reshape(
+                1, SUB_ROWS)
+            cnt = jax.lax.dot_general(
+                maskv, eq2.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            accw[pl.ds(arow, 1), :] += cnt.astype(jnp.int32)
+
+        @pl.when(st - baseb + span <= w_part)
+        def _fast(q0t=q0t, q1t=q1t, st=st, span=span):
+            def body(t, _):
+                row = st - baseb + t
+                eq2 = ((q0t == t0lo[pl.ds(row, 1), :])
+                       & (q1t == t1lo[pl.ds(row, 1), :]))
+                tally(eq2, t, st - base8 + t)
+                return 0
+            jax.lax.fori_loop(0, span, body, 0)
+
+        @pl.when(st - baseb + span > w_part)
+        def _straddle(q0t=q0t, q1t=q1t, st=st, span=span):
+            def body(t, _):
+                row = st - baseb + t
+                rlo = jnp.minimum(row, w_part - 1)
+                rhi = jnp.maximum(row - w_part, 0)
+                in_lo = row < w_part
+                v0 = jnp.where(in_lo, t0lo[pl.ds(rlo, 1), :],
+                               t0hi[pl.ds(rhi, 1), :])
+                v1 = jnp.where(in_lo, t1lo[pl.ds(rlo, 1), :],
+                               t1hi[pl.ds(rhi, 1), :])
+                eq2 = (q0t == v0) & (q1t == v1)
+                tally(eq2, t, st - base8 + t)
+                return 0
+            jax.lax.fori_loop(0, span, body, 0)
+
+    dout = pltpu.make_async_copy(
+        accw, acc_out_hbm.at[pl.ds(base8, w_part), :], sem_out)
+    dout.start()
+    dout.wait()
+
+
+def _tally_call_w(meta, t0, t1, s0r, s1r, spr, wr, acc, w_part,
+                  interpret):
+    nc = s0r.shape[0] // NSUB_T5
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TILE_KEYS),
+                         lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TILE_KEYS),
+                         lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB_T5, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB_T5, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB_T5, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB_T5, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((w_part, TILE_KEYS), jnp.int32),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_tally_kernel_w, w_part=w_part),
+        out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={9: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, t0, t0, t1, t1, s0r, s1r, spr, wr, acc)
+
+
+def _dedup_compact(hi, lo, u_chunk):
+    """Sorted-with-duplicates flat stream → compacted (keys, weights).
+
+    Segmented 8192-row local sort, adjacent-pair run detection, and a
+    13-step monotone-rank pull-shift compaction (collision-free for
+    non-decreasing shift distances — no scatter anywhere).  Returns
+    flat (hi, lo, wgt) of nloc*u_chunk rows plus an overflow flag
+    (some chunk had more than u_chunk uniques).  Rows past a chunk's
+    unique count keep stale in-chunk key values with weight 0 —
+    harmless to the weighted join and still hash-local.
+    """
+    n = hi.shape[0]
+    nloc = n // LCHUNK5
+    h2 = hi.reshape(nloc, LCHUNK5)
+    l2 = lo.reshape(nloc, LCHUNK5)
+    hs, ls = jax.lax.sort((h2, l2), dimension=1, num_keys=1)
+    prev_h = jnp.pad(hs[:, :-1], ((0, 0), (1, 0)),
+                     constant_values=0x12345678)
+    prev_l = jnp.pad(ls[:, :-1], ((0, 0), (1, 0)))
+    st = (hs != prev_h) | (ls != prev_l)
+    rank = jnp.cumsum(st.astype(jnp.int32), axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 1)
+    d = col - rank + 1
+    wd = (col << 14) | (d & 0x3FFF)
+    live = st
+    for j in range(13):
+        s = 1 << j
+
+        def shl(a, fill, _s=s):
+            return jnp.concatenate(
+                [a[:, _s:],
+                 jnp.full((a.shape[0], _s), fill, a.dtype)], axis=1)
+
+        src_live = shl(live, False)
+        src_wd = shl(wd, 0)
+        flag = src_live & (((src_wd >> j) & 1) == 1)
+        stays = live & (((wd >> j) & 1) == 0)
+        hs = jnp.where(flag, shl(hs, jnp.uint32(0xFFFFFFFF)), hs)
+        ls = jnp.where(flag, shl(ls, jnp.uint32(0xFFFFFFFF)), ls)
+        wd = jnp.where(flag, src_wd, wd)
+        live = flag | stays
+    u_c = rank[:, -1:]
+    live_f = col < u_c
+    pos = (wd >> 14) & 0x3FFF
+    nxt = jnp.concatenate(
+        [pos[:, 1:],
+         jnp.full((nloc, 1), LCHUNK5, jnp.int32)], axis=1)
+    nxt_live = jnp.concatenate(
+        [live_f[:, 1:], jnp.zeros((nloc, 1), bool)], axis=1)
+    nxt = jnp.where(nxt_live, nxt, LCHUNK5)
+    wgt = jnp.where(live_f, nxt - pos, 0)
+    overflow = jnp.max(u_c) > u_chunk
+    return (hs[:, :u_chunk].reshape(-1),
+            ls[:, :u_chunk].reshape(-1),
+            wgt[:, :u_chunk].reshape(-1), overflow)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "p", "w_part", "u_chunk", "interpret"))
+def join_tally_step_v5(t0, t1, acc, codes, lengths, k, p,
+                       w_part=256, u_chunk=2048,
+                       interpret=False):
+    from kmer_denovo_filter_tpu.ops.pallas_extract import extract_mixed
+    hi2, lo2 = extract_mixed(codes, lengths, k, interpret=interpret)
+    hi = hi2.reshape(-1)
+    lo = lo2.reshape(-1)
+    pad = (-hi.shape[0]) % LCHUNK5
+    if pad:
+        hi = jnp.concatenate(
+            [hi, jnp.full(pad, jnp.uint32(0xFFFFFFFF))])
+        lo = jnp.concatenate(
+            [lo, jnp.full(pad, jnp.uint32(0xFFFFFFFF))])
+    hc, lc, wc, ovf_u = _dedup_compact(hi, lo, u_chunk)
+    s0, s1, sw = jax.lax.sort((hc, lc, wc), num_keys=1)
+    n2 = s0.shape[0]
+    pad2 = (-n2) % CHUNK_T5
+    if pad2:
+        s0 = jnp.concatenate(
+            [s0, jnp.full(pad2, jnp.uint32(0xFFFFFFFF))])
+        s1 = jnp.concatenate(
+            [s1, jnp.full(pad2, jnp.uint32(0xFFFFFFFF))])
+        sw = jnp.concatenate([sw, jnp.zeros(pad2, jnp.int32)])
+        n2 += pad2
+    spart = pj._part_from_hi(s0, p)
+    nc = n2 // CHUNK_T5
+    sp2 = spart.reshape(nc * NSUB_T5, SUB_ROWS)
+    sub_start = sp2[:, 0]
+    sub_span = (sp2[:, -1] - sub_start + 1).astype(jnp.int32)
+    first = sub_start.reshape(nc, NSUB_T5)[:, 0]
+    blk = first // w_part
+    base8 = (first // 8) * 8
+    last = sp2[:, -1].reshape(nc, NSUB_T5)[:, -1]
+    overflow = (ovf_u
+                | (jnp.max(last - blk * w_part + 1) > 2 * w_part)
+                | (jnp.max(last - base8 + 1) > w_part))
+    meta = jnp.concatenate([blk, base8, sub_start, sub_span])
+    s0r = s0.reshape(n2 // 128, 128)
+    s1r = s1.reshape(n2 // 128, 128)
+    spr = spart.reshape(n2 // 128, 128)
+    swr = sw.reshape(n2 // 128, 128)
+    acc_out = _tally_call_w(meta, t0, t1, s0r, s1r, spr, swr, acc,
+                            w_part, interpret)
+    return acc_out, overflow
+
+
+def run_v5(rng, genome):
+    codes = jnp.asarray(synth_reads(rng, genome, BATCH_READS, READ_LEN))
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+    WGS_TABLE_M = 1 << 24
+    gcodes = jnp.asarray(np.asarray(genome).reshape(-1, 256))
+    glens = jnp.full(gcodes.shape[0], 256, dtype=np.int32)
+    gkeys, gvalid = dev.extract_canonical_windows(gcodes, glens, K)
+    gk = np.asarray(gkeys)[np.asarray(gvalid)]
+    g64 = (gk[:, 0].astype(np.uint64) << 32) | gk[:, 1]
+    k64 = np.unique(np.concatenate([
+        rng.integers(0, 2 ** 62, size=WGS_TABLE_M, dtype=np.uint64),
+        g64]))
+    keys = np.stack([(k64 >> 32).astype(np.uint32),
+                     k64.astype(np.uint32)], 1)
+    t0, t1, perm, p = pj.build_tile_partitions(keys)
+    t0j, t1j = jnp.asarray(t0), jnp.asarray(t1)
+    acc = jnp.zeros(t0.shape, jnp.int32)
+    real = perm >= 0
+
+    def real_tally(a):
+        return np.asarray(a)[:perm.shape[0]][real]
+
+    a1, ov1 = pj.join_tally_step(t0j, t1j, acc, codes, lengths, K, p)
+    a5, ov5 = join_tally_step_v5(t0j, t1j, acc, codes, lengths, K, p)
+    print(f"overflow v1={bool(ov1)} v5={bool(ov5)}", flush=True)
+    same = np.array_equal(real_tally(a1), real_tally(a5))
+    print(f"v5 parity: {same}", flush=True)
+    assert not bool(ov5)
+    assert same
+    timeit("tally v1 full step",
+           lambda a, c, l: pj.join_tally_step(
+               t0j, t1j, a, c, l, K, p)[0], acc, codes, lengths)
+    timeit("tally v5 full step (dedup)",
+           lambda a, c, l: join_tally_step_v5(
+               t0j, t1j, a, c, l, K, p)[0], acc, codes, lengths)
+
+
+
+# ── v5 cumulative-prefix profile + knob sweep ───────────────────────
+
+def run_prof5(rng, genome):
+    from kmer_denovo_filter_tpu.ops.pallas_extract import extract_mixed
+
+    codes = jnp.asarray(synth_reads(rng, genome, BATCH_READS, READ_LEN))
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+    WGS_TABLE_M = 1 << 24
+    gcodes = jnp.asarray(np.asarray(genome).reshape(-1, 256))
+    glens = jnp.full(gcodes.shape[0], 256, dtype=np.int32)
+    gkeys, gvalid = dev.extract_canonical_windows(gcodes, glens, K)
+    gk = np.asarray(gkeys)[np.asarray(gvalid)]
+    g64 = (gk[:, 0].astype(np.uint64) << 32) | gk[:, 1]
+    k64 = np.unique(np.concatenate([
+        rng.integers(0, 2 ** 62, size=WGS_TABLE_M, dtype=np.uint64),
+        g64]))
+    keys = np.stack([(k64 >> 32).astype(np.uint32),
+                     k64.astype(np.uint32)], 1)
+    t0, t1, perm, p = pj.build_tile_partitions(keys)
+    t0j, t1j = jnp.asarray(t0), jnp.asarray(t1)
+    acc = jnp.zeros(t0.shape, jnp.int32)
+    print(f"p={p}", flush=True)
+
+    LC = pj.LCHUNK_DD
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def p0(codes, lengths, k):
+        hi2, lo2 = extract_mixed(codes, lengths, k)
+        return hi2[:1, :1], lo2[:1, :1]
+
+    @functools.partial(jax.jit, static_argnames=("k", "u_chunk"))
+    def p1(codes, lengths, k, u_chunk=2048):
+        hi2, lo2 = extract_mixed(codes, lengths, k)
+        hi = hi2.reshape(-1)
+        lo = lo2.reshape(-1)
+        hc, lc, wc, ovf = pj._dedup_compact(hi, lo, u_chunk)
+        return hc[:1], lc[:1], wc[:1]
+
+    @functools.partial(jax.jit, static_argnames=("k", "u_chunk"))
+    def p2(codes, lengths, k, u_chunk=2048):
+        hi2, lo2 = extract_mixed(codes, lengths, k)
+        hi = hi2.reshape(-1)
+        lo = lo2.reshape(-1)
+        hc, lc, wc, ovf = pj._dedup_compact(hi, lo, u_chunk)
+        s0, s1, sw = jax.lax.sort((hc, lc, wc), num_keys=1)
+        return s0[:1], s1[:1], sw[:1]
+
+    timeit("p0 extract_mixed", p0, codes, lengths, K)
+    timeit("p1 + dedup_compact", p1, codes, lengths, K)
+    timeit("p2 + global sort", p2, codes, lengths, K)
+    timeit("p3 full (u=2048, w=256)",
+           lambda a, c, l: pj.join_tally_step_dedup(
+               t0j, t1j, a, c, l, K, p)[0], acc, codes, lengths)
+
+    real = perm >= 0
+
+    def real_tally(a):
+        return np.asarray(a)[:perm.shape[0]][real]
+
+    a1, _ = pj.join_tally_step(t0j, t1j, acc, codes, lengths, K, p)
+    base = real_tally(a1)
+    for u_c, w_p in ((1792, 256), (1792, 320), (2048, 320)):
+        a5, os_, ou_ = pj.join_tally_step_dedup(
+            t0j, t1j, acc, codes, lengths, K, p, w_part=w_p,
+            u_chunk=u_c)
+        okp = np.array_equal(base, real_tally(a5))
+        print(f"  u={u_c} w={w_p}: ovf_s={bool(os_)} "
+              f"ovf_u={bool(ou_)} parity={okp}", flush=True)
+        if bool(os_) or bool(ou_):
+            continue
+        timeit(f"p3 full (u={u_c}, w={w_p})",
+               lambda a, c, l, _u=u_c, _w=w_p: pj.join_tally_step_dedup(
+                   t0j, t1j, a, c, l, K, p, w_part=_w,
+                   u_chunk=_u)[0], acc, codes, lengths)
+
+
+
+# ── extract_mixed variants: why is the fused extract 6.4 ms? ────────
+
+def _make_extract_v2(pad_lanes):
+    """extract_mixed with the code block padded to *pad_lanes* lanes
+    (128-multiple) so every pltpu.roll acts on an aligned tile."""
+    from kmer_denovo_filter_tpu.ops import pallas_extract as px
+
+    def kernel(codes_ref, len_ref, hi_ref, lo_ref, *, k, length,
+               s_pad):
+        s = length - k + 1
+        rem = k % 16
+        codes = codes_ref[...].astype(jnp.int32)
+        bad = codes >= 4
+        clean = jnp.where(bad, 0, codes)
+        comp = 3 - clean
+
+        def shl(a, sh):
+            rolled = pltpu.roll(a, shift=a.shape[1] - sh, axis=1)
+            col = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+            return jnp.where(col < a.shape[1] - sh, rolled, 0)
+
+        p = clean
+        span = 1
+        while span < 16:
+            p = (p << (2 * span)) | shl(p, span)
+            span *= 2
+        pack32 = p.astype(jnp.uint32)
+        r = comp
+        span = 1
+        while span < 16:
+            r = r | (shl(r, span) << (2 * span))
+            span *= 2
+        rpack32 = r.astype(jnp.uint32)
+        last_mask = jnp.uint32(((1 << (2 * rem)) - 1) << (32 - 2 * rem))
+        f0 = pack32
+        f1 = shl(pack32, 16) & last_mask
+        r0 = shl(rpack32, k - 16)
+        r1 = (rpack32 << (2 * (16 - rem))) & last_mask
+        pick_fwd = (f0 < r0) | ((f0 == r0) & (f1 <= r1))
+        o = bad.astype(jnp.int32)
+        span = 1
+        while span * 2 <= k:
+            o = o | shl(o, span)
+            span *= 2
+        if span < k:
+            o = o | shl(o, k - span)
+        col = jax.lax.broadcasted_iota(jnp.int32, codes.shape, 1)
+        ln = len_ref[...].astype(jnp.int32)
+        valid = (o == 0) & (col + k <= ln) & (col < s)
+        w0 = jnp.where(pick_fwd, f0, r0)
+        w1 = jnp.where(pick_fwd, f1, r1)
+        h = w0 ^ px._fmix32(w1)
+        low = w1 ^ px._fmix32(h)
+        h = h ^ px._fmix32(low)
+        sent = jnp.uint32(0xFFFFFFFF)
+        h = jnp.where(valid, h, sent)
+        low = jnp.where(valid, low, sent)
+        hi_ref[...] = h[:, :s_pad]
+        lo_ref[...] = low[:, :s_pad]
+
+    @functools.partial(
+        jax.jit, static_argnames=("k", "block_reads"))
+    def extract_v2p(codes, lengths, k, block_reads=256):
+        b, length = codes.shape
+        s = length - k + 1
+        s_pad = -(-s // 128) * 128
+        lp = max(pad_lanes, -(-(length + 15) // 128) * 128)
+        pad_b = (-b) % block_reads
+        codes_p = jnp.pad(
+            codes.astype(jnp.int32), ((0, pad_b), (0, lp - length)),
+            constant_values=4)
+        lens_p = jnp.pad(lengths.astype(jnp.int32), (0, pad_b))
+        bp = b + pad_b
+        grid = (bp // block_reads,)
+        hi, lo = pl.pallas_call(
+            functools.partial(kernel, k=k, length=length,
+                              s_pad=s_pad),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_reads, lp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_reads, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_reads, s_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_reads, s_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bp, s_pad), jnp.uint32),
+                jax.ShapeDtypeStruct((bp, s_pad), jnp.uint32),
+            ],
+        )(codes_p, lens_p.reshape(bp, 1))
+        return hi[:b], lo[:b]
+
+    return extract_v2p
+
+
+def run_xextract(rng, genome):
+    from kmer_denovo_filter_tpu.ops.pallas_extract import extract_mixed
+
+    codes = jnp.asarray(synth_reads(rng, genome, BATCH_READS, READ_LEN))
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def p0(codes, lengths, k):
+        hi2, lo2 = extract_mixed(codes, lengths, k)
+        return hi2[:1, :1], lo2[:1, :1]
+
+    timeit("extract_mixed (prod, L=167)", p0, codes, lengths, K)
+
+    ref_h, ref_l = extract_mixed(codes, lengths, K)
+    ref_h = np.asarray(ref_h)
+    ref_l = np.asarray(ref_l)
+    v2 = _make_extract_v2(256)
+    for br in (256, 512, 1024):
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def pv(codes, lengths, k, _br=br):
+            hi2, lo2 = v2(codes, lengths, k, block_reads=_br)
+            return hi2[:1, :1], lo2[:1, :1]
+        h2, l2 = v2(codes, lengths, K, block_reads=br)
+        ok = (np.array_equal(np.asarray(h2), ref_h)
+              and np.array_equal(np.asarray(l2), ref_l))
+        print(f"  lane-256 br={br} parity={ok}", flush=True)
+        timeit(f"extract lane-256 br={br}", pv, codes, lengths, K)
+
+
+
+# ── extract v3: swizzle-rc + mask-free rolls ────────────────────────
+# rc word0[t] = comp-reversed bases t+k-1..t+k-16 = bitrev2(~pack32)
+# shifted — the whole reverse-complement pack chain collapses to ONE
+# elementwise 2-bit-group reversal of the forward pack.  With lanes
+# padded to 256, roll wrap-around only contaminates lanes >= 225 >
+# s=122, so every roll drops its iota/where mask.
+
+def _bitrev2(x):
+    """Reverse the sixteen 2-bit groups of each uint32 lane."""
+    x = ((x & jnp.uint32(0x33333333)) << 2) | (
+        (x >> 2) & jnp.uint32(0x33333333))
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | (
+        (x >> 4) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | (
+        (x >> 8) & jnp.uint32(0x00FF00FF))
+    x = (x << 16) | (x >> 16)
+    return x
+
+
+def _make_extract_v3():
+    from kmer_denovo_filter_tpu.ops import pallas_extract as px
+
+    def kernel(codes_ref, len_ref, hi_ref, lo_ref, *, k, length,
+               s_pad, lp):
+        s = length - k + 1
+        rem = k % 16
+        codes = codes_ref[...].astype(jnp.int32)
+        bad = codes >= 4
+        clean = jnp.where(bad, 0, codes)
+
+        def shl(a, sh):
+            return pltpu.roll(a, shift=lp - sh, axis=1)
+
+        p = clean
+        span = 1
+        while span < 16:
+            p = (p << (2 * span)) | shl(p, span)
+            span *= 2
+        pack32 = p.astype(jnp.uint32)
+        S = _bitrev2(~pack32)
+        last_mask = jnp.uint32(((1 << (2 * rem)) - 1) << (32 - 2 * rem))
+        f0 = pack32
+        f1 = shl(pack32, 16).astype(jnp.uint32) & last_mask
+        r0 = shl(S, k - 16).astype(jnp.uint32)
+        r1 = (S << (2 * (16 - rem))) & last_mask
+        pick_fwd = (f0 < r0) | ((f0 == r0) & (f1 <= r1))
+        o = bad.astype(jnp.int32)
+        span = 1
+        while span * 2 <= k:
+            o = o | shl(o, span)
+            span *= 2
+        if span < k:
+            o = o | shl(o, k - span)
+        col = jax.lax.broadcasted_iota(jnp.int32, codes.shape, 1)
+        ln = len_ref[...].astype(jnp.int32)
+        valid = (o == 0) & (col + k <= ln) & (col < s)
+        w0 = jnp.where(pick_fwd, f0, r0)
+        w1 = jnp.where(pick_fwd, f1, r1)
+        h = w0 ^ px._fmix32(w1)
+        low = w1 ^ px._fmix32(h)
+        h = h ^ px._fmix32(low)
+        sent = jnp.uint32(0xFFFFFFFF)
+        h = jnp.where(valid, h, sent)
+        low = jnp.where(valid, low, sent)
+        hi_ref[...] = h[:, :s_pad]
+        lo_ref[...] = low[:, :s_pad]
+
+    @functools.partial(
+        jax.jit, static_argnames=("k", "block_reads"))
+    def extract_v3(codes, lengths, k, block_reads=256):
+        b, length = codes.shape
+        s = length - k + 1
+        s_pad = -(-s // 128) * 128
+        # wrap contamination from total roll distance ≤ 2k+16 must
+        # stay past the valid window columns
+        lp = -(-(max(length + 15, s + 2 * k + 16)) // 128) * 128
+        pad_b = (-b) % block_reads
+        codes_p = jnp.pad(
+            codes.astype(jnp.int32), ((0, pad_b), (0, lp - length)),
+            constant_values=4)
+        lens_p = jnp.pad(lengths.astype(jnp.int32), (0, pad_b))
+        bp = b + pad_b
+        grid = (bp // block_reads,)
+        hi, lo = pl.pallas_call(
+            functools.partial(kernel, k=k, length=length, s_pad=s_pad,
+                              lp=lp),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_reads, lp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_reads, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_reads, s_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_reads, s_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bp, s_pad), jnp.uint32),
+                jax.ShapeDtypeStruct((bp, s_pad), jnp.uint32),
+            ],
+        )(codes_p, lens_p.reshape(bp, 1))
+        return hi[:b], lo[:b]
+
+    return extract_v3
+
+
+def run_xextract3(rng, genome):
+    from kmer_denovo_filter_tpu.ops.pallas_extract import extract_mixed
+
+    codes = jnp.asarray(synth_reads(rng, genome, BATCH_READS, READ_LEN))
+    lengths_full = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+    # ragged lengths + N bases for parity coverage
+    ln = np.full(BATCH_READS, READ_LEN, np.int32)
+    ln[::7] = 100
+    ln[::11] = 63
+    lengths_rag = jnp.asarray(ln)
+    cn = np.asarray(codes).copy()
+    cn[np.random.default_rng(5).random(cn.shape) < 0.01] = 4
+    codes_n = jnp.asarray(cn)
+
+    v3 = _make_extract_v3()
+    for cds, lns, tag in ((codes, lengths_full, "clean"),
+                          (codes_n, lengths_rag, "ragged+N")):
+        ref_h, ref_l = extract_mixed(cds, lns, K)
+        h3, l3 = v3(cds, lns, K)
+        ok = (np.array_equal(np.asarray(h3), np.asarray(ref_h))
+              and np.array_equal(np.asarray(l3), np.asarray(ref_l)))
+        print(f"  v3 parity [{tag}]: {ok}", flush=True)
+        assert ok
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def p0(codes, lengths, k):
+        hi2, lo2 = extract_mixed(codes, lengths, k)
+        return hi2[:1, :1], lo2[:1, :1]
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def p3(codes, lengths, k):
+        hi2, lo2 = v3(codes, lengths, k)
+        return hi2[:1, :1], lo2[:1, :1]
+
+    timeit("extract_mixed (prod)", p0, codes, lengths_full, K)
+    timeit("extract v3 (swizzle-rc)", p3, codes, lengths_full, K)
 
 if __name__ == "__main__":
     main()

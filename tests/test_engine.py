@@ -390,10 +390,14 @@ class TestOverflowRetries:
         assert np.array_equal(got, expected)
 
     def test_pallas_w_part_doubling(self, monkeypatch):
-        """Tiny w_part must double until chunks fit (interpreter)."""
+        """Tiny w_part must double until chunks fit (interpreter).
+
+        Pins the PLAIN (non-dedup) path — the dedup path's knob
+        ladder has its own test below."""
         from kmer_denovo_filter_tpu.ops import pallas_join as pj
         index, keys, codes, lengths, batch = self._index_and_batch(
             seed=23)
+        monkeypatch.setenv("KDF_DEDUP_JOIN", "0")
         monkeypatch.setenv("KDF_PALLAS_INTERPRET", "1")
         monkeypatch.setattr(eng, "_SMALL_TABLE_M", 0)
         index.small = False
@@ -452,6 +456,69 @@ class TestOverflowRetries:
         # a second sparse batch accumulates on top, still exact
         fc.feed(codes, lengths)
         assert np.array_equal(fc.result(), expected * 2)
+
+    def _pallas_counter(self, monkeypatch, seed=31):
+        monkeypatch.setenv("KDF_PALLAS_INTERPRET", "1")
+        monkeypatch.setattr(eng, "_SMALL_TABLE_M", 0)
+        index, keys, codes, lengths, batch = self._index_and_batch(
+            seed=seed)
+        index.small = False
+        index.mid = True
+        return index, keys, codes, lengths, batch
+
+    def test_pallas_dedup_default_matches_oracle(self, monkeypatch):
+        """The default pallas tally path is dedup-first; duplicated
+        batches (weights > 1) must stay bit-exact across feeds."""
+        index, keys, codes, lengths, batch = self._pallas_counter(
+            monkeypatch)
+        fc = eng.FilteredCounter(index)
+        assert fc._dedup
+        fc.feed(codes, lengths)
+        fc.feed(codes, lengths)
+        got = fc.result()
+        expected = _expected_tally(batch, keys, index.k)
+        assert np.array_equal(got, expected * 2)
+        assert fc._dedup  # nothing forced a fallback
+
+    def test_pallas_dedup_u_chunk_doubling(self, monkeypatch):
+        """A too-small unique capacity must double until the batch
+        fits, replaying exactly from the saved accumulator."""
+        index, keys, codes, lengths, batch = self._pallas_counter(
+            monkeypatch, seed=33)
+        fc = eng.FilteredCounter(index)
+        fc._dd_u_chunk = 512
+        fc.feed(codes, lengths)
+        got = fc.result()
+        assert fc._dd_u_chunk > 512
+        assert fc._dedup
+        expected = _expected_tally(batch, keys, index.k)
+        assert np.array_equal(got, expected)
+
+    def test_pallas_dedup_falls_back_on_undedupable_stream(
+            self, monkeypatch):
+        """A stream of distinct keys (no coverage locality) must trip
+        the capacity ladder and drop to the plain join — exactly."""
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        monkeypatch.setenv("KDF_PALLAS_INTERPRET", "1")
+        monkeypatch.setattr(eng, "_SMALL_TABLE_M", 0)
+        k = 31
+        # 152 bp keeps the post-extraction stream dense (122 real
+        # windows per 128-column row), so one local chunk really
+        # holds > LCHUNK_DD/2 distinct keys
+        reads = random_reads(96, 152, with_n=False, seed=35)
+        kmers = sorted(oracle_counts(reads, k))
+        keys = enc.kmers_to_keys(kmers[: len(kmers) // 2], k)
+        index = eng.KmerIndex(keys, k)
+        index.small = False
+        index.mid = True
+        codes, lengths = pack_reads(reads)
+        fc = eng.FilteredCounter(index)
+        fc._dd_u_chunk = pj.LCHUNK_DD // 2
+        fc.feed(codes, lengths)
+        got = fc.result()
+        assert not fc._dedup  # the ladder gave up on dedup
+        expected = _expected_tally(reads, keys, k)
+        assert np.array_equal(got, expected)
 
 
 def _expected_tally(reads, keys, k):

@@ -351,3 +351,109 @@ class TestWideTileJoin:
         got = fc.result()
         assert fc._host_corr is not None
         assert np.array_equal(got, _expected_tally(sparse, keys, k))
+
+
+# ── Dedup-first tally (round 4) ─────────────────────────────────────
+
+
+class TestDedupTally:
+    def test_dedup_compact_exact_runs(self):
+        """Compacted (key, weight) rows must equal the per-chunk
+        sorted run-length encoding, with zero weights past u_c."""
+        rng = np.random.default_rng(13)
+        n = 2 * pj.LCHUNK_DD
+        # low-entropy valid keys (w1 low bits clear) so runs are long
+        w0 = (rng.integers(0, 64, n, dtype=np.uint32)
+              << np.uint32(20))
+        w1 = (rng.integers(0, 4, n, dtype=np.uint32)
+              << np.uint32(20))
+        h, lo = pj.mix_keys_np(w0, w1)
+        u_chunk = 1024
+        hc, lc, wc, ovf = pj._dedup_compact(
+            jnp.asarray(h), jnp.asarray(lo), u_chunk)
+        assert not bool(ovf)
+        hc = np.asarray(hc).reshape(2, u_chunk)
+        lc = np.asarray(lc).reshape(2, u_chunk)
+        wc = np.asarray(wc).reshape(2, u_chunk)
+        for c in range(2):
+            sh = h[c * pj.LCHUNK_DD:(c + 1) * pj.LCHUNK_DD]
+            sl = lo[c * pj.LCHUNK_DD:(c + 1) * pj.LCHUNK_DD]
+            order = np.lexsort((sl, sh))
+            sh, sl = sh[order], sl[order]
+            st = np.concatenate(
+                [[True], (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])])
+            uniq_h, uniq_l = sh[st], sl[st]
+            counts = np.diff(np.concatenate(
+                [np.nonzero(st)[0], [pj.LCHUNK_DD]]))
+            u = uniq_h.shape[0]
+            assert np.array_equal(hc[c, :u], uniq_h)
+            assert np.array_equal(lc[c, :u], uniq_l)
+            assert np.array_equal(wc[c, :u], counts)
+            assert (wc[c, u:] == 0).all()
+
+    def test_dedup_compact_overflow_flag(self):
+        """More local uniques than u_chunk must raise the flag."""
+        rng = np.random.default_rng(14)
+        h = rng.integers(0, 2 ** 32, pj.LCHUNK_DD, dtype=np.uint32)
+        lo = rng.integers(0, 2 ** 32, pj.LCHUNK_DD, dtype=np.uint32)
+        _hc, _lc, _wc, ovf = pj._dedup_compact(
+            jnp.asarray(h), jnp.asarray(lo), 256)
+        assert bool(ovf)
+
+    @pytest.mark.parametrize("k", [17, 31])
+    def test_dedup_tally_matches_oracle(self, k):
+        """join_tally_step_dedup must be bit-exact vs the oracle on a
+        coverage-duplicated batch (the path's target workload)."""
+        table64 = _table_from_reads(k, seed=3)
+        table = _split_words(table64)
+        t0, t1, perm, p = pj.build_tile_partitions(table)
+
+        codes, lengths = _reads(96, 64, k, seed=4)
+        tc, tl = _reads(80, 64, k, with_n=False, seed=3)
+        codes[:40] = tc[:40]
+        lengths[:40] = tl[:40]
+        # duplicate reads → long dedup runs, exercising weights > 1
+        codes = np.concatenate([codes, codes[:32]], axis=0)
+        lengths = np.concatenate([lengths, lengths[:32]])
+        codes_p, lens_p, k64, valid = _window_keys64(
+            codes, lengths, k)
+
+        acc0 = jnp.zeros(t0.shape, jnp.int32)
+        acc, ovf_s, ovf_u = pj.join_tally_step_dedup(
+            jnp.asarray(t0), jnp.asarray(t1), acc0,
+            jnp.asarray(codes_p), jnp.asarray(lens_p), k, p,
+            interpret=True)
+        assert not bool(ovf_s) and not bool(ovf_u)
+
+        counts = Counter(k64[valid].tolist())
+        expected = np.array(
+            [counts.get(int(v), 0) for v in table64], dtype=np.int64)
+        got = np.zeros(table.shape[0], dtype=np.int64)
+        cells = np.asarray(acc)[:perm.shape[0]]
+        ok = perm >= 0
+        got[perm[ok]] = cells[ok]
+        assert (expected > 1).sum() > 0  # weights actually exercised
+        assert np.array_equal(got, expected)
+
+    def test_dedup_tally_overflow_flags(self):
+        """u_chunk and w_part overflows must be separately flagged."""
+        k = 31
+        table64 = _table_from_reads(k, seed=7)
+        table = _split_words(table64)
+        codes, lengths = _reads(64, 64, k, seed=8)
+        codes_p, lens_p, _k64, _valid = _window_keys64(
+            codes, lengths, k)
+        t0, t1, _perm, p = pj.build_tile_partitions(table)
+        acc0 = jnp.zeros(t0.shape, jnp.int32)
+        _acc, _ovf_s, ovf_u = pj.join_tally_step_dedup(
+            jnp.asarray(t0), jnp.asarray(t1), acc0,
+            jnp.asarray(codes_p), jnp.asarray(lens_p), k, p,
+            u_chunk=8, interpret=True)
+        assert bool(ovf_u)
+        t0b, t1b, _permb, pb = pj.build_tile_partitions(table, p=4096)
+        acc0b = jnp.zeros(t0b.shape, jnp.int32)
+        _acc, ovf_s, _ovf_u = pj.join_tally_step_dedup(
+            jnp.asarray(t0b), jnp.asarray(t1b), acc0b,
+            jnp.asarray(codes_p), jnp.asarray(lens_p), k, pb,
+            w_part=16, interpret=True)
+        assert bool(ovf_s)
