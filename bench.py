@@ -13,10 +13,13 @@ VCF-mode device step, with the other tiers under ``details``:
   ops/device.py:small_tally_step).  Batches pre-staged on device; the
   production input pipeline overlaps host decode with device steps.
 * ``wgs_scale_reads_per_s`` — the same step against a 16.8M-key table
-  (WGS discovery Module 2 scale) via the Pallas tile-join
-  (ops/pallas_join.py): mixed-key sort-route in XLA + lane-major
-  partition-tile join kernel.  ``wgs_member_reads_per_s`` is the
-  anchoring member scan (discovery Module 3) over the same table.
+  (WGS discovery Module 2 scale) via the dedup-first Pallas tile-join
+  (ops/pallas_join.py:join_tally_step_dedup): fused Pallas
+  extract+mix, batch-local dedup (segmented sort + log-shift
+  compaction), global route sort of the compacted stream, weighted
+  lane-major partition-tile join kernel.  ``wgs_member_reads_per_s``
+  is the anchoring member scan (discovery Module 3) over the same
+  table.
 * ``end_to_end_reads_per_s`` — host BGZF/BAM decode (htsio kdf_native)
   → 4-bit pack → device transfer → unpack + tally, on a synthetic
   BGZF BAM.  NOTE: on this relay-attached chip host↔device moves at
@@ -106,12 +109,23 @@ def bench_wgs(jnp, pj, rng, genome):
     batches = [jnp.asarray(synth_reads(rng, genome, BATCH_READS,
                                        READ_LEN))
                for _ in range(N_BATCHES_WGS)]
-    acc, _ovf = pj.join_tally_step(t0j, t1j, acc, batches[0], lengths,
-                                   K, p)
+    # dedup-first tally (engine default); plain join if the synthetic
+    # stream somehow defeats the capacity ladder
+    acc, ovf_s, ovf_u = pj.join_tally_step_dedup(
+        t0j, t1j, acc, batches[0], lengths, K, p)
     np.asarray(acc[:1, :1])
+    dedup_ok = not (bool(ovf_s) or bool(ovf_u))
+    if dedup_ok:
+        step = lambda a, b: pj.join_tally_step_dedup(
+            t0j, t1j, a, b, lengths, K, p)[0]
+    else:
+        step = lambda a, b: pj.join_tally_step(
+            t0j, t1j, a, b, lengths, K, p)[0]
+        acc = step(jnp.zeros(t0.shape, jnp.int32), batches[0])
+        np.asarray(acc[:1, :1])
     start = time.perf_counter()
     for b in batches:
-        acc, _ovf = pj.join_tally_step(t0j, t1j, acc, b, lengths, K, p)
+        acc = step(acc, b)
     np.asarray(acc[:1, :1])
     elapsed = time.perf_counter() - start
     total = int(np.asarray(jnp.sum(acc)))
@@ -119,12 +133,20 @@ def bench_wgs(jnp, pj, rng, genome):
     tally_rate = BATCH_READS * N_BATCHES_WGS / elapsed
 
     # anchoring member scan over the same table (discovery Module 3)
-    found, _ovf = pj.join_member_step(t0j, t1j, batches[0], lengths,
-                                      K, p)
+    found, ovf_s, ovf_u = pj.join_member_step_dedup(
+        t0j, t1j, batches[0], lengths, K, p)
     np.asarray(found[:1, :1])
+    if not (bool(ovf_s) or bool(ovf_u)):
+        mstep = lambda b: pj.join_member_step_dedup(
+            t0j, t1j, b, lengths, K, p)[0]
+    else:
+        mstep = lambda b: pj.join_member_step(
+            t0j, t1j, b, lengths, K, p)[0]
+        found = mstep(batches[0])
+        np.asarray(found[:1, :1])
     start = time.perf_counter()
     for b in batches:
-        found, _ovf = pj.join_member_step(t0j, t1j, b, lengths, K, p)
+        found = mstep(b)
     np.asarray(found[:1, :1])
     member_rate = BATCH_READS * N_BATCHES_WGS / (
         time.perf_counter() - start)

@@ -776,6 +776,27 @@ def scan_reads_for_hits(index, codes, lengths):
     if index.w == 2 and _use_pallas_join():
         from kmer_denovo_filter_tpu.ops import pallas_join as pj
         t0, t1, _perm, p = index.tile_partitions()
+        if os.environ.get("KDF_DEDUP_JOIN") != "0":
+            # dedup-first member scan: join once per distinct
+            # chunk-local key, expand bits back (ladder as the tally's)
+            w_part = pj.W_PART_MEMBER_DD
+            u_chunk = pj.U_CHUNK_DD
+            while True:
+                found, ovf_s, ovf_u = pj.join_member_step_dedup(
+                    t0, t1, codes_j, lens_j, index.k, p, w_part,
+                    u_chunk, interpret=_pallas_interpret())
+                if not bool(ovf_s) and not bool(ovf_u):
+                    found = np.asarray(found)
+                    return found[:codes.shape[0],
+                                 :codes.shape[1] - index.k + 1]
+                if bool(ovf_u):
+                    if u_chunk * 2 > pj.LCHUNK_DD // 2:
+                        break  # stream doesn't dedup — plain scan
+                    u_chunk *= 2
+                if bool(ovf_s):
+                    if w_part >= pj.MAX_W_PART:
+                        break
+                    w_part = min(w_part * 2, pj.MAX_W_PART)
         w_part = pj.W_PART
         found, overflow = pj.join_member_step(
             t0, t1, codes_j, lens_j, index.k, p, w_part,

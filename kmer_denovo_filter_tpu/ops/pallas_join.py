@@ -552,6 +552,41 @@ W_PART_DD = 256            # compacted streams are partition-sparser
 U_CHUNK_DD = 1792
 
 
+def _dedup_flags(hs, ls):
+    """Run-start flags, ranks and shift distances of locally-sorted
+    (nloc, LCHUNK_DD) key planes.  ``d`` increments by at most 1 per
+    column — the property both the compaction and the reverse
+    expansion (:func:`_expand_by_rank`) rely on."""
+    prev_h = jnp.pad(hs[:, :-1], ((0, 0), (1, 0)),
+                     constant_values=0x12345678)
+    prev_l = jnp.pad(ls[:, :-1], ((0, 0), (1, 0)))
+    st = (hs != prev_h) | (ls != prev_l)
+    rank = jnp.cumsum(st.astype(jnp.int32), axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 1)
+    d = col - rank + 1
+    return st, rank, d, col
+
+
+def _expand_by_rank(vals, d):
+    """``out[c, i] = vals[c, i − d[c, i]]`` for non-decreasing ``d``
+    that grows by ≤ 1 per column — the inverse of the compaction's
+    pull shift, as 13 reverse pull steps (high bit first).
+
+    Correct because with ``d`` Lipschitz-1, for any position *t* with
+    bit *j* of ``d[t]`` set, ``d[t − 2^j]`` shares ``d[t]``'s bits
+    above *j* (it lies in ``[d[t] − 2^j, d[t]]`` which stays inside
+    one ``2^(j+1)`` block), so per-target bit decisions compose.
+    """
+    nloc = vals.shape[0]
+    x = vals
+    for j in reversed(range(13)):
+        s = 1 << j
+        shr = jnp.concatenate(
+            [jnp.zeros((nloc, s), x.dtype), x[:, :-s]], axis=1)
+        x = jnp.where(((d >> j) & 1) == 1, shr, x)
+    return x
+
+
 def _dedup_compact(hi, lo, u_chunk):
     """Mixed flat stream → per-chunk (keys, weights), compacted.
 
@@ -573,6 +608,13 @@ def _dedup_compact(hi, lo, u_chunk):
     h2 = hi.reshape(nloc, LCHUNK_DD)
     l2 = lo.reshape(nloc, LCHUNK_DD)
     hs, ls = jax.lax.sort((h2, l2), dimension=1, num_keys=1)
+    return _dedup_compact_sorted(hs, ls, u_chunk)
+
+
+def _dedup_compact_sorted(hs, ls, u_chunk):
+    """Compaction body of :func:`_dedup_compact` for pre-sorted
+    (nloc, LCHUNK_DD) planes."""
+    nloc = hs.shape[0]
     prev_h = jnp.pad(hs[:, :-1], ((0, 0), (1, 0)),
                      constant_values=0x12345678)
     prev_l = jnp.pad(ls[:, :-1], ((0, 0), (1, 0)))
@@ -777,6 +819,100 @@ def join_tally_step_dedup(t0, t1, acc, codes, lengths, k, p,
     acc_out = _tally_call_w(meta, t0, t1, s0r, s1r, spr, swr, acc,
                             w_part, interpret)
     return acc_out, ovf_span, ovf_u
+
+
+# Member window over the compacted stream: ~4× fewer rows per
+# partition than the raw stream means ~4× wider chunk spans (measured
+# max ~450 at p≈27k for 4096-row chunks), and the member kernel has a
+# single window block (no lo/hi pair), so it starts wide.
+W_PART_MEMBER_DD = 512
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "p", "w_part", "u_chunk", "interpret"))
+def join_member_step_dedup(t0, t1, codes, lengths, k, p,
+                           w_part=W_PART_MEMBER_DD,
+                           u_chunk=U_CHUNK_DD, interpret=False):
+    """Dedup-first anchoring step (k ≤ 31).
+
+    The membership of a window depends only on its key, so the join
+    kernel runs once per *distinct* chunk-local key (the compacted
+    stream, ~4× fewer rows at WGS coverage) and the per-unique bits
+    fan back out:
+
+      found (global-sorted) → packed 1-op unsort to compacted order
+      → :func:`_expand_by_rank` (reverse pull shifts; every row reads
+      its run's bit at compacted column ``rank − 1``) → packed
+      segmented unsort of the LOCAL sort (its permutation never
+      crosses an 8192-row chunk, so the unsort is segmented too —
+      0.35× the global unsort's n·log²n).
+
+    Returns ``(found (B, S) bool, ovf_span, ovf_u)`` — same retry
+    semantics as :func:`join_tally_step_dedup`.
+    """
+    from kmer_denovo_filter_tpu.ops.pallas_extract import extract_mixed
+    b, length = codes.shape
+    s = length - k + 1
+    hi2, lo2 = extract_mixed(codes, lengths, k, interpret=interpret)
+    s_pad = hi2.shape[1]
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    valid = ~((hi2 == sentinel) & (lo2 == sentinel))
+    hi = hi2.reshape(-1)
+    lo = lo2.reshape(-1)
+    n_orig = hi.shape[0]
+    pad = (-n_orig) % LCHUNK_DD
+    if pad:
+        hi = jnp.concatenate([hi, jnp.full(pad, sentinel)])
+        lo = jnp.concatenate([lo, jnp.full(pad, sentinel)])
+    n = hi.shape[0]
+    nloc = n // LCHUNK_DD
+    h2 = hi.reshape(nloc, LCHUNK_DD)
+    l2 = lo.reshape(nloc, LCHUNK_DD)
+    lidx = jnp.tile(
+        jnp.arange(LCHUNK_DD, dtype=jnp.int32)[None, :], (nloc, 1))
+    hs, ls, sl = jax.lax.sort((h2, l2, lidx), dimension=1, num_keys=1)
+    _st, rank, d, _col = _dedup_flags(hs, ls)
+    hc, lc, _wgt, ovf_u = _dedup_compact_sorted(hs, ls, u_chunk)
+    n2 = hc.shape[0]
+    cpos = jnp.arange(n2, dtype=jnp.int32)
+    s0, s1, scp = jax.lax.sort((hc, lc, cpos), num_keys=1)
+    pad2 = (-n2) % CHUNK_ROWS
+    if pad2:
+        s0 = jnp.concatenate([s0, jnp.full(pad2, sentinel)])
+        s1 = jnp.concatenate([s1, jnp.full(pad2, sentinel)])
+        # padding cpos values sort past every real one in the packed
+        # unsort below, so the [:n2] slice drops them
+        scp = jnp.concatenate(
+            [scp, n2 + jnp.arange(pad2, dtype=jnp.int32)])
+    nq = s0.shape[0]
+    spart = _part_from_hi(s0, p)
+    nc = nq // CHUNK_ROWS
+    sp2 = spart.reshape(nc * NSUB, SUB_ROWS)
+    sub_start = sp2[:, 0]
+    sub_span = (sp2[:, -1] - sub_start + 1).astype(jnp.int32)
+    first = sub_start.reshape(nc, NSUB)[:, 0]
+    base = (first // 8) * 8
+    last = sp2[:, -1].reshape(nc, NSUB)[:, -1]
+    ovf_span = jnp.max(last - base + 1) > w_part
+    meta = _pack_meta(base, sub_start, sub_span)
+    found_sorted = _member_call(
+        meta, t0, t1, s0.reshape(nq // 128, 128),
+        s1.reshape(nq // 128, 128), spart.reshape(nq // 128, 128),
+        w_part, interpret)
+    packed = (scp << 1) | (found_sorted.reshape(nq) > 0).astype(
+        jnp.int32)
+    ordered = jax.lax.sort(packed)
+    found_comp = ((ordered & 1) > 0)[:n2].reshape(nloc, u_chunk)
+    found_comp = jnp.pad(
+        found_comp.astype(jnp.int32),
+        ((0, 0), (0, LCHUNK_DD - u_chunk)))
+    found_ls = _expand_by_rank(found_comp, d)
+    pk = (sl << 1) | found_ls
+    ordered2 = jax.lax.sort(pk, dimension=1)
+    found_flat = ((ordered2 & 1) > 0).reshape(-1)[:n_orig]
+    found = (found_flat.reshape(b, s_pad)[:, :s] & valid[:, :s])
+    return found, ovf_span, ovf_u
 
 
 # ── Shard-local routing (multi-chip tile-join) ──────────────────────

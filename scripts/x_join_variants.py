@@ -641,6 +641,14 @@ def main():
         run_xextract(rng, genome)
     if which in ("xextract3",):
         run_xextract3(rng, genome)
+    if which in ("s1",):
+        run_s1(rng, genome)
+    if which in ("xmicro",):
+        run_xmicro(rng, genome)
+    if which in ("xfloor",):
+        run_xfloor(rng, genome)
+    if which in ("v5m",):
+        run_v5m(rng, genome)
 
 
 
@@ -1369,6 +1377,272 @@ def run_xextract3(rng, genome):
 
     timeit("extract_mixed (prod)", p0, codes, lengths_full, K)
     timeit("extract v3 (swizzle-rc)", p3, codes, lengths_full, K)
+
+
+
+# ── S=1 sharded overhead on the real chip (VERDICT item 8) ──────────
+
+def run_s1(rng, genome):
+    from kmer_denovo_filter_tpu.parallel import make_mesh
+    from kmer_denovo_filter_tpu.parallel.tile_sharded import (
+        ShardedTileCounter,
+    )
+
+    codes_np = synth_reads(rng, genome, BATCH_READS, READ_LEN)
+    codes = jnp.asarray(codes_np)
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+    WGS_TABLE_M = 1 << 24
+    keys64 = np.unique(rng.integers(0, 2 ** 62, size=WGS_TABLE_M,
+                                    dtype=np.uint64))
+    keys = np.stack([(keys64 >> 32).astype(np.uint32),
+                     keys64.astype(np.uint32)], 1)
+
+    t0, t1, _perm, p = pj.build_tile_partitions(keys)
+    t0j, t1j = jnp.asarray(t0), jnp.asarray(t1)
+    acc = jnp.zeros(t0.shape, jnp.int32)
+    dt1 = timeit("single-chip join_tally_step",
+                 lambda a, c, l: pj.join_tally_step(
+                     t0j, t1j, a, c, l, K, p)[0], acc, codes, lengths)
+    dt5 = timeit("single-chip join_tally_step_dedup",
+                 lambda a, c, l: pj.join_tally_step_dedup(
+                     t0j, t1j, a, c, l, K, p)[0], acc, codes, lengths)
+
+    mesh = make_mesh()
+    print(f"mesh devices: {mesh.devices.size}", flush=True)
+    stc = ShardedTileCounter(keys, K, mesh)
+    stc.feed(codes_np, np.asarray(lengths))
+    _ = stc.result()
+
+    def sharded_step(c, l):
+        stc.feed(np.asarray(c), np.asarray(l))
+        return stc.acc
+
+    dts = timeit("S=1 sharded tile-join feed", sharded_step, codes,
+                 lengths)
+    print(f"S=1 overhead vs plain: {dts / dt1:.3f}x "
+          f"(+{(dts - dt1) * 1e3:.2f} ms)", flush=True)
+
+
+
+# ── extract kernel stage isolation ──────────────────────────────────
+# Cumulative-stage kernels pinpoint where the 6.5 ms goes: load/store
+# only, +fwd pack, +rc pack, +N-OR, +canonical pick, +mix (= prod).
+
+def _make_extract_stage(stage):
+    from kmer_denovo_filter_tpu.ops import pallas_extract as px
+
+    def kernel(codes_ref, len_ref, hi_ref, lo_ref, *, k, length,
+               s_pad):
+        s = length - k + 1
+        rem = k % 16
+        codes = codes_ref[...].astype(jnp.int32)
+        bad = codes >= 4
+        clean = jnp.where(bad, 0, codes)
+        if stage == 0:  # load + trivial store
+            h = clean.astype(jnp.uint32)
+            low = (clean + 1).astype(jnp.uint32)
+            hi_ref[...] = h[:, :s_pad]
+            lo_ref[...] = low[:, :s_pad]
+            return
+        comp = 3 - clean
+        p = clean
+        span = 1
+        while span < 16:
+            p = (p << (2 * span)) | px._shift_left(p, span)
+            span *= 2
+        pack32 = p.astype(jnp.uint32)
+        if stage == 1:  # + forward pack
+            hi_ref[...] = pack32[:, :s_pad]
+            lo_ref[...] = pack32[:, :s_pad]
+            return
+        r = comp
+        span = 1
+        while span < 16:
+            r = r | (px._shift_left(r, span) << (2 * span))
+            span *= 2
+        rpack32 = r.astype(jnp.uint32)
+        if stage == 2:  # + rc pack
+            hi_ref[...] = pack32[:, :s_pad]
+            lo_ref[...] = rpack32[:, :s_pad]
+            return
+        last_mask = jnp.uint32(((1 << (2 * rem)) - 1) << (32 - 2 * rem))
+        f0 = pack32
+        f1 = px._shift_left(pack32, 16) & last_mask
+        r0 = px._shift_left(rpack32, k - 16)
+        r1 = (rpack32 << (2 * (16 - rem))) & last_mask
+        pick_fwd = (f0 < r0) | ((f0 == r0) & (f1 <= r1))
+        w0 = jnp.where(pick_fwd, f0, r0)
+        w1 = jnp.where(pick_fwd, f1, r1)
+        if stage == 3:  # + canonical pick
+            hi_ref[...] = w0[:, :s_pad]
+            lo_ref[...] = w1[:, :s_pad]
+            return
+        o = bad.astype(jnp.int32)
+        span = 1
+        while span * 2 <= k:
+            o = o | px._shift_left(o, span)
+            span *= 2
+        if span < k:
+            o = o | px._shift_left(o, k - span)
+        col = jax.lax.broadcasted_iota(jnp.int32, codes.shape, 1)
+        ln = len_ref[...].astype(jnp.int32)
+        valid = (o == 0) & (col + k <= ln) & (col < s)
+        if stage == 4:  # + N-OR/valid
+            sent = jnp.uint32(0xFFFFFFFF)
+            h = jnp.where(valid, w0, sent)
+            low = jnp.where(valid, w1, sent)
+            hi_ref[...] = h[:, :s_pad]
+            lo_ref[...] = low[:, :s_pad]
+            return
+        h = w0 ^ px._fmix32(w1)
+        low = w1 ^ px._fmix32(h)
+        h = h ^ px._fmix32(low)
+        sent = jnp.uint32(0xFFFFFFFF)
+        h = jnp.where(valid, h, sent)
+        low = jnp.where(valid, low, sent)
+        hi_ref[...] = h[:, :s_pad]
+        lo_ref[...] = low[:, :s_pad]
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run(codes, lengths, k, block_reads=256):
+        b, length = codes.shape
+        s = length - k + 1
+        s_pad = -(-s // 128) * 128
+        pad_b = (-b) % block_reads
+        codes_p = jnp.pad(
+            codes.astype(jnp.int32), ((0, pad_b), (0, 15)),
+            constant_values=4)
+        lens_p = jnp.pad(lengths.astype(jnp.int32), (0, pad_b))
+        bp = b + pad_b
+        hi, lo = pl.pallas_call(
+            functools.partial(kernel, k=k, length=length,
+                              s_pad=s_pad),
+            grid=(bp // block_reads,),
+            in_specs=[
+                pl.BlockSpec((block_reads, length + 15),
+                             lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_reads, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_reads, s_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_reads, s_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bp, s_pad), jnp.uint32),
+                jax.ShapeDtypeStruct((bp, s_pad), jnp.uint32),
+            ],
+        )(codes_p, lens_p.reshape(bp, 1))
+        return hi[:1, :1], lo[:1, :1]
+
+    return run
+
+
+def run_xmicro(rng, genome):
+    codes = jnp.asarray(synth_reads(rng, genome, BATCH_READS, READ_LEN))
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+    names = ["load/store", "+fwd pack", "+rc pack", "+canonical",
+             "+N-OR/valid", "+mix (=prod)"]
+    for st in range(6):
+        fn = _make_extract_stage(st)
+        timeit(f"stage {st} {names[st]}", fn, codes, lengths, K)
+
+
+
+# ── dispatch-floor measurement + batch-size scaling ─────────────────
+# stage-0 (pure load/store) costing 7.1 ms exposed a per-call floor:
+# measure it with a trivial jit, then amortize via 2×/4× batches.
+
+def run_xfloor(rng, genome):
+    tiny = jnp.zeros((8, 128), jnp.int32)
+
+    @jax.jit
+    def fid(x):
+        return x[:1, :1] + 1
+
+    timeit("trivial jit (dispatch floor)", fid, tiny)
+
+    big = jnp.zeros((32768, 167), jnp.int32)
+
+    @jax.jit
+    def fcopy(x):
+        return (x * 2)[:1, :1]
+
+    timeit("one-pass 22MB elementwise", fcopy, big)
+
+    WGS_TABLE_M = 1 << 24
+    gcodes = jnp.asarray(np.asarray(genome).reshape(-1, 256))
+    glens = jnp.full(gcodes.shape[0], 256, dtype=np.int32)
+    gkeys, gvalid = dev.extract_canonical_windows(gcodes, glens, K)
+    gk = np.asarray(gkeys)[np.asarray(gvalid)]
+    g64 = (gk[:, 0].astype(np.uint64) << 32) | gk[:, 1]
+    k64 = np.unique(np.concatenate([
+        rng.integers(0, 2 ** 62, size=WGS_TABLE_M, dtype=np.uint64),
+        g64]))
+    keys = np.stack([(k64 >> 32).astype(np.uint32),
+                     k64.astype(np.uint32)], 1)
+    t0, t1, _perm, p = pj.build_tile_partitions(keys)
+    t0j, t1j = jnp.asarray(t0), jnp.asarray(t1)
+    acc = jnp.zeros(t0.shape, jnp.int32)
+
+    for mult in (1, 2, 4):
+        n = BATCH_READS * mult
+        codes = jnp.asarray(synth_reads(rng, genome, n, READ_LEN))
+        lengths = jnp.full(n, READ_LEN, dtype=jnp.int32)
+        a5, os_, ou_ = pj.join_tally_step_dedup(
+            t0j, t1j, acc, codes, lengths, K, p)
+        print(f"  mult={mult}: ovf_s={bool(os_)} ovf_u={bool(ou_)}",
+              flush=True)
+        if bool(os_) or bool(ou_):
+            continue
+        dt = timeit(f"dedup step {n} reads",
+                    lambda a, c, l: pj.join_tally_step_dedup(
+                        t0j, t1j, a, c, l, K, p)[0],
+                    acc, codes, lengths)
+        print(f"    = {n / dt / 1e6:.3f} M reads/s", flush=True)
+
+
+
+# ── member dedup A/B on the chip ────────────────────────────────────
+
+def run_v5m(rng, genome):
+    codes = jnp.asarray(synth_reads(rng, genome, BATCH_READS, READ_LEN))
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+    WGS_TABLE_M = 1 << 24
+    gcodes = jnp.asarray(np.asarray(genome).reshape(-1, 256))
+    glens = jnp.full(gcodes.shape[0], 256, dtype=np.int32)
+    gkeys, gvalid = dev.extract_canonical_windows(gcodes, glens, K)
+    gk = np.asarray(gkeys)[np.asarray(gvalid)]
+    g64 = (gk[:, 0].astype(np.uint64) << 32) | gk[:, 1]
+    k64 = np.unique(np.concatenate([
+        rng.integers(0, 2 ** 62, size=WGS_TABLE_M, dtype=np.uint64),
+        g64]))
+    keys = np.stack([(k64 >> 32).astype(np.uint32),
+                     k64.astype(np.uint32)], 1)
+    t0, t1, _perm, p = pj.build_tile_partitions(keys)
+    t0j, t1j = jnp.asarray(t0), jnp.asarray(t1)
+
+    f1, ov1 = pj.join_member_step(t0j, t1j, codes, lengths, K, p)
+    f5, os5, ou5 = pj.join_member_step_dedup(
+        t0j, t1j, codes, lengths, K, p)
+    print(f"plain ovf={bool(ov1)} dedup ovf_s={bool(os5)} "
+          f"ovf_u={bool(ou5)}", flush=True)
+    same = np.array_equal(np.asarray(f1), np.asarray(f5))
+    print(f"member dedup parity: {same}", flush=True)
+    assert same and not bool(os5) and not bool(ou5)
+    timeit("member plain full step",
+           lambda c, l: pj.join_member_step(
+               t0j, t1j, c, l, K, p)[0], codes, lengths)
+    timeit("member dedup full step",
+           lambda c, l: pj.join_member_step_dedup(
+               t0j, t1j, c, l, K, p)[0], codes, lengths)
+    acc = jnp.zeros(t0.shape, jnp.int32)
+    timeit("tally dedup full step (same session)",
+           lambda a, c, l: pj.join_tally_step_dedup(
+               t0j, t1j, a, c, l, K, p)[0], acc, codes, lengths)
 
 if __name__ == "__main__":
     main()

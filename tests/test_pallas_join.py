@@ -457,3 +457,65 @@ class TestDedupTally:
             jnp.asarray(codes_p), jnp.asarray(lens_p), k, pb,
             w_part=16, interpret=True)
         assert bool(ovf_s)
+
+
+class TestDedupMember:
+    def test_expand_by_rank_inverts_compaction(self):
+        """out[i] = vals[i - d_i] for Lipschitz-1 non-decreasing d."""
+        rng = np.random.default_rng(21)
+        nloc, lc = 4, pj.LCHUNK_DD
+        st = rng.random((nloc, lc)) < 0.3
+        st[:, 0] = True
+        rank = np.cumsum(st, axis=1).astype(np.int32)
+        col = np.arange(lc, dtype=np.int32)[None, :]
+        d = col - rank + 1
+        vals = rng.integers(0, 1 << 30, (nloc, lc), dtype=np.int32)
+        got = np.asarray(pj._expand_by_rank(
+            jnp.asarray(vals), jnp.asarray(d)))
+        expected = np.take_along_axis(vals, col - d, axis=1)
+        assert np.array_equal(got, expected)
+
+    @pytest.mark.parametrize("k", [17, 31])
+    def test_dedup_member_matches_plain(self, k):
+        table64 = _table_from_reads(k, seed=5)
+        table = _split_words(table64)
+        t0, t1, _perm, p = pj.build_tile_partitions(table)
+
+        codes, lengths = _reads(64, 64, k, seed=6)
+        tc, tl = _reads(80, 64, k, with_n=False, seed=5)
+        codes[:20] = tc[:20]
+        lengths[:20] = tl[:20]
+        # duplicated reads → multi-row runs exercised
+        codes = np.concatenate([codes, codes[:24]], axis=0)
+        lengths = np.concatenate([lengths, lengths[:24]])
+        codes_p, lens_p, _k64, _valid = _window_keys64(
+            codes, lengths, k)
+
+        f1, ov1 = pj.join_member_step(
+            jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(codes_p),
+            jnp.asarray(lens_p), k, p, interpret=True)
+        f5, ovs, ovu = pj.join_member_step_dedup(
+            jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(codes_p),
+            jnp.asarray(lens_p), k, p, interpret=True)
+        assert not bool(ov1) and not bool(ovs) and not bool(ovu)
+        f1 = np.asarray(f1)
+        assert f1.any()
+        assert np.array_equal(f1, np.asarray(f5))
+
+    def test_dedup_member_overflow_flags(self):
+        k = 31
+        table64 = _table_from_reads(k, seed=7)
+        table = _split_words(table64)
+        codes, lengths = _reads(64, 64, k, seed=8)
+        codes_p, lens_p, _k64, _valid = _window_keys64(
+            codes, lengths, k)
+        t0, t1, _perm, p = pj.build_tile_partitions(table)
+        _f, _ovs, ovu = pj.join_member_step_dedup(
+            jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(codes_p),
+            jnp.asarray(lens_p), k, p, u_chunk=8, interpret=True)
+        assert bool(ovu)
+        t0b, t1b, _permb, pb = pj.build_tile_partitions(table, p=4096)
+        _f, ovs, _ovu = pj.join_member_step_dedup(
+            jnp.asarray(t0b), jnp.asarray(t1b), jnp.asarray(codes_p),
+            jnp.asarray(lens_p), k, pb, w_part=8, interpret=True)
+        assert bool(ovs)
