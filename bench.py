@@ -166,14 +166,40 @@ def bench_wgs_wide(jnp, pj, rng, genome):
     batches = [jnp.asarray(synth_reads(rng, genome, BATCH_READS,
                                        READ_LEN))
                for _ in range(N_BATCHES_WGS)]
-    acc, _ovf = pj.join_tally_step_wide(planes, acc, batches[0],
-                                        lengths, k, p)
-    np.asarray(acc[:1, :1])
+    def flat_of(b):
+        return pj.extract_flat_keys(b, lengths, k)
+
+    # capacity/window ladder (mirrors engine.FilteredCounter)
+    u_c, w_p = pj.U_CHUNK_DD, pj.W_PART_TALLY
+    wstep = None
+    while True:
+        acc2, ovf_s, ovf_u = pj.join_tally_flat_wide_dedup(
+            planes, acc, flat_of(batches[0]), p, w_part=w_p,
+            u_chunk=u_c)
+        np.asarray(acc2[:1, :1])
+        if not (bool(ovf_s) or bool(ovf_u)):
+            wstep = lambda a, b: pj.join_tally_flat_wide_dedup(
+                planes, a, flat_of(b), p, w_part=w_p,
+                u_chunk=u_c)[0]
+            break
+        if bool(ovf_u):
+            if u_c * 2 > pj.LCHUNK_DD // 2:
+                break
+            u_c *= 2
+        if bool(ovf_s):
+            cap = pj.wide_dd_w_part_cap(w)
+            if w_p >= cap:
+                break
+            w_p = min(w_p * 2, cap)
+    if wstep is None:
+        wstep = lambda a, b: pj.join_tally_step_wide(
+            planes, a, b, lengths, k, p)[0]
+        acc2 = wstep(acc, batches[0])
+        np.asarray(acc2[:1, :1])
     start = time.perf_counter()
     for b in batches:
-        acc, _ovf = pj.join_tally_step_wide(planes, acc, b, lengths,
-                                            k, p)
-    np.asarray(acc[:1, :1])
+        acc2 = wstep(acc2, b)
+    np.asarray(acc2[:1, :1])
     return BATCH_READS * N_BATCHES_WGS / (time.perf_counter() - start)
 
 

@@ -487,6 +487,10 @@ class FilteredCounter:
             self.acc = jnp.zeros(planes[0].shape, dtype=jnp.int32)
             self.w_part = min(pj.W_PART_TALLY,
                               pj.max_wide_w_part_tally(index.w))
+            self._dedup = os.environ.get("KDF_DEDUP_JOIN") != "0"
+            self._dd_w_part = min(pj.W_PART_TALLY,
+                                  pj.wide_dd_w_part_cap(index.w))
+            self._dd_u_chunk = pj.U_CHUNK_DD
             # Window-sparse batches (large k ⇒ few windows per read)
             # would spread a chunk's queries over more partitions than
             # the VMEM window covers; accumulate extracted keys across
@@ -544,6 +548,29 @@ class FilteredCounter:
                     self.acc = acc
                     return
             kind = "pallas"  # replay through the plain-path ladder
+        if kind == "pallas_wide_dd":
+            from kmer_denovo_filter_tpu.ops import pallas_join as pj
+            planes, _perm, p = idx.tile_partitions_wide()
+            w_cap = pj.wide_dd_w_part_cap(idx.w)
+            ovf_s, ovf_u = cap
+            while self._dedup:
+                if bool(ovf_u):
+                    if self._dd_u_chunk * 2 > pj.LCHUNK_DD // 2:
+                        self._dedup = False
+                        break
+                    self._dd_u_chunk *= 2
+                if bool(ovf_s):
+                    if self._dd_w_part >= w_cap:
+                        self._dedup = False
+                        break
+                    self._dd_w_part = min(self._dd_w_part * 2, w_cap)
+                acc, ovf_s, ovf_u = pj.join_tally_flat_wide_dedup(
+                    planes, acc_before, codes_j, p, self._dd_w_part,
+                    self._dd_u_chunk, interpret=_pallas_interpret())
+                if not bool(ovf_s) and not bool(ovf_u):
+                    self.acc = acc
+                    return
+            kind = "pallas_wide"  # replay through the plain ladder
         if kind in ("pallas", "pallas_wide"):
             from kmer_denovo_filter_tpu.ops import pallas_join as pj
             if kind == "pallas":
@@ -677,6 +704,14 @@ class FilteredCounter:
         self._wide_buf_rows = 0
         self._resolve_pending()
         acc_before = self.acc
+        if self._dedup:
+            acc, ovf_s, ovf_u = pj.join_tally_flat_wide_dedup(
+                planes, acc_before, flat, p, self._dd_w_part,
+                self._dd_u_chunk, interpret=_pallas_interpret())
+            self.acc = acc
+            self._pending = ("pallas_wide_dd", flat, None, acc_before,
+                             ovf_s | ovf_u, (ovf_s, ovf_u))
+            return
         acc, overflow = pj.join_tally_flat_wide(
             planes, acc_before, flat, p, self.w_part,
             interpret=_pallas_interpret())

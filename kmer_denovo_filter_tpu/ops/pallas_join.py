@@ -557,12 +557,11 @@ def _dedup_flags(hs, ls):
     (nloc, LCHUNK_DD) key planes.  ``d`` increments by at most 1 per
     column — the property both the compaction and the reverse
     expansion (:func:`_expand_by_rank`) rely on."""
-    prev_h = jnp.pad(hs[:, :-1], ((0, 0), (1, 0)),
-                     constant_values=0x12345678)
+    prev_h = jnp.pad(hs[:, :-1], ((0, 0), (1, 0)))
     prev_l = jnp.pad(ls[:, :-1], ((0, 0), (1, 0)))
-    st = (hs != prev_h) | (ls != prev_l)
-    rank = jnp.cumsum(st.astype(jnp.int32), axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 1)
+    st = (hs != prev_h) | (ls != prev_l) | (col == 0)
+    rank = jnp.cumsum(st.astype(jnp.int32), axis=1)
     d = col - rank + 1
     return st, rank, d, col
 
@@ -615,12 +614,11 @@ def _dedup_compact_sorted(hs, ls, u_chunk):
     """Compaction body of :func:`_dedup_compact` for pre-sorted
     (nloc, LCHUNK_DD) planes."""
     nloc = hs.shape[0]
-    prev_h = jnp.pad(hs[:, :-1], ((0, 0), (1, 0)),
-                     constant_values=0x12345678)
+    prev_h = jnp.pad(hs[:, :-1], ((0, 0), (1, 0)))
     prev_l = jnp.pad(ls[:, :-1], ((0, 0), (1, 0)))
-    st = (hs != prev_h) | (ls != prev_l)
-    rank = jnp.cumsum(st.astype(jnp.int32), axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 1)
+    st = (hs != prev_h) | (ls != prev_l) | (col == 0)
+    rank = jnp.cumsum(st.astype(jnp.int32), axis=1)
     d = col - rank + 1
     # payload word: original column (14 bits, for run lengths by
     # position diff) | shift distance d (14 bits)
@@ -915,6 +913,148 @@ def join_member_step_dedup(t0, t1, codes, lengths, k, p,
     return found, ovf_span, ovf_u
 
 
+# ── Wide dedup tally (k = 33..201) ──────────────────────────────────
+# The same dedup-before-route trick for W ≥ 3 keys: local segmented
+# sort by the route hash (raw words as payload), run-length
+# compaction, global hash sort of the compacted stream, weighted wide
+# kernel.  Smaller join chunks (2048 rows) keep the sparser compacted
+# stream's partition spans inside VMEM-safe windows.
+
+CHUNK_DD_WIDE = 2048
+NSUB_DD_WIDE = CHUNK_DD_WIDE // SUB_ROWS
+
+
+def wide_dd_w_part_cap(w):
+    """VMEM-safe ladder ceiling for the weighted wide tally window
+    (2·W double-buffered blocks + accumulator slab)."""
+    per_row = 4 * TILE_KEYS * (4 * w + 1)
+    return max(8, min(MAX_W_PART_TALLY,
+                      _VMEM_BUDGET // per_row // 8 * 8))
+
+
+def _dedup_compact_wide(flat, u_chunk):
+    """(n, W) raw wide keys → compacted per-chunk (cols, weights).
+
+    Same monotone-rank pull compaction as :func:`_dedup_compact`;
+    runs are detected on the full W-word keys in route-hash order
+    (hash-collision interleavings only split runs — exact either
+    way).  Junk rows past a chunk's unique count become sentinels
+    (weight 0, sort last).
+    """
+    n, w = flat.shape
+    nloc = n // LCHUNK_DD
+    cols = [flat[:, j].reshape(nloc, LCHUNK_DD) for j in range(w)]
+    sent = cols[0] == jnp.uint32(0xFFFFFFFF)
+    for cj in cols[1:]:
+        sent = sent & (cj == jnp.uint32(0xFFFFFFFF))
+    h = jnp.where(sent, jnp.uint32(0xFFFFFFFF), _route_hash(cols))
+    srt = jax.lax.sort((h, *cols), dimension=1, num_keys=1)
+    scols = list(srt[1:])
+    st = None
+    for cj in scols:
+        prev = jnp.pad(cj[:, :-1], ((0, 0), (1, 0)))
+        dj = cj != prev
+        st = dj if st is None else (st | dj)
+    col = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+    st = st | (col == 0)
+    rank = jnp.cumsum(st.astype(jnp.int32), axis=1)
+    d = col - rank + 1
+    wd = (col << 14) | (d & 0x3FFF)
+    live = st
+    for j in range(13):
+        sh = 1 << j
+
+        def shl(a, fill, _s=sh):
+            return jnp.concatenate(
+                [a[:, _s:],
+                 jnp.full((a.shape[0], _s), fill, a.dtype)], axis=1)
+
+        src_live = shl(live, False)
+        src_wd = shl(wd, 0)
+        flag = src_live & (((src_wd >> j) & 1) == 1)
+        stays = live & (((wd >> j) & 1) == 0)
+        scols = [jnp.where(flag, shl(cj, jnp.uint32(0xFFFFFFFF)), cj)
+                 for cj in scols]
+        wd = jnp.where(flag, src_wd, wd)
+        live = flag | stays
+    u_c = rank[:, -1:]
+    live_f = col < u_c
+    pos = (wd >> 14) & 0x3FFF
+    nxt = jnp.concatenate(
+        [pos[:, 1:],
+         jnp.full((nloc, 1), LCHUNK_DD, jnp.int32)], axis=1)
+    nxt_live = jnp.concatenate(
+        [live_f[:, 1:], jnp.zeros((nloc, 1), bool)], axis=1)
+    nxt = jnp.where(nxt_live, nxt, LCHUNK_DD)
+    wgt = jnp.where(live_f, nxt - pos, 0)
+    # junk rows keep whatever stale key words survived the shifts;
+    # unlike the narrow path those could disagree ACROSS word arrays
+    # (each array shifted identically, so in fact they stay aligned),
+    # but pin them to sentinels anyway so the global sort groups them
+    # tightly at the end with zero weight
+    scols = [jnp.where(live_f, cj, jnp.uint32(0xFFFFFFFF))
+             for cj in scols]
+    overflow = jnp.max(u_c) > u_chunk
+    return ([cj[:, :u_chunk].reshape(-1) for cj in scols],
+            wgt[:, :u_chunk].reshape(-1), overflow)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("p", "w_part", "u_chunk", "interpret"))
+def join_tally_flat_wide_dedup(planes, acc, flat, p,
+                               w_part=W_PART_TALLY,
+                               u_chunk=U_CHUNK_DD, interpret=False):
+    """Dedup-first wide tally over pre-extracted flat keys.
+
+    Returns ``(acc', ovf_span, ovf_u)`` with the same retry semantics
+    as :func:`join_tally_step_dedup`; the caller ladders ``w_part``
+    up to :func:`wide_dd_w_part_cap` and ``u_chunk`` up to
+    ``LCHUNK_DD // 2`` before falling back to
+    :func:`join_tally_flat_wide`.
+    """
+    w = len(planes)
+    pad = (-flat.shape[0]) % LCHUNK_DD
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.full((pad, w), jnp.uint32(0xFFFFFFFF))],
+            axis=0)
+    cols_c, wgt, ovf_u = _dedup_compact_wide(flat, u_chunk)
+    sent_c = cols_c[0] == jnp.uint32(0xFFFFFFFF)
+    for cj in cols_c[1:]:
+        sent_c = sent_c & (cj == jnp.uint32(0xFFFFFFFF))
+    h2 = jnp.where(sent_c, jnp.uint32(0xFFFFFFFF),
+                   _route_hash(cols_c))
+    srt = jax.lax.sort((h2, *cols_c, wgt), num_keys=1)
+    hs = srt[0]
+    scols = list(srt[1:-1])
+    sw = srt[-1]
+    n2 = hs.shape[0]
+    pad2 = (-n2) % CHUNK_DD_WIDE
+    if pad2:
+        hs = jnp.concatenate(
+            [hs, jnp.full(pad2, jnp.uint32(0xFFFFFFFF))])
+        scols = [jnp.concatenate(
+            [cj, jnp.full(pad2, jnp.uint32(0xFFFFFFFF))])
+            for cj in scols]
+        sw = jnp.concatenate([sw, jnp.zeros(pad2, jnp.int32)])
+        n2 += pad2
+    sent_s = scols[0] == jnp.uint32(0xFFFFFFFF)
+    for cj in scols[1:]:
+        sent_s = sent_s & (cj == jnp.uint32(0xFFFFFFFF))
+    spart = jnp.where(sent_s, p, _part_from_hi(hs, p))
+    (spr, blk, base8, sub_start, sub_span, ovf_span,
+     _need) = _masked_span_meta(spart, sent_s, p, CHUNK_DD_WIDE,
+                                NSUB_DD_WIDE, w_part)
+    meta = jnp.concatenate([blk, base8, sub_start, sub_span])
+    qplanes = [cj.reshape(n2 // 128, 128) for cj in scols]
+    swr = sw.reshape(n2 // 128, 128)
+    acc_out = _tally_call_wide(meta, planes, qplanes, spr, acc, w,
+                               w_part, interpret, wgt=swr,
+                               nsub=NSUB_DD_WIDE)
+    return acc_out, ovf_span, ovf_u
+
+
 # ── Shard-local routing (multi-chip tile-join) ──────────────────────
 # On an S-device mesh the mixed high word does double duty: its top
 # fixed-point scale picks the owner shard (floor(hi·S/2^32)) and the
@@ -1172,15 +1312,20 @@ def build_tile_partitions_wide(keys_np, p=None):
     return planes, perm, p
 
 
-def _tally_kernel_wide(meta_ref, *refs, w, w_part):
+def _tally_kernel_wide(meta_ref, *refs, w, w_part, nsub=NSUB_T,
+                       weighted=False):
     """Generic-W tally chunk: refs = W lo-blocks + W hi-blocks +
-    W query planes + spart + acc HBM in/out + scratch accw + sems."""
+    W query planes + spart [+ weight plane] + acc HBM in/out +
+    scratch accw + sems.  With *weighted*, each query row's run
+    multiplicity rides the tally dot's mask (the dedup path)."""
     lo = refs[:w]
     hi = refs[w:2 * w]
     qs = refs[2 * w:3 * w]
     sp_ref = refs[3 * w]
-    acc_out_hbm = refs[3 * w + 2]
-    accw, sem_in, sem_out = refs[3 * w + 3:3 * w + 6]
+    woff = 1 if weighted else 0
+    w_ref = refs[3 * w + 1] if weighted else None
+    acc_out_hbm = refs[3 * w + woff + 2]
+    accw, sem_in, sem_out = refs[3 * w + woff + 3:3 * w + woff + 6]
     c = pl.program_id(0)
     nc = pl.num_programs(0)
     baseb = meta_ref[c] * w_part
@@ -1190,15 +1335,21 @@ def _tally_kernel_wide(meta_ref, *refs, w, w_part):
     din.start()
     din.wait()
 
-    for s in range(NSUB_T):
-        st = meta_ref[2 * nc + c * NSUB_T + s]
-        span = meta_ref[2 * nc + nc * NSUB_T + c * NSUB_T + s]
+    for s in range(nsub):
+        st = meta_ref[2 * nc + c * nsub + s]
+        span = meta_ref[2 * nc + nc * nsub + c * nsub + s]
         qt = [q[s, :].reshape(SUB_ROWS, 1) for q in qs]
         relt = sp_ref[s, :].reshape(SUB_ROWS, 1) - st
+        wt = (w_ref[s, :].reshape(SUB_ROWS, 1).astype(jnp.float32)
+              if weighted else None)
 
-        def tally(eq, t, arow, _relt=relt):
-            maskv = (_relt == t).astype(jnp.float32).reshape(
-                1, SUB_ROWS)
+        def tally(eq, t, arow, _relt=relt, _wt=wt):
+            if weighted:
+                maskv = jnp.where(_relt == t, _wt, 0.0).reshape(
+                    1, SUB_ROWS)
+            else:
+                maskv = (_relt == t).astype(jnp.float32).reshape(
+                    1, SUB_ROWS)
             cnt = jax.lax.dot_general(
                 maskv, eq.astype(jnp.float32),
                 (((1,), (0,)), ((), ())),
@@ -1337,9 +1488,13 @@ def _route_wide(flat, p, chunk, nsub, with_idx):
 
 
 def _tally_call_wide(meta, planes, qplanes, spr, acc, w, w_part,
-                     interpret):
-    """Invoke the wide tally kernel on routed queries + metadata."""
-    nc = spr.shape[0] // NSUB_T
+                     interpret, wgt=None, nsub=NSUB_T):
+    """Invoke the wide tally kernel on routed queries + metadata.
+    With *wgt* (an (n/128, 128) int32 plane), runs the weighted
+    (dedup) variant."""
+    nc = spr.shape[0] // nsub
+    weighted = wgt is not None
+    nq = w + 1 + (1 if weighted else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nc,),
@@ -1350,8 +1505,8 @@ def _tally_call_wide(meta, planes, qplanes, spr, acc, w, w_part,
             + [pl.BlockSpec((w_part, TILE_KEYS),
                             lambda c, m: (m[c] + 1, 0),
                             memory_space=pltpu.VMEM)] * w
-            + [pl.BlockSpec((NSUB_T, 128), lambda c, m: (c, 0),
-                            memory_space=pltpu.VMEM)] * (w + 1)
+            + [pl.BlockSpec((nsub, 128), lambda c, m: (c, 0),
+                            memory_space=pltpu.VMEM)] * nq
             + [pl.BlockSpec(memory_space=pltpu.ANY)]
         ),
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -1360,14 +1515,16 @@ def _tally_call_wide(meta, planes, qplanes, spr, acc, w, w_part,
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
         ],
     )
+    extra = (wgt,) if weighted else ()
     return pl.pallas_call(
-        functools.partial(_tally_kernel_wide, w=w, w_part=w_part),
+        functools.partial(_tally_kernel_wide, w=w, w_part=w_part,
+                          nsub=nsub, weighted=weighted),
         out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.int32),
         grid_spec=grid_spec,
-        input_output_aliases={3 * w + 2: 0},
+        input_output_aliases={2 * w + nq + 1: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(meta, *planes, *planes, *qplanes, spr, acc)
+    )(meta, *planes, *planes, *qplanes, spr, *extra, acc)
 
 
 def _member_call_wide(meta, planes, qplanes, spr, w, w_part,

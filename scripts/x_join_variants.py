@@ -649,6 +649,8 @@ def main():
         run_xfloor(rng, genome)
     if which in ("v5m",):
         run_v5m(rng, genome)
+    if which in ("v5w",):
+        run_v5w(rng, genome)
 
 
 
@@ -1643,6 +1645,61 @@ def run_v5m(rng, genome):
     timeit("tally dedup full step (same session)",
            lambda a, c, l: pj.join_tally_step_dedup(
                t0j, t1j, a, c, l, K, p)[0], acc, codes, lengths)
+
+
+
+# ── wide dedup A/B on the chip (k=63) ───────────────────────────────
+
+def run_v5w(rng, genome):
+    k, w = 63, 4
+    codes = jnp.asarray(synth_reads(rng, genome, BATCH_READS, READ_LEN))
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+    WGS_TABLE_M = 1 << 24
+    keys = rng.integers(0, 2 ** 32, (WGS_TABLE_M, w), dtype=np.uint32)
+    keys[:, -1] &= np.uint32(0xFFFFFFFC)
+    # mix in real read-derived keys so the join has hits
+    kflat = np.asarray(pj.extract_flat_keys(codes, lengths, k))
+    kreal = kflat[(kflat != 0xFFFFFFFF).any(axis=1)]
+    keys = np.unique(np.concatenate([keys, kreal[::5]]), axis=0)
+    planes_np, perm, p = pj.build_tile_partitions_wide(keys)
+    planes = tuple(jnp.asarray(planes_np[j]) for j in range(w))
+    acc = jnp.zeros(planes_np[0].shape, jnp.int32)
+
+    flat = pj.extract_flat_keys(codes, lengths, k)
+    a1, ov1 = pj.join_tally_flat_wide(planes, acc, flat, p)
+    u, wp = pj.U_CHUNK_DD, pj.W_PART_TALLY
+    while True:
+        a5, os5, ou5 = pj.join_tally_flat_wide_dedup(
+            planes, acc, flat, p, w_part=wp, u_chunk=u)
+        print(f"  u={u} wp={wp}: ovf_s={bool(os5)} ovf_u={bool(ou5)}",
+              flush=True)
+        if not bool(os5) and not bool(ou5):
+            break
+        if bool(ou5):
+            u *= 2
+        if bool(os5):
+            wp = min(wp * 2, pj.wide_dd_w_part_cap(w))
+        assert u <= pj.LCHUNK_DD
+    real = perm >= 0
+    r1 = np.asarray(a1)[:perm.shape[0]][real]
+    r5 = np.asarray(a5)[:perm.shape[0]][real]
+    same = np.array_equal(r1, r5)
+    print(f"wide dedup parity: {same} (hits {r1.sum()})", flush=True)
+    assert same
+
+    timeit("wide tally plain (full step incl extract)",
+           lambda a, c, l: pj.join_tally_step_wide(
+               planes, a, c, l, k, p)[0], acc, codes, lengths)
+
+    # two separate jits (extract / dedup-join): fusing them into one
+    # HLO exceeds the remote compile service's request size limit
+    def dd_step(a, c, l):
+        fl = pj.extract_flat_keys(c, l, k)
+        return pj.join_tally_flat_wide_dedup(
+            planes, a, fl, p, w_part=wp, u_chunk=u)[0]
+
+    timeit("wide tally dedup (extract + join jits)", dd_step,
+           acc, codes, lengths)
 
 if __name__ == "__main__":
     main()

@@ -519,3 +519,75 @@ class TestDedupMember:
             jnp.asarray(t0b), jnp.asarray(t1b), jnp.asarray(codes_p),
             jnp.asarray(lens_p), k, pb, w_part=8, interpret=True)
         assert bool(ovs)
+
+
+class TestDedupWide:
+    def _wide_setup(self, k, w, seed=9):
+        rng = np.random.default_rng(seed)
+        codes, lengths = _reads(96, 96, k, seed=seed)
+        # duplicate reads so weights > 1 appear
+        codes = np.concatenate([codes, codes[:48]], axis=0)
+        lengths = np.concatenate([lengths, lengths[:48]])
+        codes_p, lens_p = eng.pad_read_batch(codes, lengths)
+        keys_j, valid = dev.extract_canonical_windows(
+            jnp.asarray(codes_p), jnp.asarray(lens_p), k)
+        flatv = np.asarray(keys_j)[np.asarray(valid)].reshape(-1, w)
+        rk = rng.integers(0, 2 ** 32, (2000, w), dtype=np.uint32)
+        rk[:, -1] &= np.uint32(0xFFFFFFFC)
+        keys = np.unique(np.concatenate([flatv[::3], rk]), axis=0)
+        planes_np, perm, p = pj.build_tile_partitions_wide(keys)
+        planes = tuple(jnp.asarray(planes_np[j]) for j in range(w))
+        acc0 = jnp.zeros(planes_np[0].shape, jnp.int32)
+        flat = pj.extract_flat_keys(
+            jnp.asarray(codes_p), jnp.asarray(lens_p), k)
+        return planes, perm, p, acc0, flat
+
+    @pytest.mark.parametrize("k,w", [(47, 3), (63, 4)])
+    def test_wide_dedup_matches_plain(self, k, w):
+        planes, perm, p, acc0, flat = self._wide_setup(k, w)
+        a1, ov1 = pj.join_tally_flat_wide(planes, acc0, flat, p,
+                                          interpret=True)
+        u, wp = pj.U_CHUNK_DD, pj.W_PART_TALLY
+        while True:
+            a5, ovs, ovu = pj.join_tally_flat_wide_dedup(
+                planes, acc0, flat, p, w_part=wp, u_chunk=u,
+                interpret=True)
+            if not bool(ovs) and not bool(ovu):
+                break
+            if bool(ovu):
+                u *= 2
+            if bool(ovs):
+                wp *= 2
+            assert u <= pj.LCHUNK_DD and wp <= 512
+        assert not bool(ov1)
+        real = perm >= 0
+        r1 = np.asarray(a1)[:perm.shape[0]][real]
+        r5 = np.asarray(a5)[:perm.shape[0]][real]
+        assert (r1 > 1).any()  # weights actually exercised
+        assert np.array_equal(r1, r5)
+
+    def test_wide_dedup_engine_flush(self, monkeypatch):
+        """FilteredCounter wide path with dedup default must match
+        the oracle through feed/flush/result."""
+        monkeypatch.setenv("KDF_PALLAS_INTERPRET", "1")
+        monkeypatch.setattr(eng, "_SMALL_TABLE_M", 0)
+        k = 47
+        reads = [s for s in
+                 (''.join(np.random.default_rng(41).choice(
+                     list("ACGT"), 96)) for _ in range(40))]
+        reads = reads + reads[:20]
+        import tests.test_engine as te
+        kmers = sorted({km for s in reads
+                        for km in te.oracle_counts([s], k)})
+        from kmer_denovo_filter_tpu.ops import encode as enc2
+        keys = enc2.kmers_to_keys(kmers, k)
+        index = eng.KmerIndex(keys, k)
+        index.small = False
+        index.mid = True
+        codes, lengths = te.pack_reads(reads)
+        fc = eng.FilteredCounter(index)
+        assert fc._dedup
+        fc.feed(codes, lengths)
+        got = fc.result()
+        expected = te._expected_tally(reads, keys, k)
+        assert np.array_equal(got, expected)
