@@ -522,6 +522,7 @@ class FilteredCounter:
         if not bool(overflow):
             return
         idx = self.index
+        try_current = False  # set on dedup fallthrough (see below)
         if kind == "pallas_dd":
             from kmer_denovo_filter_tpu.ops import pallas_join as pj
             t0, t1, _perm, p = idx.tile_partitions()
@@ -548,6 +549,7 @@ class FilteredCounter:
                     self.acc = acc
                     return
             kind = "pallas"  # replay through the plain-path ladder
+            try_current = True  # plain join untried at self.w_part
         if kind == "pallas_wide_dd":
             from kmer_denovo_filter_tpu.ops import pallas_join as pj
             planes, _perm, p = idx.tile_partitions_wide()
@@ -571,6 +573,7 @@ class FilteredCounter:
                     self.acc = acc
                     return
             kind = "pallas_wide"  # replay through the plain ladder
+            try_current = True  # plain join untried at self.w_part
         if kind in ("pallas", "pallas_wide"):
             from kmer_denovo_filter_tpu.ops import pallas_join as pj
             if kind == "pallas":
@@ -591,7 +594,13 @@ class FilteredCounter:
                         planes, acc0, codes_j, p, self.w_part,
                         interpret=_pallas_interpret())
             while True:
-                if self.w_part >= w_cap:
+                if try_current:
+                    # dedup fallthrough: the plain join has not run at
+                    # the current self.w_part yet — attempt it once
+                    # before doubling (otherwise a capacity level is
+                    # skipped when w_part already equals the cap)
+                    try_current = False
+                elif self.w_part >= w_cap:
                     # sparse/skewed batch: its few distinct keys spread
                     # over more partitions than the largest window
                     # covers (e.g. the near-empty final batch of a
@@ -603,7 +612,8 @@ class FilteredCounter:
                         self._tally_flat_on_host(codes_j)
                     acc = acc_before
                     break
-                self.w_part = min(self.w_part * 2, w_cap)
+                else:
+                    self.w_part = min(self.w_part * 2, w_cap)
                 acc, overflow = attempt(acc_before)
                 if not bool(overflow):
                     break
@@ -811,25 +821,36 @@ def scan_reads_for_hits(index, codes, lengths):
     if index.w == 2 and _use_pallas_join():
         from kmer_denovo_filter_tpu.ops import pallas_join as pj
         t0, t1, _perm, p = index.tile_partitions()
-        if os.environ.get("KDF_DEDUP_JOIN") != "0":
+        if (os.environ.get("KDF_DEDUP_JOIN") != "0"
+                and getattr(index, "_member_dedup_ok", True)):
             # dedup-first member scan: join once per distinct
-            # chunk-local key, expand bits back (ladder as the tally's)
-            w_part = pj.W_PART_MEMBER_DD
-            u_chunk = pj.U_CHUNK_DD
+            # chunk-local key, expand bits back (ladder as the
+            # tally's).  The ladder's settled capacities — and a
+            # terminal give-up — are cached on the index so an
+            # undedupable stream pays the failed attempts only once.
+            w_part, u_chunk = getattr(
+                index, "_member_dedup_cfg",
+                (pj.W_PART_MEMBER_DD, pj.U_CHUNK_DD))
             while True:
                 found, ovf_s, ovf_u = pj.join_member_step_dedup(
                     t0, t1, codes_j, lens_j, index.k, p, w_part,
                     u_chunk, interpret=_pallas_interpret())
                 if not bool(ovf_s) and not bool(ovf_u):
+                    index._member_dedup_cfg = (w_part, u_chunk)
                     found = np.asarray(found)
                     return found[:codes.shape[0],
                                  :codes.shape[1] - index.k + 1]
                 if bool(ovf_u):
                     if u_chunk * 2 > pj.LCHUNK_DD // 2:
-                        break  # stream doesn't dedup — plain scan
+                        # stream doesn't dedup — plain scan, and skip
+                        # the dedup ladder for this index from now on
+                        index._member_dedup_ok = False
+                        break
                     u_chunk *= 2
                 if bool(ovf_s):
                     if w_part >= pj.MAX_W_PART:
+                        # span overflow is batch-shaped, not
+                        # stream-shaped: fall back for this batch only
                         break
                     w_part = min(w_part * 2, pj.MAX_W_PART)
         w_part = pj.W_PART

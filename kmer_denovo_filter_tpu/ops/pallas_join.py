@@ -590,8 +590,9 @@ def _dedup_compact(hi, lo, u_chunk):
     """Mixed flat stream → per-chunk (keys, weights), compacted.
 
     Rows past a chunk's unique count keep stale in-chunk key values
-    with weight 0 — harmless to the weighted join and still
-    hash-local, so spans stay tight.  Returns flat
+    with weight 0 — harmless to the weighted join; the subsequent
+    GLOBAL sort of the compacted stream (not any chunk-local junk
+    placement) is what keeps partition spans tight.  Returns flat
     ``(hi, lo, wgt, overflow)`` of ``(n / LCHUNK_DD) * u_chunk`` rows;
     *overflow* means some chunk had more than *u_chunk* uniques and
     the caller must retry with a doubled capacity.
@@ -610,16 +611,16 @@ def _dedup_compact(hi, lo, u_chunk):
     return _dedup_compact_sorted(hs, ls, u_chunk)
 
 
-def _dedup_compact_sorted(hs, ls, u_chunk):
+def _dedup_compact_sorted(hs, ls, u_chunk, flags=None):
     """Compaction body of :func:`_dedup_compact` for pre-sorted
-    (nloc, LCHUNK_DD) planes."""
+    (nloc, LCHUNK_DD) planes.  *flags* optionally carries a
+    precomputed ``(st, rank, d, col)`` run-detection tuple from
+    :func:`_dedup_flags` so callers that need those planes anyway
+    (the member path) don't duplicate the graph."""
     nloc = hs.shape[0]
-    prev_h = jnp.pad(hs[:, :-1], ((0, 0), (1, 0)))
-    prev_l = jnp.pad(ls[:, :-1], ((0, 0), (1, 0)))
-    col = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 1)
-    st = (hs != prev_h) | (ls != prev_l) | (col == 0)
-    rank = jnp.cumsum(st.astype(jnp.int32), axis=1)
-    d = col - rank + 1
+    if flags is None:
+        flags = _dedup_flags(hs, ls)
+    st, rank, d, col = flags
     # payload word: original column (14 bits, for run lengths by
     # position diff) | shift distance d (14 bits)
     wd = (col << 14) | (d & 0x3FFF)
@@ -870,8 +871,10 @@ def join_member_step_dedup(t0, t1, codes, lengths, k, p,
     lidx = jnp.tile(
         jnp.arange(LCHUNK_DD, dtype=jnp.int32)[None, :], (nloc, 1))
     hs, ls, sl = jax.lax.sort((h2, l2, lidx), dimension=1, num_keys=1)
-    _st, rank, d, _col = _dedup_flags(hs, ls)
-    hc, lc, _wgt, ovf_u = _dedup_compact_sorted(hs, ls, u_chunk)
+    flags = _dedup_flags(hs, ls)
+    d = flags[2]
+    hc, lc, _wgt, ovf_u = _dedup_compact_sorted(hs, ls, u_chunk,
+                                                flags=flags)
     n2 = hc.shape[0]
     cpos = jnp.arange(n2, dtype=jnp.int32)
     s0, s1, scp = jax.lax.sort((hc, lc, cpos), num_keys=1)

@@ -146,6 +146,18 @@ def test_module_invocation_shows_help():
     assert "usage" in out.stdout.lower()
 
 
+def test_package_module_invocation_shows_help():
+    """`python -m kmer_denovo_filter_tpu --help` must work (reference
+    src/kmer_denovo_filter/__main__.py:1-3)."""
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "-m", "kmer_denovo_filter_tpu", "--help"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0
+    assert "usage" in out.stdout.lower()
+
+
 # ── Per-flag matrix (reference tests/test_cli.py coverage model) ───
 
 _VCF_BASE = _BASE + ["--vcf", "v.vcf", "--output", "o.vcf"]
