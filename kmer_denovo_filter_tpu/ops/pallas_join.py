@@ -156,7 +156,12 @@ CHUNK_ROWS = 4096          # member-scan query rows per grid step
 SUB_ROWS = 128             # rows per sub-chunk (one sublane)
 NSUB = CHUNK_ROWS // SUB_ROWS
 TILE_KEYS = 1024           # keys per partition row
-MEAN_FILL = 768            # target mean keys/partition at build time
+# Target mean keys/partition at build time.  Join-kernel iterations
+# scale as ~(n_real/128 + p): fuller partitions cut the dominant p
+# term AND total compare volume (less tile padding).  832 leaves a
+# >6 sigma Poisson margin to TILE_KEYS for mixed/hashed keys; the
+# build loop still grows p if a tile ever overflows.
+MEAN_FILL = 832
 W_PART = 48                # member: partition-window rows per chunk
 MAX_W_PART = 1024          # planes are padded by this many partitions
 
@@ -651,6 +656,14 @@ def _dedup_compact_sorted(hs, ls, u_chunk, flags=None):
         [live_f[:, 1:], jnp.zeros((nloc, 1), bool)], axis=1)
     nxt = jnp.where(nxt_live, nxt, LCHUNK_DD)
     wgt = jnp.where(live_f, nxt - pos, 0)
+    # Pin junk rows (past each chunk's unique count) to the sentinel
+    # pair: after the global sort they group at the stream's end,
+    # where the masked span metadata excludes them — the join kernel
+    # then iterates over REAL rows only (~40% fewer iterations at the
+    # default capacity margin) instead of chasing stale keys.
+    sent = jnp.uint32(0xFFFFFFFF)
+    hs = jnp.where(live_f, hs, sent)
+    ls = jnp.where(live_f, ls, sent)
     overflow = jnp.max(u_c) > u_chunk
     return (hs[:, :u_chunk].reshape(-1),
             ls[:, :u_chunk].reshape(-1),
@@ -661,64 +674,80 @@ def _tally_kernel_w(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
                     sp_ref, w_ref, acc_in_hbm, acc_out_hbm, accw,
                     sem_in, sem_out, *, w_part):
     """Weighted tally chunk: like _tally_kernel, but each query row
-    carries a run multiplicity that rides the MXU dot's mask."""
+    carries a run multiplicity that rides the MXU dot's mask.
+
+    meta carries a trailing per-chunk ``active`` flag (all-sentinel
+    chunks — the sorted junk tail — skip DMA and every sub) and
+    zero-span subs skip their setup: with ~40% junk capacity margin
+    the fixed per-chunk/per-sub costs would otherwise dominate the
+    super-batch join.
+    """
     c = pl.program_id(0)
     nc = pl.num_programs(0)
-    baseb = meta_ref[c] * w_part
-    base8 = pl.multiple_of(meta_ref[nc + c], 8)
-    din = pltpu.make_async_copy(
-        acc_out_hbm.at[pl.ds(base8, w_part), :], accw, sem_in)
-    din.start()
-    din.wait()
+    act = meta_ref[2 * nc + 2 * nc * NSUB_DD + c]
 
-    for s in range(NSUB_DD):
-        st = meta_ref[2 * nc + c * NSUB_DD + s]
-        span = meta_ref[2 * nc + nc * NSUB_DD + c * NSUB_DD + s]
-        q0t = s0_ref[s, :].reshape(SUB_ROWS, 1)
-        q1t = s1_ref[s, :].reshape(SUB_ROWS, 1)
-        relt = sp_ref[s, :].reshape(SUB_ROWS, 1) - st
-        wt = w_ref[s, :].reshape(SUB_ROWS, 1).astype(jnp.float32)
+    @pl.when(act == 1)
+    def _chunk():
+        baseb = meta_ref[c] * w_part
+        base8 = pl.multiple_of(meta_ref[nc + c], 8)
+        din = pltpu.make_async_copy(
+            acc_out_hbm.at[pl.ds(base8, w_part), :], accw, sem_in)
+        din.start()
+        din.wait()
 
-        def tally(eq2, t, arow, _relt=relt, _wt=wt):
-            # per-sub weighted sums stay ≤ 128·8192 < 2^24: f32 exact
-            maskv = jnp.where(_relt == t, _wt, 0.0).reshape(
-                1, SUB_ROWS)
-            cnt = jax.lax.dot_general(
-                maskv, eq2.astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            accw[pl.ds(arow, 1), :] += cnt.astype(jnp.int32)
+        for s in range(NSUB_DD):
+            st = meta_ref[2 * nc + c * NSUB_DD + s]
+            span = meta_ref[2 * nc + nc * NSUB_DD + c * NSUB_DD + s]
 
-        @pl.when(st - baseb + span <= w_part)
-        def _fast(q0t=q0t, q1t=q1t, st=st, span=span):
-            def body(t, _):
-                row = st - baseb + t
-                eq2 = ((q0t == t0lo[pl.ds(row, 1), :])
-                       & (q1t == t1lo[pl.ds(row, 1), :]))
-                tally(eq2, t, st - base8 + t)
-                return 0
-            jax.lax.fori_loop(0, span, body, 0)
+            @pl.when(span > 0)
+            def _sub(s=s, st=st, span=span):
+                q0t = s0_ref[s, :].reshape(SUB_ROWS, 1)
+                q1t = s1_ref[s, :].reshape(SUB_ROWS, 1)
+                relt = sp_ref[s, :].reshape(SUB_ROWS, 1) - st
+                wt = w_ref[s, :].reshape(SUB_ROWS, 1).astype(
+                    jnp.float32)
 
-        @pl.when(st - baseb + span > w_part)
-        def _straddle(q0t=q0t, q1t=q1t, st=st, span=span):
-            def body(t, _):
-                row = st - baseb + t
-                rlo = jnp.minimum(row, w_part - 1)
-                rhi = jnp.maximum(row - w_part, 0)
-                in_lo = row < w_part
-                v0 = jnp.where(in_lo, t0lo[pl.ds(rlo, 1), :],
-                               t0hi[pl.ds(rhi, 1), :])
-                v1 = jnp.where(in_lo, t1lo[pl.ds(rlo, 1), :],
-                               t1hi[pl.ds(rhi, 1), :])
-                eq2 = (q0t == v0) & (q1t == v1)
-                tally(eq2, t, st - base8 + t)
-                return 0
-            jax.lax.fori_loop(0, span, body, 0)
+                def tally(eq2, t, arow, _relt=relt, _wt=wt):
+                    # per-sub weighted sums ≤ 128·8192 < 2^24: f32
+                    # exact
+                    maskv = jnp.where(_relt == t, _wt, 0.0).reshape(
+                        1, SUB_ROWS)
+                    cnt = jax.lax.dot_general(
+                        maskv, eq2.astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    accw[pl.ds(arow, 1), :] += cnt.astype(jnp.int32)
 
-    dout = pltpu.make_async_copy(
-        accw, acc_out_hbm.at[pl.ds(base8, w_part), :], sem_out)
-    dout.start()
-    dout.wait()
+                @pl.when(st - baseb + span <= w_part)
+                def _fast(q0t=q0t, q1t=q1t, st=st, span=span):
+                    def body(t, _):
+                        row = st - baseb + t
+                        eq2 = ((q0t == t0lo[pl.ds(row, 1), :])
+                               & (q1t == t1lo[pl.ds(row, 1), :]))
+                        tally(eq2, t, st - base8 + t)
+                        return 0
+                    jax.lax.fori_loop(0, span, body, 0)
+
+                @pl.when(st - baseb + span > w_part)
+                def _straddle(q0t=q0t, q1t=q1t, st=st, span=span):
+                    def body(t, _):
+                        row = st - baseb + t
+                        rlo = jnp.minimum(row, w_part - 1)
+                        rhi = jnp.maximum(row - w_part, 0)
+                        in_lo = row < w_part
+                        v0 = jnp.where(in_lo, t0lo[pl.ds(rlo, 1), :],
+                                       t0hi[pl.ds(rhi, 1), :])
+                        v1 = jnp.where(in_lo, t1lo[pl.ds(rlo, 1), :],
+                                       t1hi[pl.ds(rhi, 1), :])
+                        eq2 = (q0t == v0) & (q1t == v1)
+                        tally(eq2, t, st - base8 + t)
+                        return 0
+                    jax.lax.fori_loop(0, span, body, 0)
+
+        dout = pltpu.make_async_copy(
+            accw, acc_out_hbm.at[pl.ds(base8, w_part), :], sem_out)
+        dout.start()
+        dout.wait()
 
 
 def _tally_call_w(meta, t0, t1, s0r, s1r, spr, wr, acc, w_part,
@@ -799,25 +828,154 @@ def join_tally_step_dedup(t0, t1, acc, codes, lengths, k, p,
             [s1, jnp.full(pad2, jnp.uint32(0xFFFFFFFF))])
         sw = jnp.concatenate([sw, jnp.zeros(pad2, jnp.int32)])
         n2 += pad2
-    spart = _part_from_hi(s0, p)
-    nc = n2 // CHUNK_DD
-    sp2 = spart.reshape(nc * NSUB_DD, SUB_ROWS)
-    sub_start = sp2[:, 0]
-    sub_span = (sp2[:, -1] - sub_start + 1).astype(jnp.int32)
-    first = sub_start.reshape(nc, NSUB_DD)[:, 0]
-    blk = first // w_part
-    base8 = (first // 8) * 8
-    last = sp2[:, -1].reshape(nc, NSUB_DD)[:, -1]
-    ovf_span = ((jnp.max(last - blk * w_part + 1) > 2 * w_part)
-                | (jnp.max(last - base8 + 1) > w_part))
-    meta = jnp.concatenate([blk, base8, sub_start, sub_span])
+    # sentinel rows (junk + invalid windows, all weight 0) sort last;
+    # masked span metadata excludes them so the kernel iterates real
+    # rows only and all-sentinel tail chunks cost ~nothing
+    sent_s = (s0 == jnp.uint32(0xFFFFFFFF)) \
+        & (s1 == jnp.uint32(0xFFFFFFFF))
+    spart = jnp.where(sent_s, p, _part_from_hi(s0, p))
+    (spr, blk, base8, sub_start, sub_span, ovf_span,
+     _need, active) = _masked_span_meta(spart, sent_s, p, CHUNK_DD,
+                                        NSUB_DD, w_part)
+    meta = jnp.concatenate([blk, base8, sub_start, sub_span, active])
     s0r = s0.reshape(n2 // 128, 128)
     s1r = s1.reshape(n2 // 128, 128)
-    spr = spart.reshape(n2 // 128, 128)
     swr = sw.reshape(n2 // 128, 128)
     acc_out = _tally_call_w(meta, t0, t1, s0r, s1r, spr, swr, acc,
                             w_part, interpret)
     return acc_out, ovf_span, ovf_u
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "p", "w_part", "u_chunk", "interpret"))
+def join_tally_steps_dedup(t0, t1, acc, codes_nb, lengths_nb, k, p,
+                           w_part=W_PART_DD, u_chunk=U_CHUNK_DD,
+                           interpret=False):
+    """Fold NB batches through the dedup tally in ONE dispatch.
+
+    ``codes_nb`` is (NB, B, L) and ``lengths_nb`` (NB, B); the scan
+    runs :func:`join_tally_step_dedup` per batch with the accumulator
+    threaded through.  One jit call per NB batches amortises the
+    per-dispatch host cost (multi-ms through a relay-attached chip,
+    ~50 µs on PCIe hosts — either way pure overhead).  Returns
+    ``(acc', ovf_span_any, ovf_u_any)``; on either overflow the caller
+    must replay the whole super-batch from its pre-scan accumulator at
+    the laddered capacity (same exact-retry contract as the
+    single-batch step).
+    """
+    def body(acc, xs):
+        codes, lengths = xs
+        acc2, os_, ou_ = join_tally_step_dedup(
+            t0, t1, acc, codes, lengths, k, p, w_part, u_chunk,
+            interpret)
+        return acc2, (os_, ou_)
+
+    acc, (oss, ous) = jax.lax.scan(body, acc, (codes_nb, lengths_nb))
+    return acc, jnp.any(oss), jnp.any(ous)
+
+
+# Super-batch join window (batches per joined stream).  The join
+# kernel's compare volume has a term ~TILE_KEYS·p ≈ M/fill that is
+# INDEPENDENT of batch size — each batch's deduped queries still span
+# every partition, so every partition row is DMA'd and compared at
+# least once per join.  Deduping per batch but joining the
+# concatenated compacted streams of NB_JOIN batches amortises that
+# whole-table term NB_JOIN×; the marginal cost (a larger global sort +
+# denser spans) is far smaller.  Replaces the reference's per-chunk
+# jellyfish merge economics (core/jellyfish_wrappers.py:244–251) with
+# on-device stream concatenation.
+NB_JOIN = 8
+W_PART_SB = 64             # super-batch streams are partition-dense
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "p", "w_part", "u_chunk", "interpret"))
+def join_tally_superbatch_dedup(t0, t1, acc, codes_nb, lengths_nb, k,
+                                p, w_part=W_PART_SB,
+                                u_chunk=U_CHUNK_DD, interpret=False):
+    """Dedup NB batches individually, join their compacted streams
+    once.
+
+    ``codes_nb`` is (NB, B, L), ``lengths_nb`` (NB, B).  Per batch:
+    fused Pallas extract+mix → segmented local sort → run-length
+    compaction (exactly :func:`join_tally_step_dedup`'s front half).
+    The NB compacted (key, weight) streams then concatenate into ONE
+    globally sorted query stream for a single weighted tile-join.
+    Counts are exact: equal keys from different batches become
+    adjacent weighted rows whose tallies sum.
+
+    Returns ``(acc', ovf_span, ovf_u)`` with the usual retry
+    semantics (replay the whole super-batch on overflow).
+    """
+    from kmer_denovo_filter_tpu.ops.pallas_extract import extract_mixed
+
+    def front(_, xs):
+        codes, lengths = xs
+        hi2, lo2 = extract_mixed(codes, lengths, k,
+                                 interpret=interpret)
+        hi = hi2.reshape(-1)
+        lo = lo2.reshape(-1)
+        pad = (-hi.shape[0]) % LCHUNK_DD
+        if pad:
+            hi = jnp.concatenate(
+                [hi, jnp.full(pad, jnp.uint32(0xFFFFFFFF))])
+            lo = jnp.concatenate(
+                [lo, jnp.full(pad, jnp.uint32(0xFFFFFFFF))])
+        hc, lc, wc, ovf_u = _dedup_compact(hi, lo, u_chunk)
+        return 0, (hc, lc, wc, ovf_u)
+
+    _, (hcs, lcs, wcs, ovf_us) = jax.lax.scan(
+        front, 0, (codes_nb, lengths_nb))
+    s0, s1, sw = jax.lax.sort(
+        (hcs.reshape(-1), lcs.reshape(-1), wcs.reshape(-1)),
+        num_keys=1)
+    n2 = s0.shape[0]
+    pad2 = (-n2) % CHUNK_DD
+    if pad2:
+        s0 = jnp.concatenate(
+            [s0, jnp.full(pad2, jnp.uint32(0xFFFFFFFF))])
+        s1 = jnp.concatenate(
+            [s1, jnp.full(pad2, jnp.uint32(0xFFFFFFFF))])
+        sw = jnp.concatenate([sw, jnp.zeros(pad2, jnp.int32)])
+        n2 += pad2
+    sent_s = (s0 == jnp.uint32(0xFFFFFFFF)) \
+        & (s1 == jnp.uint32(0xFFFFFFFF))
+    spart = jnp.where(sent_s, p, _part_from_hi(s0, p))
+    (spr, blk, base8, sub_start, sub_span, ovf_span,
+     _need, active) = _masked_span_meta(spart, sent_s, p, CHUNK_DD,
+                                        NSUB_DD, w_part)
+    meta = jnp.concatenate([blk, base8, sub_start, sub_span, active])
+    s0r = s0.reshape(n2 // 128, 128)
+    s1r = s1.reshape(n2 // 128, 128)
+    swr = sw.reshape(n2 // 128, 128)
+    acc_out = _tally_call_w(meta, t0, t1, s0r, s1r, spr, swr, acc,
+                            w_part, interpret)
+    return acc_out, ovf_span, jnp.any(ovf_us)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "p", "w_part", "u_chunk", "interpret"))
+def join_member_steps_dedup(t0, t1, codes_nb, lengths_nb, k, p,
+                            w_part=None, u_chunk=U_CHUNK_DD,
+                            interpret=False):
+    """Scan NB member batches in one dispatch (see
+    :func:`join_tally_steps_dedup`).  Returns
+    ``(found (NB, B, S) bool, ovf_span_any, ovf_u_any)``."""
+    if w_part is None:
+        w_part = W_PART_MEMBER_DD
+
+    def body(carry, xs):
+        codes, lengths = xs
+        found, os_, ou_ = join_member_step_dedup(
+            t0, t1, codes, lengths, k, p, w_part, u_chunk, interpret)
+        return carry, (found, os_, ou_)
+
+    _, (found, oss, ous) = jax.lax.scan(
+        body, 0, (codes_nb, lengths_nb))
+    return found, jnp.any(oss), jnp.any(ous)
 
 
 # Member window over the compacted stream: ~4× fewer rows per
@@ -887,20 +1045,18 @@ def join_member_step_dedup(t0, t1, codes, lengths, k, p,
         scp = jnp.concatenate(
             [scp, n2 + jnp.arange(pad2, dtype=jnp.int32)])
     nq = s0.shape[0]
-    spart = _part_from_hi(s0, p)
-    nc = nq // CHUNK_ROWS
-    sp2 = spart.reshape(nc * NSUB, SUB_ROWS)
-    sub_start = sp2[:, 0]
-    sub_span = (sp2[:, -1] - sub_start + 1).astype(jnp.int32)
-    first = sub_start.reshape(nc, NSUB)[:, 0]
-    base = (first // 8) * 8
-    last = sp2[:, -1].reshape(nc, NSUB)[:, -1]
-    ovf_span = jnp.max(last - base + 1) > w_part
+    # masked spans: junk/invalid rows are sentinel-pinned by the
+    # compaction and excluded, so the kernel joins real rows only
+    sent_s = (s0 == sentinel) & (s1 == sentinel)
+    spart = jnp.where(sent_s, p, _part_from_hi(s0, p))
+    (spr, _blk, base, sub_start, sub_span, _ovf_t,
+     need, _active) = _masked_span_meta(spart, sent_s, p, CHUNK_ROWS,
+                                        NSUB, w_part)
+    ovf_span = need > w_part
     meta = _pack_meta(base, sub_start, sub_span)
     found_sorted = _member_call(
         meta, t0, t1, s0.reshape(nq // 128, 128),
-        s1.reshape(nq // 128, 128), spart.reshape(nq // 128, 128),
-        w_part, interpret)
+        s1.reshape(nq // 128, 128), spr, w_part, interpret)
     packed = (scp << 1) | (found_sorted.reshape(nq) > 0).astype(
         jnp.int32)
     ordered = jax.lax.sort(packed)
@@ -1047,8 +1203,9 @@ def join_tally_flat_wide_dedup(planes, acc, flat, p,
         sent_s = sent_s & (cj == jnp.uint32(0xFFFFFFFF))
     spart = jnp.where(sent_s, p, _part_from_hi(hs, p))
     (spr, blk, base8, sub_start, sub_span, ovf_span,
-     _need) = _masked_span_meta(spart, sent_s, p, CHUNK_DD_WIDE,
-                                NSUB_DD_WIDE, w_part)
+     _need, _active) = _masked_span_meta(spart, sent_s, p,
+                                         CHUNK_DD_WIDE, NSUB_DD_WIDE,
+                                         w_part)
     meta = jnp.concatenate([blk, base8, sub_start, sub_span])
     qplanes = [cj.reshape(n2 // 128, 128) for cj in scols]
     swr = sw.reshape(n2 // 128, 128)
@@ -1146,7 +1303,8 @@ def route_presorted(s0, s1, p, s, chunk, nsub, w_part):
     sent = (s0 == sentinel) & (s1 == sentinel)
     spart = jnp.where(sent, p, local_part_from_hi(s0, s, p))
     (spr, blk, base8, sub_start, sub_span, overflow_tally,
-     need) = _masked_span_meta(spart, sent, p, chunk, nsub, w_part)
+     need, _active) = _masked_span_meta(spart, sent, p, chunk, nsub,
+                                        w_part)
     s0r = s0.reshape(n // 128, 128)
     s1r = s1.reshape(n // 128, 128)
     return (s0r, s1r, spr, blk, base8, sub_start, sub_span,
@@ -1154,7 +1312,13 @@ def route_presorted(s0, s1, p, s, chunk, nsub, w_part):
 
 
 def _masked_span_meta(spart, sent, p, chunk, nsub, w_part):
-    """Real-masked sub-chunk spans + chunk window metadata."""
+    """Real-masked sub-chunk spans + chunk window metadata.
+
+    Also returns ``active`` — per-chunk "has any real row" flags, so
+    kernels can skip all-sentinel chunks entirely (the sorted junk
+    tail otherwise pays the full per-chunk fixed cost: window/acc DMA
+    plus per-sub setup).
+    """
     n = spart.shape[0]
     nc = n // chunk
     sp2 = spart.reshape(nc * nsub, SUB_ROWS)
@@ -1166,6 +1330,7 @@ def _masked_span_meta(spart, sent, p, chunk, nsub, w_part):
     sub_span = jnp.where(anyreal, mx - mn + 1, 0).astype(jnp.int32)
     cmn = jnp.min(jnp.where(anyreal, mn, p).reshape(nc, nsub), axis=1)
     cmx = jnp.max(mx.reshape(nc, nsub), axis=1)
+    active = (cmx >= 0).astype(jnp.int32)
     cfirst = jnp.where(cmx >= 0, cmn, 0)
     base8 = ((cfirst // 8) * 8).astype(jnp.int32)
     blk = (cfirst // w_part).astype(jnp.int32)
@@ -1175,7 +1340,8 @@ def _masked_span_meta(spart, sent, p, chunk, nsub, w_part):
         | (jnp.max(last - base8 + 1) > w_part))
     need = jnp.max(last - base8 + 1)
     spr = spart.reshape(n // 128, 128)
-    return spr, blk, base8, sub_start, sub_span, overflow_tally, need
+    return (spr, blk, base8, sub_start, sub_span, overflow_tally,
+            need, active)
 
 
 def route_presorted_wide(cols, p, s, chunk, nsub, w_part):
@@ -1189,7 +1355,8 @@ def route_presorted_wide(cols, p, s, chunk, nsub, w_part):
     h = _route_hash(cols)
     spart = jnp.where(sent, p, local_part_from_hi(h, s, p))
     (spr, blk, base8, sub_start, sub_span, overflow_tally,
-     need) = _masked_span_meta(spart, sent, p, chunk, nsub, w_part)
+     need, _active) = _masked_span_meta(spart, sent, p, chunk, nsub,
+                                        w_part)
     n = cols[0].shape[0]
     qplanes = [c.reshape(n // 128, 128) for c in cols]
     return (qplanes, spr, blk, base8, sub_start, sub_span,

@@ -380,6 +380,286 @@ def run_kernel_anatomy(rng, genome):
         timeit(f"kernel {name}", kfn(meta), acc)
 
 
+# ── unroll-by-2 weighted tally kernel ───────────────────────────────
+# Processes two window rows per fori_loop iteration: halves the
+# per-iteration scalar/loop overhead if that (not VPU volume) is the
+# kernel's bound.  Row t+1 past the span tallies into a clamped row
+# with an all-false mask — exact either way.
+
+def _tally_kernel_w2(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
+                     sp_ref, w_ref, acc_in_hbm, acc_out_hbm, accw,
+                     sem_in, sem_out, *, w_part):
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    baseb = meta_ref[c] * w_part
+    base8 = pl.multiple_of(meta_ref[nc + c], 8)
+    din = pltpu.make_async_copy(
+        acc_out_hbm.at[pl.ds(base8, w_part), :], accw, sem_in)
+    din.start()
+    din.wait()
+
+    nsub = pj.NSUB_DD
+    for s in range(nsub):
+        st = meta_ref[2 * nc + c * nsub + s]
+        span = meta_ref[2 * nc + nc * nsub + c * nsub + s]
+        q0t = s0_ref[s, :].reshape(pj.SUB_ROWS, 1)
+        q1t = s1_ref[s, :].reshape(pj.SUB_ROWS, 1)
+        relt = sp_ref[s, :].reshape(pj.SUB_ROWS, 1) - st
+        wt = w_ref[s, :].reshape(pj.SUB_ROWS, 1).astype(jnp.float32)
+
+        def tally(eq2, t, arow, _relt=relt, _wt=wt):
+            maskv = jnp.where(_relt == t, _wt, 0.0).reshape(
+                1, pj.SUB_ROWS)
+            cnt = jax.lax.dot_general(
+                maskv, eq2.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            accw[pl.ds(arow, 1), :] += cnt.astype(jnp.int32)
+
+        @pl.when(st - baseb + span <= w_part)
+        def _fast(q0t=q0t, q1t=q1t, st=st, span=span):
+            def body(i, _):
+                t = 2 * i
+                row = st - baseb + t
+                eq2 = ((q0t == t0lo[pl.ds(row, 1), :])
+                       & (q1t == t1lo[pl.ds(row, 1), :]))
+                tally(eq2, t, st - base8 + t)
+                row2 = jnp.minimum(row + 1, w_part - 1)
+                eq2b = ((q0t == t0lo[pl.ds(row2, 1), :])
+                        & (q1t == t1lo[pl.ds(row2, 1), :]))
+                # t+1 >= span ⇒ relt never equals it: zero tally into
+                # a clamped (in-bounds) acc row
+                tally(eq2b, t + 1, st - base8 + row2 - (st - baseb))
+                return 0
+            jax.lax.fori_loop(0, (span + 1) // 2, body, 0)
+
+        @pl.when(st - baseb + span > w_part)
+        def _straddle(q0t=q0t, q1t=q1t, st=st, span=span):
+            def body(t, _):
+                row = st - baseb + t
+                rlo = jnp.minimum(row, w_part - 1)
+                rhi = jnp.maximum(row - w_part, 0)
+                in_lo = row < w_part
+                v0 = jnp.where(in_lo, t0lo[pl.ds(rlo, 1), :],
+                               t0hi[pl.ds(rhi, 1), :])
+                v1 = jnp.where(in_lo, t1lo[pl.ds(rlo, 1), :],
+                               t1hi[pl.ds(rhi, 1), :])
+                eq2 = (q0t == v0) & (q1t == v1)
+                tally(eq2, t, st - base8 + t)
+                return 0
+            jax.lax.fori_loop(0, span, body, 0)
+
+    dout = pltpu.make_async_copy(
+        accw, acc_out_hbm.at[pl.ds(base8, w_part), :], sem_out)
+    dout.start()
+    dout.wait()
+
+
+def run_unroll2(rng, genome):
+    """A/B the unroll-by-2 kernel inside the full dedup step."""
+    saved = pj._tally_kernel_w
+    base, tb = _step_time(rng, genome, "baseline")
+    try:
+        pj._tally_kernel_w = _tally_kernel_w2
+        pj.join_tally_step_dedup.clear_cache()
+        dt, tot = _step_time(rng, genome, "unroll2")
+        if dt is not None and tot != tb:
+            print(f"    !! tally mismatch {tot} != {tb}", flush=True)
+    finally:
+        pj._tally_kernel_w = saved
+        pj.join_tally_step_dedup.clear_cache()
+
+
+# ── transposed-query weighted tally kernel ──────────────────────────
+# The production kernel spends ~100 ns per sub-chunk per operand on
+# the (1, 128) -> (128, 1) lane->sublane reshape of its query slices —
+# span-independent fixed work (~4 relayouts x 7168 subs ~ 2.8 ms).
+# Pre-transposing the routed query planes ONCE in XLA to
+# (128, n2/128) makes each sub's column a natural (128, 1) slice.
+
+def _tally_kernel_wT(meta_ref, t0lo, t0hi, t1lo, t1hi, s0t_ref,
+                     s1t_ref, spt_ref, wt_ref, acc_in_hbm,
+                     acc_out_hbm, accw, sem_in, sem_out, *, w_part):
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    baseb = meta_ref[c] * w_part
+    base8 = pl.multiple_of(meta_ref[nc + c], 8)
+    din = pltpu.make_async_copy(
+        acc_out_hbm.at[pl.ds(base8, w_part), :], accw, sem_in)
+    din.start()
+    din.wait()
+
+    nsub = pj.NSUB_DD
+    for s in range(nsub):
+        st = meta_ref[2 * nc + c * nsub + s]
+        span = meta_ref[2 * nc + nc * nsub + c * nsub + s]
+        q0t = s0t_ref[:, s:s + 1]
+        q1t = s1t_ref[:, s:s + 1]
+        relt = spt_ref[:, s:s + 1] - st
+        wt = wt_ref[:, s:s + 1].astype(jnp.float32)
+
+        def tally(eq2, t, arow, _relt=relt, _wt=wt):
+            maskv = jnp.where(_relt == t, _wt, 0.0).reshape(
+                1, pj.SUB_ROWS)
+            cnt = jax.lax.dot_general(
+                maskv, eq2.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            accw[pl.ds(arow, 1), :] += cnt.astype(jnp.int32)
+
+        @pl.when(st - baseb + span <= w_part)
+        def _fast(q0t=q0t, q1t=q1t, st=st, span=span):
+            def body(t, _):
+                row = st - baseb + t
+                eq2 = ((q0t == t0lo[pl.ds(row, 1), :])
+                       & (q1t == t1lo[pl.ds(row, 1), :]))
+                tally(eq2, t, st - base8 + t)
+                return 0
+            jax.lax.fori_loop(0, span, body, 0)
+
+        @pl.when(st - baseb + span > w_part)
+        def _straddle(q0t=q0t, q1t=q1t, st=st, span=span):
+            def body(t, _):
+                row = st - baseb + t
+                rlo = jnp.minimum(row, w_part - 1)
+                rhi = jnp.maximum(row - w_part, 0)
+                in_lo = row < w_part
+                v0 = jnp.where(in_lo, t0lo[pl.ds(rlo, 1), :],
+                               t0hi[pl.ds(rhi, 1), :])
+                v1 = jnp.where(in_lo, t1lo[pl.ds(rlo, 1), :],
+                               t1hi[pl.ds(rhi, 1), :])
+                eq2 = (q0t == v0) & (q1t == v1)
+                tally(eq2, t, st - base8 + t)
+                return 0
+            jax.lax.fori_loop(0, span, body, 0)
+
+    dout = pltpu.make_async_copy(
+        accw, acc_out_hbm.at[pl.ds(base8, w_part), :], sem_out)
+    dout.start()
+    dout.wait()
+
+
+def _tally_call_wT(meta, t0, t1, s0t, s1t, spt, wtt, acc, w_part,
+                   interpret):
+    nc = s0t.shape[1] // 128
+    TK = pj.TILE_KEYS
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((w_part, TK), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TK), lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TK), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TK), lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pj.SUB_ROWS, 128), lambda c, m: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pj.SUB_ROWS, 128), lambda c, m: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pj.SUB_ROWS, 128), lambda c, m: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pj.SUB_ROWS, 128), lambda c, m: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((w_part, TK), jnp.int32),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_tally_kernel_wT, w_part=w_part),
+        out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={9: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(meta, t0, t0, t1, t1, s0t, s1t, spt, wtt, acc)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "p", "w_part", "u_chunk", "interpret"))
+def join_tally_step_dedup_T(t0, t1, acc, codes, lengths, k, p,
+                            w_part=pj.W_PART_DD,
+                            u_chunk=pj.U_CHUNK_DD, interpret=False):
+    from kmer_denovo_filter_tpu.ops.pallas_extract import extract_mixed
+    hi2, lo2 = extract_mixed(codes, lengths, k, interpret=interpret)
+    hi = hi2.reshape(-1)
+    lo = lo2.reshape(-1)
+    pad = (-hi.shape[0]) % pj.LCHUNK_DD
+    if pad:
+        hi = jnp.concatenate(
+            [hi, jnp.full(pad, jnp.uint32(0xFFFFFFFF))])
+        lo = jnp.concatenate(
+            [lo, jnp.full(pad, jnp.uint32(0xFFFFFFFF))])
+    hc, lc, wc, ovf_u = pj._dedup_compact(hi, lo, u_chunk)
+    s0, s1, sw = jax.lax.sort((hc, lc, wc), num_keys=1)
+    n2 = s0.shape[0]
+    pad2 = (-n2) % pj.CHUNK_DD
+    if pad2:
+        s0 = jnp.concatenate(
+            [s0, jnp.full(pad2, jnp.uint32(0xFFFFFFFF))])
+        s1 = jnp.concatenate(
+            [s1, jnp.full(pad2, jnp.uint32(0xFFFFFFFF))])
+        sw = jnp.concatenate([sw, jnp.zeros(pad2, jnp.int32)])
+        n2 += pad2
+    spart = pj._part_from_hi(s0, p)
+    nc = n2 // pj.CHUNK_DD
+    sp2 = spart.reshape(nc * pj.NSUB_DD, pj.SUB_ROWS)
+    sub_start = sp2[:, 0]
+    sub_span = (sp2[:, -1] - sub_start + 1).astype(jnp.int32)
+    first = sub_start.reshape(nc, pj.NSUB_DD)[:, 0]
+    blk = first // w_part
+    base8 = (first // 8) * 8
+    last = sp2[:, -1].reshape(nc, pj.NSUB_DD)[:, -1]
+    ovf_span = ((jnp.max(last - blk * w_part + 1) > 2 * w_part)
+                | (jnp.max(last - base8 + 1) > w_part))
+    meta = jnp.concatenate([blk, base8, sub_start, sub_span])
+    def tq(x):
+        """(n2,) -> (128, nc*128): sub s of chunk c at column
+        c*128 + s (columns NSUB_DD..127 of each chunk are padding so
+        the lane dim stays a 128-multiple)."""
+        x3 = x.reshape(nc, pj.NSUB_DD, 128)
+        x3 = jnp.transpose(x3, (2, 0, 1))
+        x3 = jnp.pad(x3, ((0, 0), (0, 0), (0, 128 - pj.NSUB_DD)))
+        return x3.reshape(128, nc * 128)
+
+    s0t = tq(s0)
+    s1t = tq(s1)
+    spt = tq(spart)
+    wtt = tq(sw)
+    acc_out = _tally_call_wT(meta, t0, t1, s0t, s1t, spt, wtt, acc,
+                             w_part, interpret)
+    return acc_out, ovf_span, ovf_u
+
+
+def run_transposed(rng, genome):
+    t0, t1, _perm, p = _wgs_table(rng, genome)
+    t0j, t1j = jnp.asarray(t0), jnp.asarray(t1)
+    acc = jnp.zeros(t0.shape, jnp.int32)
+    codes = jnp.asarray(synth_reads(rng, genome, BATCH_READS, READ_LEN))
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+
+    out_b, os_, ou_ = pj.join_tally_step_dedup(
+        t0j, t1j, acc, codes, lengths, K, p)
+    assert not bool(os_) and not bool(ou_)
+    out_t, os_, ou_ = join_tally_step_dedup_T(
+        t0j, t1j, acc, codes, lengths, K, p)
+    assert not bool(os_) and not bool(ou_)
+    same = np.array_equal(np.asarray(out_b), np.asarray(out_t))
+    print(f"  parity: {same}", flush=True)
+    assert same
+    timeit("step baseline", lambda a, c, l: pj.join_tally_step_dedup(
+        t0j, t1j, a, c, l, K, p)[0], acc, codes, lengths)
+    timeit("step transposed-q", lambda a, c, l: join_tally_step_dedup_T(
+        t0j, t1j, a, c, l, K, p)[0], acc, codes, lengths)
+
+
 # ── full-step kernel variants (same-session A/B) ────────────────────
 # The kernel's ~10 ms splits into per-sub fixed work + per-iteration
 # (partition-row) cost.  Variants attack the iteration count and
@@ -423,20 +703,177 @@ def _step_time(rng, genome, label, tile_keys=1024, mean_fill=768,
 
 def run_variants(rng, genome):
     base, tb = _step_time(rng, genome, "baseline")
+    # kernel iterations ≈ n_real/128 + p: fuller/wider partitions cut
+    # the dominant p term.  Junk-sentinel masking (landed) shrank
+    # spans, so tile2048 now fits w_part=128 within VMEM.
     cases = [
-        ("tile2048", dict(tile_keys=2048, mean_fill=1536,
-                          w_part=256)),
-        ("tile2048 fill1792", dict(tile_keys=2048, mean_fill=1792,
-                                   w_part=256)),
-        ("chunk8k", dict(chunk_dd=8192, w_part=512)),
-        ("tile2048+chunk8k", dict(tile_keys=2048, mean_fill=1536,
-                                  chunk_dd=8192, w_part=256)),
-        ("u1536", dict(u_chunk=1536)),
+        ("fill896", dict(mean_fill=896)),
+        ("tile2048 fill1536 wp128", dict(tile_keys=2048,
+                                         mean_fill=1536, w_part=128)),
+        ("tile2048 fill1792 wp128", dict(tile_keys=2048,
+                                         mean_fill=1792, w_part=128)),
+        ("tile2048 fill1792 wp192", dict(tile_keys=2048,
+                                         mean_fill=1792, w_part=192)),
     ]
     for label, kw in cases:
         dt, tot = _step_time(rng, genome, label, **kw)
         if dt is not None and tot != tb:
             print(f"    !! tally mismatch {tot} != {tb}", flush=True)
+
+
+def run_steps(rng, genome):
+    """Time tally + member dedup steps across w_part (spans shrink
+    once junk rows are sentinel-pinned and span-masked)."""
+    t0, t1, _perm, p = _wgs_table(rng, genome)
+    t0j, t1j = jnp.asarray(t0), jnp.asarray(t1)
+    acc = jnp.zeros(t0.shape, jnp.int32)
+    codes = jnp.asarray(synth_reads(rng, genome, BATCH_READS, READ_LEN))
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+    for wp in (256, 192, 128):
+        out, os_, ou_ = pj.join_tally_step_dedup(
+            t0j, t1j, acc, codes, lengths, K, p, wp)
+        print(f"  tally w_part={wp}: ovf_s={bool(os_)} "
+              f"ovf_u={bool(ou_)} sum={int(np.asarray(jnp.sum(out)))}",
+              flush=True)
+        if bool(os_) or bool(ou_):
+            continue
+        timeit(f"tally dedup w_part={wp}",
+               lambda a, c, l, _wp=wp: pj.join_tally_step_dedup(
+                   t0j, t1j, a, c, l, K, p, _wp)[0],
+               acc, codes, lengths)
+    for wp in (512, 384, 256):
+        fnd, os_, ou_ = pj.join_member_step_dedup(
+            t0j, t1j, codes, lengths, K, p, wp)
+        print(f"  member w_part={wp}: ovf_s={bool(os_)} "
+              f"ovf_u={bool(ou_)}", flush=True)
+        if bool(os_) or bool(ou_):
+            continue
+        timeit(f"member dedup w_part={wp}",
+               lambda c, l, _wp=wp: pj.join_member_step_dedup(
+                   t0j, t1j, c, l, K, p, _wp)[0],
+               codes, lengths)
+
+
+def run_super(rng, genome):
+    """Super-batch join vs scanned per-batch joins (same session)."""
+    t0, t1, _perm, p = _wgs_table(rng, genome)
+    t0j, t1j = jnp.asarray(t0), jnp.asarray(t1)
+    acc0 = jnp.zeros(t0.shape, jnp.int32)
+    nb_max = 16
+    batches = np.stack([
+        synth_reads(rng, genome, BATCH_READS, READ_LEN)
+        for _ in range(nb_max)])
+    lens = np.full((nb_max, BATCH_READS), READ_LEN, np.int32)
+
+    codes_nb = jnp.asarray(batches)
+    lens_nb = jnp.asarray(lens)
+    out_ref, os_, ou_ = pj.join_tally_steps_dedup(
+        t0j, t1j, acc0, codes_nb, lens_nb, K, p)
+    print(f"  scan16: ovf_s={bool(os_)} ovf_u={bool(ou_)}", flush=True)
+    ref = np.asarray(out_ref)
+    dt = timeit("scan16 per-batch joins", lambda a: pj.join_tally_steps_dedup(
+        t0j, t1j, a, codes_nb, lens_nb, K, p)[0], acc0, n_rep=2)
+    print(f"    = {nb_max * BATCH_READS / dt / 1e6:.3f} M reads/s",
+          flush=True)
+
+    for nb in (4, 8, 16):
+        cnb = jnp.asarray(batches[:nb])
+        lnb = jnp.asarray(lens[:nb])
+        out, os_, ou_ = pj.join_tally_superbatch_dedup(
+            t0j, t1j, acc0, cnb, lnb, K, p)
+        ok = not (bool(os_) or bool(ou_))
+        print(f"  super nb={nb}: ovf_s={bool(os_)} ovf_u={bool(ou_)}",
+              flush=True)
+        if not ok:
+            continue
+        if nb == nb_max:
+            same = np.array_equal(np.asarray(out), ref)
+            print(f"    parity vs scan16: {same}", flush=True)
+        dt = timeit(f"superbatch nb={nb}",
+                    lambda a, _c=cnb, _l=lnb, _nb=nb:
+                    pj.join_tally_superbatch_dedup(
+                        t0j, t1j, a, _c, _l, K, p)[0],
+                    acc0, n_rep=4)
+        print(f"    = {nb * BATCH_READS / dt / 1e6:.3f} M reads/s",
+              flush=True)
+
+
+def run_sprof(rng, genome):
+    """Cumulative-prefix profile inside the superbatch jit (nb=8)."""
+    from kmer_denovo_filter_tpu.ops.pallas_extract import extract_mixed
+    t0, t1, _perm, p = _wgs_table(rng, genome)
+    t0j, t1j = jnp.asarray(t0), jnp.asarray(t1)
+    acc0 = jnp.zeros(t0.shape, jnp.int32)
+    nb = 8
+    codes_nb = jnp.asarray(np.stack([
+        synth_reads(rng, genome, BATCH_READS, READ_LEN)
+        for _ in range(nb)]))
+    lens_nb = jnp.asarray(
+        np.full((nb, BATCH_READS), READ_LEN, np.int32))
+
+    def cut(stage):
+        @jax.jit
+        def fn(codes_nb, lens_nb):
+            def front(_, xs):
+                codes, lengths = xs
+                hi2, lo2 = extract_mixed(codes, lengths, K)
+                if stage == 0:
+                    return 0, (hi2[:1, :1], hi2[:1, :1],
+                               jnp.zeros((1,), jnp.int32), False)
+                hi = hi2.reshape(-1)
+                lo = lo2.reshape(-1)
+                hc, lc, wc, ovf_u = pj._dedup_compact(
+                    hi, lo, pj.U_CHUNK_DD)
+                if stage == 1:
+                    return 0, (hc[:1], lc[:1], wc[:1], ovf_u)
+                return 0, (hc, lc, wc, ovf_u)
+            _, (hcs, lcs, wcs, _o) = jax.lax.scan(
+                front, 0, (codes_nb, lens_nb))
+            if stage <= 1:
+                return hcs[:1]
+            s0, s1, sw = jax.lax.sort(
+                (hcs.reshape(-1), lcs.reshape(-1), wcs.reshape(-1)),
+                num_keys=1)
+            if stage == 2:
+                return s0[:1]
+            n2 = s0.shape[0]
+            pad2 = (-n2) % pj.CHUNK_DD
+            if pad2:
+                s0 = jnp.concatenate(
+                    [s0, jnp.full(pad2, jnp.uint32(0xFFFFFFFF))])
+                s1 = jnp.concatenate(
+                    [s1, jnp.full(pad2, jnp.uint32(0xFFFFFFFF))])
+                sw = jnp.concatenate([sw, jnp.zeros(pad2, jnp.int32)])
+                n2 += pad2
+            sent_s = (s0 == jnp.uint32(0xFFFFFFFF)) \
+                & (s1 == jnp.uint32(0xFFFFFFFF))
+            spart = jnp.where(sent_s, p, pj._part_from_hi(s0, p))
+            (spr, blk, base8, sub_start, sub_span, _ovf,
+             _need) = pj._masked_span_meta(
+                 spart, sent_s, p, pj.CHUNK_DD, pj.NSUB_DD,
+                 pj.W_PART_SB)
+            meta = jnp.concatenate([blk, base8, sub_start, sub_span])
+            if stage == 3:
+                return meta[:1]
+            acc_out = pj._tally_call_w(
+                meta, t0j, t1j, s0.reshape(n2 // 128, 128),
+                s1.reshape(n2 // 128, 128), spr,
+                sw.reshape(n2 // 128, 128), acc0, pj.W_PART_SB,
+                False)
+            return acc_out[:1, :1]
+        return fn
+
+    names = ["extract scan", "+dedup scan", "+global sort", "+meta",
+             "+kernel (full)"]
+    prev = None
+    for st in range(5):
+        dt = timeit(f"sprefix {st} {names[st]}", cut(st), codes_nb,
+                    lens_nb, n_rep=4)
+        if prev is not None:
+            print(f"    marginal {1e3 * (dt - prev):+.2f} ms "
+                  f"({1e3 * (dt - prev) / nb:+.2f}/batch)",
+                  flush=True)
+        prev = dt
 
 
 def main():
@@ -452,6 +889,16 @@ def main():
         run_kernel_anatomy(rng, genome)
     if which in ("variants",):
         run_variants(rng, genome)
+    if which in ("unroll2",):
+        run_unroll2(rng, genome)
+    if which in ("transposed",):
+        run_transposed(rng, genome)
+    if which in ("steps",):
+        run_steps(rng, genome)
+    if which in ("super",):
+        run_super(rng, genome)
+    if which in ("sprof",):
+        run_sprof(rng, genome)
 
 
 if __name__ == "__main__":

@@ -435,6 +435,48 @@ class TestDedupTally:
         assert (expected > 1).sum() > 0  # weights actually exercised
         assert np.array_equal(got, expected)
 
+    def test_scanned_steps_match_sequential(self):
+        """join_tally_steps_dedup (one-dispatch scan over NB batches)
+        must produce the same accumulator as NB sequential calls."""
+        k = 31
+        table64 = _table_from_reads(k, seed=3)
+        table = _split_words(table64)
+        t0, t1, _perm, p = pj.build_tile_partitions(table)
+        t0j, t1j = jnp.asarray(t0), jnp.asarray(t1)
+
+        nb = 3
+        stacks = []
+        for i in range(nb):
+            codes, lengths = _reads(96, 64, k, seed=10 + i)
+            tc, tl = _reads(80, 64, k, with_n=False, seed=3)
+            codes[:40] = tc[:40]
+            lengths[:40] = tl[:40]
+            codes_p, lens_p = eng.pad_read_batch(codes, lengths)
+            stacks.append((codes_p, lens_p))
+        codes_nb = jnp.asarray(np.stack([c for c, _ in stacks]))
+        lens_nb = jnp.asarray(np.stack([l for _, l in stacks]))
+
+        acc = jnp.zeros(t0.shape, jnp.int32)
+        for i in range(nb):
+            acc, ovf_s, ovf_u = pj.join_tally_step_dedup(
+                t0j, t1j, acc, codes_nb[i], lens_nb[i], k, p,
+                interpret=True)
+            assert not bool(ovf_s) and not bool(ovf_u)
+
+        acc2, ovf_s, ovf_u = pj.join_tally_steps_dedup(
+            t0j, t1j, jnp.zeros(t0.shape, jnp.int32), codes_nb,
+            lens_nb, k, p, interpret=True)
+        assert not bool(ovf_s) and not bool(ovf_u)
+        assert np.array_equal(np.asarray(acc), np.asarray(acc2))
+
+        # the super-batch join (per-batch dedup, one concatenated
+        # weighted join) must also match exactly
+        acc3, ovf_s, ovf_u = pj.join_tally_superbatch_dedup(
+            t0j, t1j, jnp.zeros(t0.shape, jnp.int32), codes_nb,
+            lens_nb, k, p, interpret=True)
+        assert not bool(ovf_s) and not bool(ovf_u)
+        assert np.array_equal(np.asarray(acc), np.asarray(acc3))
+
     def test_dedup_tally_overflow_flags(self):
         """u_chunk and w_part overflows must be separately flagged."""
         k = 31
