@@ -288,6 +288,56 @@ def _kmeans_cluster(z_matrix, n_clusters, max_iter=100):
 
 # ── SVG chart primitives ───────────────────────────────────────────
 
+# Inline zoom/pan handler: scroll-wheel zoom about the cursor, drag to
+# pan, double-click to reset — the interaction affordances the
+# reference report gets from Plotly (reference report.py:1685, 2718),
+# re-implemented as ~30 lines of dependency-free viewBox manipulation
+# so the report stays fully self-contained (no external fetches).
+_ZOOM_JS = """
+document.querySelectorAll('svg').forEach(function (svg) {
+  var a0 = svg.getAttribute('viewBox');
+  if (!a0) return;
+  var vb = a0.split(/[ ,]+/).map(Number), cur = vb.slice();
+  function apply() { svg.setAttribute('viewBox', cur.join(' ')); }
+  function pt(e) {
+    var r = svg.getBoundingClientRect();
+    return [cur[0] + (e.clientX - r.left) / r.width * cur[2],
+            cur[1] + (e.clientY - r.top) / r.height * cur[3]];
+  }
+  svg.style.cursor = 'grab';
+  svg.addEventListener('wheel', function (e) {
+    e.preventDefault();
+    var p = pt(e), f = e.deltaY < 0 ? 0.8 : 1.25;
+    var w = Math.min(cur[2] * f, vb[2] * 8);
+    var h = Math.min(cur[3] * f, vb[3] * 8);
+    cur = [p[0] - (p[0] - cur[0]) * w / cur[2],
+           p[1] - (p[1] - cur[1]) * h / cur[3], w, h];
+    apply();
+  }, {passive: false});
+  var drag = null;
+  svg.addEventListener('pointerdown', function (e) {
+    drag = [e.clientX, e.clientY, cur[0], cur[1]];
+    svg.setPointerCapture(e.pointerId);
+    svg.style.cursor = 'grabbing';
+  });
+  svg.addEventListener('pointermove', function (e) {
+    if (!drag) return;
+    var r = svg.getBoundingClientRect();
+    cur[0] = drag[2] - (e.clientX - drag[0]) / r.width * cur[2];
+    cur[1] = drag[3] - (e.clientY - drag[1]) / r.height * cur[3];
+    apply();
+  });
+  ['pointerup', 'pointercancel'].forEach(function (n) {
+    svg.addEventListener(n, function () {
+      drag = null; svg.style.cursor = 'grab';
+    });
+  });
+  svg.addEventListener('dblclick', function () {
+    cur = vb.slice(); apply();
+  });
+});
+""".strip()
+
 
 def _svg(width, height, body):
     return (f'<svg viewBox="0 0 {width} {height}" width="{width}" '
@@ -1268,8 +1318,11 @@ def generate_report(output_path, vcf_metrics_path=None,
         "Report</h1>"
         "<p>K-mers present in the child but absent from both parents "
         "signal potential de novo mutations. This report summarises "
-        "the filtering cascade and supporting evidence.</p></header>"
-        "<main>" + "".join(sections) + "</main></body></html>")
+        "the filtering cascade and supporting evidence.</p>"
+        "<p class='note'>Figures are interactive: scroll to zoom, "
+        "drag to pan, double-click to reset.</p></header>"
+        "<main>" + "".join(sections) + "</main>"
+        f"<script>{_ZOOM_JS}</script></body></html>")
     with open(output_path, "w") as fh:
         fh.write(html_doc)
     logger.info("Report written: %s", output_path)

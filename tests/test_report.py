@@ -84,7 +84,11 @@ class TestGeneration:
                         vcf_summary_path=REF_SUMMARY)
         text = open(out).read()
         assert text.startswith("<!DOCTYPE html>")
-        assert "<script" not in text  # fully self-contained, no JS
+        # self-contained: only the inline zoom/pan script, no external
+        # script/fetch of any kind
+        assert "<script src" not in text
+        assert "<script>" in text  # inline zoom/pan interactivity
+        assert "scroll to zoom" in text
         assert text.count("<svg") >= 6
         assert "filtering cascade" in text
         assert "chr11:55003995" in text  # HQ table row
@@ -311,7 +315,7 @@ def test_full_report_self_contained_large(tmp_path):
     generate_report(out, vcf_metrics_path=str(metrics),
                     vcf_summary_path=str(summary))
     text = open(out).read()
-    assert "<script" not in text
+    assert "<script src" not in text  # inline zoom/pan JS only
     # no external fetches (the SVG xmlns URI is not a fetch)
     assert 'src="http' not in text and 'href="http' not in text
     assert "@import" not in text
