@@ -176,8 +176,25 @@ def bench_wgs(jnp, pj, rng, genome):
         t0j, t1j, batches[0], lengths, K, p)
     np.asarray(found[:1, :1])
     if not (bool(ovf_s) or bool(ovf_u)):
-        mscan = lambda: pj.join_member_steps_dedup(
-            t0j, t1j, codes_nb, lens_nb, K, p)[0]
+        nbj = pj.NB_JOIN
+        mgroups = codes_nb.reshape(N_BATCHES_WGS // nbj, nbj,
+                                   BATCH_READS, READ_LEN)
+        mlgroups = lens_nb.reshape(N_BATCHES_WGS // nbj, nbj,
+                                   BATCH_READS)
+        _f, sb_os, sb_ou = pj.join_member_superbatch_dedup(
+            t0j, t1j, mgroups[0], mlgroups[0], K, p)
+        np.asarray(_f[:1, :1, :1])
+        if bool(sb_os) or bool(sb_ou):
+            def mscan():
+                return pj.join_member_steps_dedup(
+                    t0j, t1j, codes_nb, lens_nb, K, p)[0]
+        else:
+            def mscan():
+                outs = []
+                for g in range(N_BATCHES_WGS // nbj):
+                    outs.append(pj.join_member_superbatch_dedup(
+                        t0j, t1j, mgroups[g], mlgroups[g], K, p)[0])
+                return outs[-1]
         found = mscan()
         np.asarray(found[:1, :1, :1])
         start = time.perf_counter()

@@ -497,23 +497,49 @@ def _scan_child_reads(child_source, proband_index, kmer_size,
     folding into *state* (see :func:`_process_hit_rows`).
     """
     scanner = eng.make_scanner(proband_index)
+    scanner_many = eng.make_scanner_many(proband_index)
     reader = getattr(child_source, "_reader", None)
     if reader is not None and getattr(reader, "_scan", None) is not None:
         it = reader.iter_packed_indexed(_ANCHOR_EXCLUDE_FLAGS,
                                         _ANCHOR_BATCH_READS)
         if it is not None:
             return _scan_child_reads_packed(
-                reader, it, scanner, kmer_size, min_dk_per_read, state,
-                stripe, collect)
+                reader, it, scanner_many, kmer_size, min_dk_per_read,
+                state, stripe, collect)
     if reader is None and getattr(child_source, "streaming", False):
         from kmer_denovo_filter_tpu.htsio import native
         if native.available():
             return _scan_child_reads_stream(
-                child_source, scanner, kmer_size, min_dk_per_read,
-                state, stripe, collect)
+                child_source, scanner_many, kmer_size,
+                min_dk_per_read, state, stripe, collect)
     return _scan_child_reads_records(
         child_source, scanner, kmer_size, min_dk_per_read, state,
         stripe, collect)
+
+
+def _scan_group_size():
+    """Batches per grouped anchoring scan (the member super-batch
+    window; KDF_SB_JOIN overrides, 0/1 disables grouping)."""
+    try:
+        return max(1, int(os.environ.get("KDF_SB_JOIN", "8")))
+    except ValueError:
+        return 8
+
+
+def _drain_scan_group(group, scanner_many, kmer_size,
+                      min_dk_per_read, state, collect):
+    """Scan the buffered (codes, lengths, get_read, bi) group in one
+    super-batch device pass and fold each batch's hits in order."""
+    if not group:
+        return 0
+    founds = scanner_many([(c, l) for c, l, _g, _b in group])
+    unmapped = 0
+    for (c, l, get_read, bi), found in zip(group, founds):
+        unmapped += _process_hit_rows(
+            found, get_read, kmer_size, min_dk_per_read, state,
+            collect, bi)
+    group.clear()
+    return unmapped
 
 
 def _stream_indexed_batches(path, exclude_flags):
@@ -540,15 +566,18 @@ def _stream_indexed_batches(path, exclude_flags):
             yield out, blens, rec_idx, data, scan, refs
 
 
-def _scan_child_reads_stream(child_source, scanner, kmer_size,
+def _scan_child_reads_stream(child_source, scanner_many, kmer_size,
                              min_dk_per_read, state, stripe=None,
                              collect=None):
     """Streaming two-pass scan (WGS BAMs): native chunk decode →
-    device mask → lazy record decode for informative rows only."""
+    grouped device mask (member super-batch) → lazy record decode for
+    informative rows only."""
     from kmer_denovo_filter_tpu.htsio.bam import AlignedRead
 
     unmapped_informative = 0
     total_scanned = 0
+    group = []
+    group_n = _scan_group_size()
     batches = _stripe_enumerated(_stream_indexed_batches(
         child_source.path, _ANCHOR_EXCLUDE_FLAGS), stripe)
     for bi, (codes, lengths, rec_idx, data, scan,
@@ -560,7 +589,6 @@ def _scan_child_reads_stream(child_source, scanner, kmer_size,
             codes = np.pad(codes,
                            ((0, 0), (0, kmer_size - codes.shape[1])),
                            constant_values=4)
-        found = scanner(codes, lengths)
 
         def get_read(i, rec_idx=rec_idx, data=data, scan=scan,
                      refs=refs):
@@ -569,9 +597,18 @@ def _scan_child_reads_stream(child_source, scanner, kmer_size,
             sz = int(scan["rec_sizes"][ri])
             return AlignedRead(data[o:o + sz], refs)
 
-        unmapped_informative += _process_hit_rows(
-            found, get_read, kmer_size, min_dk_per_read, state,
-            collect, bi)
+        if group and codes.shape[0] != group[0][0].shape[0]:
+            unmapped_informative += _drain_scan_group(
+                group, scanner_many, kmer_size, min_dk_per_read,
+                state, collect)
+        group.append((codes, lengths, get_read, bi))
+        if len(group) >= group_n:
+            unmapped_informative += _drain_scan_group(
+                group, scanner_many, kmer_size, min_dk_per_read,
+                state, collect)
+    unmapped_informative += _drain_scan_group(
+        group, scanner_many, kmer_size, min_dk_per_read, state,
+        collect)
     return unmapped_informative, total_scanned
 
 
@@ -610,13 +647,16 @@ def _process_hit_rows(found, get_read, kmer_size, min_dk_per_read,
     return unmapped
 
 
-def _scan_child_reads_packed(reader, batches, scanner, kmer_size,
+def _scan_child_reads_packed(reader, batches, scanner_many, kmer_size,
                              min_dk_per_read, state, stripe=None,
                              collect=None):
-    """Two-pass scan: native packed decode → device mask → sparse
-    lazy record decode for informative rows only."""
+    """Two-pass scan: native packed decode → grouped device mask
+    (member super-batch) → sparse lazy record decode for informative
+    rows only."""
     unmapped_informative = 0
     total_scanned = 0
+    group = []
+    group_n = _scan_group_size()
     for bi, (codes, lengths, rec_idx) in prefetch_batches(
             _stripe_enumerated(batches, stripe)):
         total_scanned += codes.shape[0]
@@ -626,10 +666,22 @@ def _scan_child_reads_packed(reader, batches, scanner, kmer_size,
             codes = np.pad(codes,
                            ((0, 0), (0, kmer_size - codes.shape[1])),
                            constant_values=4)
-        found = scanner(codes, lengths)
-        unmapped_informative += _process_hit_rows(
-            found, lambda i: reader.record_at(int(rec_idx[i])),
-            kmer_size, min_dk_per_read, state, collect, bi)
+
+        def get_read(i, rec_idx=rec_idx):
+            return reader.record_at(int(rec_idx[i]))
+
+        if group and codes.shape[0] != group[0][0].shape[0]:
+            unmapped_informative += _drain_scan_group(
+                group, scanner_many, kmer_size, min_dk_per_read,
+                state, collect)
+        group.append((codes, lengths, get_read, bi))
+        if len(group) >= group_n:
+            unmapped_informative += _drain_scan_group(
+                group, scanner_many, kmer_size, min_dk_per_read,
+                state, collect)
+    unmapped_informative += _drain_scan_group(
+        group, scanner_many, kmer_size, min_dk_per_read, state,
+        collect)
     return unmapped_informative, total_scanned
 
 

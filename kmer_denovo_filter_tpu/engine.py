@@ -482,6 +482,16 @@ class FilteredCounter:
             self._dedup = os.environ.get("KDF_DEDUP_JOIN") != "0"
             self._dd_w_part = pj.W_PART_DD
             self._dd_u_chunk = pj.U_CHUNK_DD
+            # Super-batch joining: buffer same-shape batches and join
+            # their per-batch compacted streams once per NB_JOIN
+            # batches, amortising the kernel's whole-table compare
+            # term (pj.join_tally_superbatch_dedup).  KDF_SB_JOIN
+            # overrides the window (0 disables).
+            sbj = os.environ.get("KDF_SB_JOIN")
+            self._sb_join = (int(sbj) if sbj is not None
+                             else pj.NB_JOIN) if self._dedup else 0
+            self._sb_w_part = pj.W_PART_SB
+            self._sb_buf = []
         elif self.pallas_wide:
             planes, _perm, p = index.tile_partitions_wide()
             self.acc = jnp.zeros(planes[0].shape, dtype=jnp.int32)
@@ -523,6 +533,37 @@ class FilteredCounter:
             return
         idx = self.index
         try_current = False  # set on dedup fallthrough (see below)
+        if kind == "pallas_sb":
+            from kmer_denovo_filter_tpu.ops import pallas_join as pj
+            t0, t1, _perm, p = idx.tile_partitions()
+            codes_nb, lens_nb = codes_j, lens_j
+            ovf_s, ovf_u = cap
+            w_part = self._sb_w_part
+            while True:
+                if bool(ovf_u):
+                    if self._dd_u_chunk * 2 > pj.LCHUNK_DD // 2:
+                        break
+                    self._dd_u_chunk *= 2
+                if bool(ovf_s):
+                    if w_part >= 256:  # VMEM cap for 4 window blocks
+                        break
+                    w_part = min(w_part * 2, 256)
+                    self._sb_w_part = w_part
+                acc, ovf_s, ovf_u = pj.join_tally_superbatch_dedup(
+                    t0, t1, acc_before, codes_nb, lens_nb, idx.k, p,
+                    w_part, self._dd_u_chunk,
+                    interpret=_pallas_interpret())
+                if not bool(ovf_s) and not bool(ovf_u):
+                    self.acc = acc
+                    return
+            # super-batch ladder exhausted: fold the batches one by
+            # one through the full single-batch ladder (exact)
+            acc = acc_before
+            for i in range(codes_nb.shape[0]):
+                acc = self._tally_one_batch_sync(
+                    acc, codes_nb[i], lens_nb[i])
+            self.acc = acc
+            return
         if kind == "pallas_dd":
             from kmer_denovo_filter_tpu.ops import pallas_join as pj
             t0, t1, _perm, p = idx.tile_partitions()
@@ -671,6 +712,17 @@ class FilteredCounter:
         from kmer_denovo_filter_tpu.ops import pallas_join as pj
         idx = self.index
         t0, t1, _perm, p = idx.tile_partitions()
+        if self._dedup and self._sb_join > 1:
+            # buffer same-shape batches for the super-batch join; a
+            # shape change (e.g. the file's final short batch) flushes
+            # the buffer first so stacking stays rectangular
+            if self._sb_buf and (
+                    self._sb_buf[0][0].shape != codes_j.shape):
+                self._flush_superbatch()
+            self._sb_buf.append((codes_j, lens_j))
+            if len(self._sb_buf) >= self._sb_join:
+                self._flush_superbatch()
+            return
         self._resolve_pending()
         # acc_before stays valid across a failed attempt: the kernel's
         # io-alias gets a fresh XLA copy because _pending still holds
@@ -691,6 +743,78 @@ class FilteredCounter:
         self.acc = acc
         self._pending = ("pallas", codes_j, lens_j, acc_before,
                          overflow, None)
+
+    def _flush_superbatch(self):
+        """Join the buffered batches' compacted streams in one pass.
+
+        Single-batch buffers take the ordinary dedup step; overflow
+        resolution replays the whole super-batch (deferred, exact —
+        see :meth:`_resolve_pending`).
+        """
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        if not self._sb_buf:
+            return
+        idx = self.index
+        t0, t1, _perm, p = idx.tile_partitions()
+        buf = self._sb_buf
+        self._sb_buf = []
+        self._resolve_pending()
+        acc_before = self.acc
+        if len(buf) == 1:
+            codes_j, lens_j = buf[0]
+            acc, ovf_s, ovf_u = pj.join_tally_step_dedup(
+                t0, t1, acc_before, codes_j, lens_j, idx.k, p,
+                self._dd_w_part, self._dd_u_chunk,
+                interpret=_pallas_interpret())
+            self.acc = acc
+            self._pending = ("pallas_dd", codes_j, lens_j, acc_before,
+                             ovf_s | ovf_u, (ovf_s, ovf_u))
+            return
+        codes_nb = jnp.stack([c for c, _ in buf])
+        lens_nb = jnp.stack([l for _, l in buf])
+        acc, ovf_s, ovf_u = pj.join_tally_superbatch_dedup(
+            t0, t1, acc_before, codes_nb, lens_nb, idx.k, p,
+            self._sb_w_part, self._dd_u_chunk,
+            interpret=_pallas_interpret())
+        self.acc = acc
+        self._pending = ("pallas_sb", codes_nb, lens_nb, acc_before,
+                         ovf_s | ovf_u, (ovf_s, ovf_u))
+
+    def _tally_one_batch_sync(self, acc, codes_j, lens_j):
+        """Synchronous exact tally of one batch with the full ladder
+        (dedup → plain windows → host escape).  Used when a
+        super-batch replay gives up and folds its batches one by one.
+        """
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        idx = self.index
+        t0, t1, _perm, p = idx.tile_partitions()
+        if self._dedup:
+            u_chunk, w_part = self._dd_u_chunk, self._dd_w_part
+            while True:
+                out, ovf_s, ovf_u = pj.join_tally_step_dedup(
+                    t0, t1, acc, codes_j, lens_j, idx.k, p, w_part,
+                    u_chunk, interpret=_pallas_interpret())
+                if not bool(ovf_s) and not bool(ovf_u):
+                    return out
+                if bool(ovf_u):
+                    if u_chunk * 2 > pj.LCHUNK_DD // 2:
+                        break
+                    u_chunk *= 2
+                if bool(ovf_s):
+                    if w_part >= pj.MAX_W_PART_TALLY:
+                        break
+                    w_part = min(w_part * 2, pj.MAX_W_PART_TALLY)
+        w_part = self.w_part
+        while True:
+            out, overflow = pj.join_tally_step(
+                t0, t1, acc, codes_j, lens_j, idx.k, p, w_part,
+                interpret=_pallas_interpret())
+            if not bool(overflow):
+                return out
+            if w_part >= pj.MAX_W_PART_TALLY:
+                self._tally_batch_on_host(codes_j, lens_j)
+                return acc
+            w_part = min(w_part * 2, pj.MAX_W_PART_TALLY)
 
     def _feed_pallas_wide(self, codes_j, lens_j):
         from kmer_denovo_filter_tpu.ops import pallas_join as pj
@@ -775,6 +899,8 @@ class FilteredCounter:
         idx = self.index
         if self.pallas_wide:
             self._flush_wide()  # join any buffered partial super-batch
+        if self.pallas and getattr(self, "_sb_buf", None):
+            self._flush_superbatch()
         self._resolve_pending()
         if self.pallas or self.pallas_wide:
             if self.pallas:
@@ -949,6 +1075,87 @@ class HostFilteredCounter:
 
     def result(self):
         return self._tally.copy()
+
+
+def scan_reads_for_hits_many(index, batches):
+    """Anchoring scan of a GROUP of read batches in one device pass.
+
+    *batches* is a list of ``(codes, lengths)`` numpy pairs.  When the
+    group is eligible (W == 2 Pallas table, dedup enabled, equal row
+    counts), the batches join as ONE super-batch member scan
+    (pallas_join.join_member_superbatch_dedup) — amortising the join
+    kernel's whole-table term exactly like the tally's super-batch
+    path.  Any ineligible group falls back to per-batch
+    :func:`scan_reads_for_hits` (identical results either way).
+
+    Returns a list of (B_i, S_i) bool hit masks, one per input batch.
+    """
+    from kmer_denovo_filter_tpu.ops import pallas_join as pj
+
+    def fallback():
+        return [scan_reads_for_hits(index, c, l) for c, l in batches]
+
+    if (len(batches) <= 1 or index.small or index.w != 2
+            or not _use_pallas_join()
+            or os.environ.get("KDF_DEDUP_JOIN") == "0"
+            or not getattr(index, "_member_dedup_ok", True)):
+        return fallback()
+    padded = [pad_read_batch(c, l) for c, l in batches]
+    if len({cp.shape[0] for cp, _ in padded}) != 1:
+        return fallback()
+    lmax = max(cp.shape[1] for cp, _ in padded)
+    if lmax < index.k:
+        return fallback()
+    codes_nb = jnp.asarray(np.stack([
+        np.pad(cp, ((0, 0), (0, lmax - cp.shape[1])),
+               constant_values=4)
+        for cp, _ in padded]))
+    lens_nb = jnp.asarray(np.stack([lp for _, lp in padded]))
+    t0, t1, _perm, p = index.tile_partitions()
+    w_part, u_chunk = getattr(
+        index, "_member_sb_cfg",
+        (pj.W_PART_SB_MEMBER, pj.U_CHUNK_DD))
+    while True:
+        found_nb, ovf_s, ovf_u = pj.join_member_superbatch_dedup(
+            t0, t1, codes_nb, lens_nb, index.k, p, w_part, u_chunk,
+            interpret=_pallas_interpret())
+        if not bool(ovf_s) and not bool(ovf_u):
+            index._member_sb_cfg = (w_part, u_chunk)
+            break
+        if bool(ovf_u):
+            if u_chunk * 2 > pj.LCHUNK_DD // 2:
+                index._member_dedup_ok = False
+                return fallback()
+            u_chunk *= 2
+        if bool(ovf_s):
+            if w_part >= 256:  # VMEM cap: 4 window blocks ×2 buffers
+                return fallback()
+            w_part = min(w_part * 2, 256)
+    found_nb = np.asarray(found_nb)
+    out = []
+    for i, (c, _l) in enumerate(batches):
+        out.append(found_nb[i][:c.shape[0],
+                               :c.shape[1] - index.k + 1])
+    return out
+
+
+def make_scanner_many(index):
+    """Group-scan callable: list of (codes, lengths) → list of hit
+    masks, via the super-batch member join when eligible (see
+    :func:`scan_reads_for_hits_many`); sharded indexes scan per batch
+    through the mesh path."""
+    if _shard_dispatch(index):
+        scan = make_scanner(index)
+
+        def scan_many(batches):
+            return [scan(c, l) for c, l in batches]
+
+        return scan_many
+
+    def scan_many(batches):
+        return scan_reads_for_hits_many(index, batches)
+
+    return scan_many
 
 
 # Tables above this key count auto-shard on multi-device meshes (the

@@ -1072,6 +1072,203 @@ def join_member_step_dedup(t0, t1, codes, lengths, k, p,
     return found, ovf_span, ovf_u
 
 
+def _member_kernel_sb(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref,
+                      s1_ref, sp_ref, found_ref, *, w_part):
+    """Super-batch member chunk: BlockSpec window pair (auto-deduped
+    and double-buffered across the partition-ordered chunk sequence —
+    the manual per-chunk window DMA of :func:`_join_kernel` would
+    re-fetch ~1 MB per chunk) + active/span gating as in
+    :func:`_tally_kernel_w`.
+
+    meta layout (int32): [blk(nc) | sub_start(nc·NSUB) |
+    sub_span(nc·NSUB) | active(nc)].
+    """
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
+    act = meta_ref[nc + 2 * nc * NSUB + c]
+    for s in range(NSUB):
+        found_ref[s, :] = jnp.zeros((SUB_ROWS,), jnp.int32)
+
+    @pl.when(act == 1)
+    def _chunk():
+        baseb = meta_ref[c] * w_part
+        for s in range(NSUB):
+            st = meta_ref[nc + c * NSUB + s]
+            span = meta_ref[nc + nc * NSUB + c * NSUB + s]
+
+            @pl.when(span > 0)
+            def _sub(s=s, st=st, span=span):
+                q0t = s0_ref[s, :].reshape(SUB_ROWS, 1)
+                q1t = s1_ref[s, :].reshape(SUB_ROWS, 1)
+                relt = sp_ref[s, :].reshape(SUB_ROWS, 1) - st
+
+                @pl.when(st - baseb + span <= w_part)
+                def _fast(q0t=q0t, q1t=q1t, relt=relt, st=st,
+                          span=span, s=s):
+                    def body(t, fnd):
+                        row = st - baseb + t
+                        eq = ((q0t == t0lo[pl.ds(row, 1), :])
+                              & (q1t == t1lo[pl.ds(row, 1), :]))
+                        hit = (jnp.any(eq, axis=1, keepdims=True)
+                               & (relt == t))
+                        return fnd | hit.astype(jnp.int32)
+                    fnd = jax.lax.fori_loop(
+                        0, span, body,
+                        jnp.zeros((SUB_ROWS, 1), jnp.int32))
+                    found_ref[s, :] = fnd.reshape(SUB_ROWS)
+
+                @pl.when(st - baseb + span > w_part)
+                def _straddle(q0t=q0t, q1t=q1t, relt=relt, st=st,
+                              span=span, s=s):
+                    def body(t, fnd):
+                        row = st - baseb + t
+                        rlo = jnp.minimum(row, w_part - 1)
+                        rhi = jnp.maximum(row - w_part, 0)
+                        in_lo = row < w_part
+                        v0 = jnp.where(in_lo, t0lo[pl.ds(rlo, 1), :],
+                                       t0hi[pl.ds(rhi, 1), :])
+                        v1 = jnp.where(in_lo, t1lo[pl.ds(rlo, 1), :],
+                                       t1hi[pl.ds(rhi, 1), :])
+                        eq = (q0t == v0) & (q1t == v1)
+                        hit = (jnp.any(eq, axis=1, keepdims=True)
+                               & (relt == t))
+                        return fnd | hit.astype(jnp.int32)
+                    fnd = jax.lax.fori_loop(
+                        0, span, body,
+                        jnp.zeros((SUB_ROWS, 1), jnp.int32))
+                    found_ref[s, :] = fnd.reshape(SUB_ROWS)
+
+
+def _member_call_sb(meta, t0, t1, s0r, s1r, spr, w_part, interpret):
+    n = s0r.shape[0] * 128
+    nc = s0r.shape[0] // NSUB
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TILE_KEYS),
+                         lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TILE_KEYS), lambda c, m: (m[c], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_part, TILE_KEYS),
+                         lambda c, m: (m[c] + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NSUB, 128), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NSUB, 128), lambda c, m: (c, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_member_kernel_sb, w_part=w_part),
+        out_shape=jax.ShapeDtypeStruct((n // 128, 128), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(meta, t0, t0, t1, t1, s0r, s1r, spr)
+
+
+W_PART_SB_MEMBER = 128     # super-batch member window (dense stream)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "p", "w_part", "u_chunk", "interpret"))
+def join_member_superbatch_dedup(t0, t1, codes_nb, lengths_nb, k, p,
+                                 w_part=W_PART_SB_MEMBER,
+                                 u_chunk=U_CHUNK_DD,
+                                 interpret=False):
+    """Super-batch anchoring scan: per-batch dedup, ONE member join.
+
+    Front (scanned per batch): fused extract+mix → segmented local
+    sort (index payload) → run detection → compaction.  The NB
+    compacted streams join in a single gated member kernel over the
+    concatenated globally-sorted stream; the found bits then fan back
+    out per batch (packed global unsort → rank expansion → segmented
+    local unsort — :func:`join_member_step_dedup`'s back half).
+
+    Returns ``(found (NB, B, S) bool, ovf_span, ovf_u)``.
+    """
+    from kmer_denovo_filter_tpu.ops.pallas_extract import extract_mixed
+    nb, b, length = codes_nb.shape
+    s = length - k + 1
+    sentinel = jnp.uint32(0xFFFFFFFF)
+
+    def front(_, xs):
+        codes, lengths = xs
+        hi2, lo2 = extract_mixed(codes, lengths, k,
+                                 interpret=interpret)
+        valid = ~((hi2 == sentinel) & (lo2 == sentinel))
+        hi = hi2.reshape(-1)
+        lo = lo2.reshape(-1)
+        pad = (-hi.shape[0]) % LCHUNK_DD
+        if pad:
+            hi = jnp.concatenate([hi, jnp.full(pad, sentinel)])
+            lo = jnp.concatenate([lo, jnp.full(pad, sentinel)])
+        nloc = hi.shape[0] // LCHUNK_DD
+        h2 = hi.reshape(nloc, LCHUNK_DD)
+        l2 = lo.reshape(nloc, LCHUNK_DD)
+        lidx = jnp.tile(
+            jnp.arange(LCHUNK_DD, dtype=jnp.int32)[None, :],
+            (nloc, 1))
+        hs, ls, sl = jax.lax.sort((h2, l2, lidx), dimension=1,
+                                  num_keys=1)
+        flags = _dedup_flags(hs, ls)
+        hc, lc, _wgt, ovf_u = _dedup_compact_sorted(
+            hs, ls, u_chunk, flags=flags)
+        return 0, (hc, lc, flags[2], sl, valid, ovf_u)
+
+    _, (hcs, lcs, ds, sls, valids, ovf_us) = jax.lax.scan(
+        front, 0, (codes_nb, lengths_nb))
+    s_pad = valids.shape[2]
+    n2b = hcs.shape[1]
+    n2 = nb * n2b
+    cpos = jnp.arange(n2, dtype=jnp.int32)
+    s0, s1, scp = jax.lax.sort(
+        (hcs.reshape(-1), lcs.reshape(-1), cpos), num_keys=1)
+    pad2 = (-n2) % CHUNK_ROWS
+    if pad2:
+        s0 = jnp.concatenate([s0, jnp.full(pad2, sentinel)])
+        s1 = jnp.concatenate([s1, jnp.full(pad2, sentinel)])
+        scp = jnp.concatenate(
+            [scp, n2 + jnp.arange(pad2, dtype=jnp.int32)])
+    nq = s0.shape[0]
+    sent_s = (s0 == sentinel) & (s1 == sentinel)
+    spart = jnp.where(sent_s, p, _part_from_hi(s0, p))
+    (spr, blk, _base8, sub_start, sub_span, ovf_span,
+     _need, active) = _masked_span_meta(spart, sent_s, p, CHUNK_ROWS,
+                                        NSUB, w_part)
+    meta = jnp.concatenate([blk, sub_start, sub_span, active])
+    found_sorted = _member_call_sb(
+        meta, t0, t1, s0.reshape(nq // 128, 128),
+        s1.reshape(nq // 128, 128), spr, w_part, interpret)
+    assert nq < (1 << 30), "super-batch too large for packed unsort"
+    packed = (scp << 1) | (found_sorted.reshape(nq) > 0).astype(
+        jnp.int32)
+    ordered = jax.lax.sort(packed)
+    found_comp = ((ordered & 1) > 0)[:n2].astype(jnp.int32).reshape(
+        nb, n2b // u_chunk, u_chunk)
+
+    def back(_, xs):
+        fc, d, sl, valid = xs
+        fc = jnp.pad(fc, ((0, 0), (0, LCHUNK_DD - u_chunk)))
+        found_ls = _expand_by_rank(fc, d)
+        pk = (sl << 1) | found_ls
+        ordered2 = jax.lax.sort(pk, dimension=1)
+        found_flat = ((ordered2 & 1) > 0).reshape(-1)[:b * s_pad]
+        found = found_flat.reshape(b, s_pad)[:, :s] & valid[:, :s]
+        return 0, found
+
+    _, found_nb = jax.lax.scan(back, 0, (found_comp, ds, sls, valids))
+    return found_nb, ovf_span, jnp.any(ovf_us)
+
+
 # ── Wide dedup tally (k = 33..201) ──────────────────────────────────
 # The same dedup-before-route trick for W ≥ 3 keys: local segmented
 # sort by the route hash (raw words as payload), run-length

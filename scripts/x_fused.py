@@ -797,6 +797,31 @@ def run_super(rng, genome):
         print(f"    = {nb * BATCH_READS / dt / 1e6:.3f} M reads/s",
               flush=True)
 
+    # member super-batch vs sequential dedup member steps
+    ref0, os_, ou_ = pj.join_member_step_dedup(
+        t0j, t1j, jnp.asarray(batches[0]), jnp.asarray(lens[0]), K, p)
+    assert not (bool(os_) or bool(ou_))
+    ref0 = np.asarray(ref0)
+    for nb in (8, 16):
+        cnb = jnp.asarray(batches[:nb])
+        lnb = jnp.asarray(lens[:nb])
+        fnd, os_, ou_ = pj.join_member_superbatch_dedup(
+            t0j, t1j, cnb, lnb, K, p)
+        print(f"  member super nb={nb}: ovf_s={bool(os_)} "
+              f"ovf_u={bool(ou_)}", flush=True)
+        if bool(os_) or bool(ou_):
+            continue
+        if nb == 8:
+            same = np.array_equal(np.asarray(fnd[0]), ref0)
+            print(f"    parity vs single-batch member: {same}",
+                  flush=True)
+        dt = timeit(f"member superbatch nb={nb}",
+                    lambda _c=cnb, _l=lnb:
+                    pj.join_member_superbatch_dedup(
+                        t0j, t1j, _c, _l, K, p)[0], n_rep=4)
+        print(f"    = {nb * BATCH_READS / dt / 1e6:.3f} M reads/s",
+              flush=True)
+
 
 def run_sprof(rng, genome):
     """Cumulative-prefix profile inside the superbatch jit (nb=8)."""

@@ -1421,8 +1421,24 @@ def run_s1(rng, genome):
 
     dts = timeit("S=1 sharded tile-join feed", sharded_step, codes,
                  lengths)
-    print(f"S=1 overhead vs plain: {dts / dt1:.3f}x "
-          f"(+{(dts - dt1) * 1e3:.2f} ms)", flush=True)
+    print(f"S=1 feed overhead vs plain: {dts / dt1:.3f}x "
+          f"(+{(dts - dt1) * 1e3:.2f} ms — includes the per-feed "
+          f"host→device upload, ~140 ms through the 35 MB/s relay, "
+          f"~0.3 ms on PCIe)", flush=True)
+
+    # compute-only: pre-stage the sharded batch once, time the fused
+    # shard_map step alone (the honest S=1 sharding tax)
+    codes_d, lens_d, n_loc = stc._shard_reads(codes_np,
+                                              np.asarray(lengths))
+    cap = stc._cap_for(n_loc)
+    step = stc._step_fn(cap, stc.w_part)
+    acc0 = stc.acc
+    dtc = timeit("S=1 sharded step (pre-staged)",
+                 lambda a: step(stc.planes, a, codes_d, lens_d)[0],
+                 acc0)
+    print(f"S=1 compute overhead vs plain join_tally_step: "
+          f"{dtc / dt1:.3f}x ({(dtc - dt1) * 1e3:+.2f} ms); vs dedup "
+          f"step: {dtc / dt5:.3f}x", flush=True)
 
 
 

@@ -521,6 +521,75 @@ class TestOverflowRetries:
         assert np.array_equal(got, expected)
 
 
+    def test_superbatch_feeds_match_oracle(self, monkeypatch):
+        """Buffered same-shape feeds join as ONE super-batch stream
+        (pj.join_tally_superbatch_dedup) and must stay bit-exact,
+        including a trailing partial buffer flushed at result()."""
+        index, keys, codes, lengths, batch = self._pallas_counter(
+            monkeypatch, seed=41)
+        monkeypatch.setenv("KDF_SB_JOIN", "2")
+        fc = eng.FilteredCounter(index)
+        assert fc._sb_join == 2
+        fc.feed(codes, lengths)
+        assert fc._pending is None  # buffered, not yet dispatched
+        fc.feed(codes, lengths)     # flushes a 2-batch super-batch
+        assert fc._pending is not None
+        fc.feed(codes, lengths)     # partial buffer at result()
+        got = fc.result()
+        expected = _expected_tally(batch, keys, index.k)
+        assert np.array_equal(got, expected * 3)
+
+    def test_superbatch_overflow_replay(self, monkeypatch):
+        """A too-small unique capacity inside the super-batch must
+        ladder up and replay the whole group exactly."""
+        index, keys, codes, lengths, batch = self._pallas_counter(
+            monkeypatch, seed=43)
+        monkeypatch.setenv("KDF_SB_JOIN", "2")
+        fc = eng.FilteredCounter(index)
+        fc._dd_u_chunk = 512
+        fc.feed(codes, lengths)
+        fc.feed(codes, lengths)
+        got = fc.result()
+        assert fc._dd_u_chunk > 512  # the ladder actually ran
+        expected = _expected_tally(batch, keys, index.k)
+        assert np.array_equal(got, expected * 2)
+
+    def test_superbatch_shape_change_flushes(self, monkeypatch):
+        """A batch of a different shape must flush the buffer first
+        (stacking stays rectangular) and remain exact."""
+        index, keys, codes, lengths, batch = self._pallas_counter(
+            monkeypatch, seed=45)
+        monkeypatch.setenv("KDF_SB_JOIN", "4")
+        short = random_reads(8, 48, with_n=False, seed=46)
+        codes2, lengths2 = pack_reads(short)
+        fc = eng.FilteredCounter(index)
+        fc.feed(codes, lengths)
+        fc.feed(codes2, lengths2)   # shape change → flush + rebuffer
+        fc.feed(codes, lengths)
+        got = fc.result()
+        expected = (_expected_tally(batch, keys, index.k) * 2
+                    + _expected_tally(short, keys, index.k))
+        assert np.array_equal(got, expected)
+
+    def test_scan_many_matches_per_batch(self, monkeypatch):
+        """scan_reads_for_hits_many (member super-batch) must equal
+        per-batch scan_reads_for_hits, including ragged lengths."""
+        index, _keys, codes, lengths, _batch = self._pallas_counter(
+            monkeypatch, seed=47)
+        # same row count as the first batch (50) so the group is
+        # super-batch eligible; shorter reads exercise the L padding
+        b2 = random_reads(50, 56, seed=48)
+        codes2, lengths2 = pack_reads(b2)
+        batches = [(codes, lengths), (codes2, lengths2),
+                   (codes, lengths)]
+        refs = [eng.scan_reads_for_hits(index, c, l)
+                for c, l in batches]
+        outs = eng.scan_reads_for_hits_many(index, batches)
+        assert len(outs) == 3
+        for got, ref in zip(outs, refs):
+            assert np.array_equal(got, ref)
+
+
 def _expected_tally(reads, keys, k):
     from collections import Counter
     counts = Counter()

@@ -477,6 +477,22 @@ class TestDedupTally:
         assert not bool(ovf_s) and not bool(ovf_u)
         assert np.array_equal(np.asarray(acc), np.asarray(acc3))
 
+        # member super-batch: per-batch found masks must match the
+        # sequential dedup member steps bit-for-bit
+        refs = []
+        for i in range(nb):
+            fnd, ovf_s, ovf_u = pj.join_member_step_dedup(
+                t0j, t1j, codes_nb[i], lens_nb[i], k, p,
+                interpret=True)
+            assert not bool(ovf_s) and not bool(ovf_u)
+            refs.append(np.asarray(fnd))
+        found_nb, ovf_s, ovf_u = pj.join_member_superbatch_dedup(
+            t0j, t1j, codes_nb, lens_nb, k, p, interpret=True)
+        assert not bool(ovf_s) and not bool(ovf_u)
+        got = np.asarray(found_nb)
+        for i in range(nb):
+            assert np.array_equal(got[i], refs[i]), i
+
     def test_dedup_tally_overflow_flags(self):
         """u_chunk and w_part overflows must be separately flagged."""
         k = 31
