@@ -236,18 +236,32 @@ def bench_wgs_wide(jnp, pj, rng, genome, k=63, read_len=READ_LEN):
     def flat_of(b):
         return pj.extract_flat_keys(b, lengths, k)
 
+    # Window-sparse batches (large k ⇒ few windows per read) spread a
+    # chunk's queries over more partitions than any VMEM window
+    # covers: accumulate flat keys and join once per dense
+    # super-flush, exactly like engine.FilteredCounter's wide buffer
+    # (~256 queries per partition).
+    rows_per_batch = BATCH_READS * (read_len - k + 1)
+    group = max(1, -(-256 * p // rows_per_batch))
+    while N_BATCHES_WGS % group:
+        group += 1
+
+    def flat_group(g):
+        fs = [flat_of(b) for b in batches[g * group:(g + 1) * group]]
+        return fs[0] if len(fs) == 1 else jnp.concatenate(fs, axis=0)
+
     # capacity/window ladder (mirrors engine.FilteredCounter)
     u_c = pj.U_CHUNK_DD
     w_p = min(pj.W_PART_TALLY, pj.wide_dd_w_part_cap(w))
     wstep = None
     while True:
         acc2, ovf_s, ovf_u = pj.join_tally_flat_wide_dedup(
-            planes, acc, flat_of(batches[0]), p, w_part=w_p,
+            planes, acc, flat_group(0), p, w_part=w_p,
             u_chunk=u_c)
         np.asarray(acc2[:1, :1])
         if not (bool(ovf_s) or bool(ovf_u)):
-            wstep = lambda a, b: pj.join_tally_flat_wide_dedup(
-                planes, a, flat_of(b), p, w_part=w_p,
+            wstep = lambda a, g: pj.join_tally_flat_wide_dedup(
+                planes, a, flat_group(g), p, w_part=w_p,
                 u_chunk=u_c)[0]
             break
         if bool(ovf_u):
@@ -260,14 +274,27 @@ def bench_wgs_wide(jnp, pj, rng, genome, k=63, read_len=READ_LEN):
                 break
             w_p = min(w_p * 2, cap)
     if wstep is None:
-        plain_wp = min(pj.W_PART_TALLY, pj.max_wide_w_part_tally(w))
-        wstep = lambda a, b: pj.join_tally_step_wide(
-            planes, a, b, lengths, k, p, w_part=plain_wp)[0]
-        acc2 = wstep(acc, batches[0])
+        # plain-wide fallback with its own window ladder (an
+        # overflowing window's results are replayed, never trusted)
+        plain_cap = pj.max_wide_w_part_tally(w)
+        plain_wp = min(pj.W_PART_TALLY, plain_cap)
+        while True:
+            acc2, ovf = pj.join_tally_flat_wide(
+                planes, acc, flat_group(0), p, w_part=plain_wp)
+            np.asarray(acc2[:1, :1])
+            if not bool(ovf):
+                break
+            if plain_wp >= plain_cap:
+                raise RuntimeError(
+                    f"k={k} wide tally overflows the largest window")
+            plain_wp = min(plain_wp * 2, plain_cap)
+        wstep = lambda a, g: pj.join_tally_flat_wide(
+            planes, a, flat_group(g), p, w_part=plain_wp)[0]
+        acc2 = wstep(acc, 0)
         np.asarray(acc2[:1, :1])
     start = time.perf_counter()
-    for b in batches:
-        acc2 = wstep(acc2, b)
+    for g in range(N_BATCHES_WGS // group):
+        acc2 = wstep(acc2, g)
     np.asarray(acc2[:1, :1])
     return BATCH_READS * N_BATCHES_WGS / (time.perf_counter() - start)
 

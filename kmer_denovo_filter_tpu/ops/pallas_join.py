@@ -252,7 +252,9 @@ def _join_kernel(meta_ref, t0_hbm, t1_hbm, s0_ref, s1_ref, sp_ref,
         relt = sp_ref[s, :].reshape(SUB_ROWS, 1) - st
 
         def body(t, fnd, q0t=q0t, q1t=q1t, relt=relt, st=st):
-            row = st - base + t
+            # clamp: overflowing chunks (flag already set, results
+            # replayed) must stay in-bounds rather than fault
+            row = jnp.minimum(st - base + t, w_part - 1)
             eq = ((q0t == t0w[pl.ds(row, 1), :])
                   & (q1t == t1w[pl.ds(row, 1), :]))
             hit = (jnp.any(eq, axis=1, keepdims=True)
@@ -301,13 +303,16 @@ def _tally_kernel(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
 
         def tally(eq2, t, arow, _relt=relt):
             # MXU reduction: the partition mask rides the dot's LHS,
-            # f32 accumulation is exact for counts ≤ 2^24
+            # f32 accumulation is exact for counts ≤ 2^24.  arow is
+            # clamped so overflowing chunks (flag set, results
+            # replayed) never write out of the scratch slab.
             maskv = (_relt == t).astype(jnp.float32).reshape(
                 1, SUB_ROWS)
             cnt = jax.lax.dot_general(
                 maskv, eq2.astype(jnp.float32),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            arow = jnp.minimum(arow, w_part - 1)
             accw[pl.ds(arow, 1), :] += cnt.astype(jnp.int32)
 
         @pl.when(st - baseb + span <= w_part)
@@ -325,7 +330,8 @@ def _tally_kernel(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
             def body(t, _):
                 row = st - baseb + t
                 rlo = jnp.minimum(row, w_part - 1)
-                rhi = jnp.maximum(row - w_part, 0)
+                rhi = jnp.minimum(jnp.maximum(row - w_part, 0),
+                                  w_part - 1)
                 in_lo = row < w_part
                 v0 = jnp.where(in_lo, t0lo[pl.ds(rlo, 1), :],
                                t0hi[pl.ds(rhi, 1), :])
@@ -672,7 +678,7 @@ def _dedup_compact_sorted(hs, ls, u_chunk, flags=None):
 
 def _tally_kernel_w(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
                     sp_ref, w_ref, acc_in_hbm, acc_out_hbm, accw,
-                    sem_in, sem_out, *, w_part):
+                    sem_in, sem_out, *, w_part, nsub=NSUB_DD):
     """Weighted tally chunk: like _tally_kernel, but each query row
     carries a run multiplicity that rides the MXU dot's mask.
 
@@ -684,7 +690,7 @@ def _tally_kernel_w(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
     """
     c = pl.program_id(0)
     nc = pl.num_programs(0)
-    act = meta_ref[2 * nc + 2 * nc * NSUB_DD + c]
+    act = meta_ref[2 * nc + 2 * nc * nsub + c]
 
     @pl.when(act == 1)
     def _chunk():
@@ -695,9 +701,9 @@ def _tally_kernel_w(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
         din.start()
         din.wait()
 
-        for s in range(NSUB_DD):
-            st = meta_ref[2 * nc + c * NSUB_DD + s]
-            span = meta_ref[2 * nc + nc * NSUB_DD + c * NSUB_DD + s]
+        for s in range(nsub):
+            st = meta_ref[2 * nc + c * nsub + s]
+            span = meta_ref[2 * nc + nc * nsub + c * nsub + s]
 
             @pl.when(span > 0)
             def _sub(s=s, st=st, span=span):
@@ -709,13 +715,15 @@ def _tally_kernel_w(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
 
                 def tally(eq2, t, arow, _relt=relt, _wt=wt):
                     # per-sub weighted sums ≤ 128·8192 < 2^24: f32
-                    # exact
+                    # exact; arow clamped so overflowing chunks (flag
+                    # set, results replayed) stay in-bounds
                     maskv = jnp.where(_relt == t, _wt, 0.0).reshape(
                         1, SUB_ROWS)
                     cnt = jax.lax.dot_general(
                         maskv, eq2.astype(jnp.float32),
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
+                    arow = jnp.minimum(arow, w_part - 1)
                     accw[pl.ds(arow, 1), :] += cnt.astype(jnp.int32)
 
                 @pl.when(st - baseb + span <= w_part)
@@ -733,7 +741,8 @@ def _tally_kernel_w(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
                     def body(t, _):
                         row = st - baseb + t
                         rlo = jnp.minimum(row, w_part - 1)
-                        rhi = jnp.maximum(row - w_part, 0)
+                        rhi = jnp.minimum(
+                            jnp.maximum(row - w_part, 0), w_part - 1)
                         in_lo = row < w_part
                         v0 = jnp.where(in_lo, t0lo[pl.ds(rlo, 1), :],
                                        t0hi[pl.ds(rhi, 1), :])
@@ -751,8 +760,8 @@ def _tally_kernel_w(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref, s1_ref,
 
 
 def _tally_call_w(meta, t0, t1, s0r, s1r, spr, wr, acc, w_part,
-                  interpret):
-    nc = s0r.shape[0] // NSUB_DD
+                  interpret, nsub=NSUB_DD):
+    nc = s0r.shape[0] // nsub
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nc,),
@@ -767,13 +776,13 @@ def _tally_call_w(meta, t0, t1, s0r, s1r, spr, wr, acc, w_part,
             pl.BlockSpec((w_part, TILE_KEYS),
                          lambda c, m: (m[c] + 1, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NSUB_DD, 128), lambda c, m: (c, 0),
+            pl.BlockSpec((nsub, 128), lambda c, m: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NSUB_DD, 128), lambda c, m: (c, 0),
+            pl.BlockSpec((nsub, 128), lambda c, m: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NSUB_DD, 128), lambda c, m: (c, 0),
+            pl.BlockSpec((nsub, 128), lambda c, m: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NSUB_DD, 128), lambda c, m: (c, 0),
+            pl.BlockSpec((nsub, 128), lambda c, m: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -784,7 +793,7 @@ def _tally_call_w(meta, t0, t1, s0r, s1r, spr, wr, acc, w_part,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_tally_kernel_w, w_part=w_part),
+        functools.partial(_tally_kernel_w, w_part=w_part, nsub=nsub),
         out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.int32),
         grid_spec=grid_spec,
         input_output_aliases={9: 0},
@@ -836,7 +845,8 @@ def join_tally_step_dedup(t0, t1, acc, codes, lengths, k, p,
     spart = jnp.where(sent_s, p, _part_from_hi(s0, p))
     (spr, blk, base8, sub_start, sub_span, ovf_span,
      _need, active) = _masked_span_meta(spart, sent_s, p, CHUNK_DD,
-                                        NSUB_DD, w_part)
+                                        NSUB_DD, w_part,
+                                        monotone=True)
     meta = jnp.concatenate([blk, base8, sub_start, sub_span, active])
     s0r = s0.reshape(n2 // 128, 128)
     s1r = s1.reshape(n2 // 128, 128)
@@ -887,6 +897,8 @@ def join_tally_steps_dedup(t0, t1, acc, codes_nb, lengths_nb, k, p,
 # on-device stream concatenation.
 NB_JOIN = 8
 W_PART_SB = 64             # super-batch streams are partition-dense
+CHUNK_SB = 8192            # join chunk rows (halves per-chunk DMA and
+NSUB_SB = CHUNK_SB // SUB_ROWS   # fixed cost vs CHUNK_DD)
 
 
 @functools.partial(
@@ -932,7 +944,7 @@ def join_tally_superbatch_dedup(t0, t1, acc, codes_nb, lengths_nb, k,
         (hcs.reshape(-1), lcs.reshape(-1), wcs.reshape(-1)),
         num_keys=1)
     n2 = s0.shape[0]
-    pad2 = (-n2) % CHUNK_DD
+    pad2 = (-n2) % CHUNK_SB
     if pad2:
         s0 = jnp.concatenate(
             [s0, jnp.full(pad2, jnp.uint32(0xFFFFFFFF))])
@@ -944,14 +956,15 @@ def join_tally_superbatch_dedup(t0, t1, acc, codes_nb, lengths_nb, k,
         & (s1 == jnp.uint32(0xFFFFFFFF))
     spart = jnp.where(sent_s, p, _part_from_hi(s0, p))
     (spr, blk, base8, sub_start, sub_span, ovf_span,
-     _need, active) = _masked_span_meta(spart, sent_s, p, CHUNK_DD,
-                                        NSUB_DD, w_part)
+     _need, active) = _masked_span_meta(spart, sent_s, p, CHUNK_SB,
+                                        NSUB_SB, w_part,
+                                        monotone=True)
     meta = jnp.concatenate([blk, base8, sub_start, sub_span, active])
     s0r = s0.reshape(n2 // 128, 128)
     s1r = s1.reshape(n2 // 128, 128)
     swr = sw.reshape(n2 // 128, 128)
     acc_out = _tally_call_w(meta, t0, t1, s0r, s1r, spr, swr, acc,
-                            w_part, interpret)
+                            w_part, interpret, nsub=NSUB_SB)
     return acc_out, ovf_span, jnp.any(ovf_us)
 
 
@@ -1051,7 +1064,7 @@ def join_member_step_dedup(t0, t1, codes, lengths, k, p,
     spart = jnp.where(sent_s, p, _part_from_hi(s0, p))
     (spr, _blk, base, sub_start, sub_span, _ovf_t,
      need, _active) = _masked_span_meta(spart, sent_s, p, CHUNK_ROWS,
-                                        NSUB, w_part)
+                                        NSUB, w_part, monotone=True)
     ovf_span = need > w_part
     meta = _pack_meta(base, sub_start, sub_span)
     found_sorted = _member_call(
@@ -1123,7 +1136,8 @@ def _member_kernel_sb(meta_ref, t0lo, t0hi, t1lo, t1hi, s0_ref,
                     def body(t, fnd):
                         row = st - baseb + t
                         rlo = jnp.minimum(row, w_part - 1)
-                        rhi = jnp.maximum(row - w_part, 0)
+                        rhi = jnp.minimum(
+                            jnp.maximum(row - w_part, 0), w_part - 1)
                         in_lo = row < w_part
                         v0 = jnp.where(in_lo, t0lo[pl.ds(rlo, 1), :],
                                        t0hi[pl.ds(rhi, 1), :])
@@ -1243,7 +1257,7 @@ def join_member_superbatch_dedup(t0, t1, codes_nb, lengths_nb, k, p,
     spart = jnp.where(sent_s, p, _part_from_hi(s0, p))
     (spr, blk, _base8, sub_start, sub_span, ovf_span,
      _need, active) = _masked_span_meta(spart, sent_s, p, CHUNK_ROWS,
-                                        NSUB, w_part)
+                                        NSUB, w_part, monotone=True)
     meta = jnp.concatenate([blk, sub_start, sub_span, active])
     found_sorted = _member_call_sb(
         meta, t0, t1, s0.reshape(nq // 128, 128),
@@ -1400,15 +1414,15 @@ def join_tally_flat_wide_dedup(planes, acc, flat, p,
         sent_s = sent_s & (cj == jnp.uint32(0xFFFFFFFF))
     spart = jnp.where(sent_s, p, _part_from_hi(hs, p))
     (spr, blk, base8, sub_start, sub_span, ovf_span,
-     _need, _active) = _masked_span_meta(spart, sent_s, p,
-                                         CHUNK_DD_WIDE, NSUB_DD_WIDE,
-                                         w_part)
-    meta = jnp.concatenate([blk, base8, sub_start, sub_span])
+     _need, active) = _masked_span_meta(spart, sent_s, p,
+                                        CHUNK_DD_WIDE, NSUB_DD_WIDE,
+                                        w_part, monotone=True)
+    meta = jnp.concatenate([blk, base8, sub_start, sub_span, active])
     qplanes = [cj.reshape(n2 // 128, 128) for cj in scols]
     swr = sw.reshape(n2 // 128, 128)
     acc_out = _tally_call_wide(meta, planes, qplanes, spr, acc, w,
                                w_part, interpret, wgt=swr,
-                               nsub=NSUB_DD_WIDE)
+                               nsub=NSUB_DD_WIDE, gated=True)
     return acc_out, ovf_span, ovf_u
 
 
@@ -1508,21 +1522,41 @@ def route_presorted(s0, s1, p, s, chunk, nsub, w_part):
             overflow_tally, need)
 
 
-def _masked_span_meta(spart, sent, p, chunk, nsub, w_part):
+def _masked_span_meta(spart, sent, p, chunk, nsub, w_part,
+                      monotone=False):
     """Real-masked sub-chunk spans + chunk window metadata.
 
     Also returns ``active`` — per-chunk "has any real row" flags, so
     kernels can skip all-sentinel chunks entirely (the sorted junk
     tail otherwise pays the full per-chunk fixed cost: window/acc DMA
     plus per-sub setup).
+
+    ``monotone=True`` asserts *spart* is globally non-decreasing with
+    sentinels (= p) last — true after a single global route sort —
+    and halves the elementwise passes: each sub's min is its first
+    element and its real max needs only one masked reduce.  Streams of
+    concatenated per-segment sorts (route_presorted) must keep the
+    general path.
     """
     n = spart.shape[0]
     nc = n // chunk
     sp2 = spart.reshape(nc * nsub, SUB_ROWS)
-    real2 = ~sent.reshape(nc * nsub, SUB_ROWS)
-    anyreal = jnp.any(real2, axis=1)
-    mn = jnp.min(jnp.where(real2, sp2, p), axis=1)
-    mx = jnp.max(jnp.where(real2, sp2, -1), axis=1)
+    if monotone:
+        # ascending spart ⇒ each sub's min is its first element —
+        # EXCEPT the s0 == 0xFFFFFFFF tail, where real rows (mixed hi
+        # exactly F, partition p-1) interleave arbitrarily with
+        # sentinels (partition p) under the 1-key sort.  In a sub
+        # whose first element is already p, every real row is p-1, so
+        # the real max doubles as the min there.
+        mx = jnp.max(jnp.where(sp2 == p, -1, sp2), axis=1)
+        first = sp2[:, 0]
+        anyreal = mx >= 0
+        mn = jnp.where(first < p, first, mx)
+    else:
+        real2 = ~sent.reshape(nc * nsub, SUB_ROWS)
+        anyreal = jnp.any(real2, axis=1)
+        mn = jnp.min(jnp.where(real2, sp2, p), axis=1)
+        mx = jnp.max(jnp.where(real2, sp2, -1), axis=1)
     sub_start = jnp.where(anyreal, mn, 0).astype(jnp.int32)
     sub_span = jnp.where(anyreal, mx - mn + 1, 0).astype(jnp.int32)
     cmn = jnp.min(jnp.where(anyreal, mn, p).reshape(nc, nsub), axis=1)
@@ -1680,11 +1714,14 @@ def build_tile_partitions_wide(keys_np, p=None):
 
 
 def _tally_kernel_wide(meta_ref, *refs, w, w_part, nsub=NSUB_T,
-                       weighted=False):
+                       weighted=False, gated=False):
     """Generic-W tally chunk: refs = W lo-blocks + W hi-blocks +
     W query planes + spart [+ weight plane] + acc HBM in/out +
     scratch accw + sems.  With *weighted*, each query row's run
-    multiplicity rides the tally dot's mask (the dedup path)."""
+    multiplicity rides the tally dot's mask (the dedup path).  With
+    *gated*, meta carries a trailing per-chunk ``active`` flag and
+    all-sentinel chunks / zero-span subs skip their work (see
+    :func:`_tally_kernel_w`)."""
     lo = refs[:w]
     hi = refs[w:2 * w]
     qs = refs[2 * w:3 * w]
@@ -1695,66 +1732,77 @@ def _tally_kernel_wide(meta_ref, *refs, w, w_part, nsub=NSUB_T,
     accw, sem_in, sem_out = refs[3 * w + woff + 3:3 * w + woff + 6]
     c = pl.program_id(0)
     nc = pl.num_programs(0)
-    baseb = meta_ref[c] * w_part
-    base8 = pl.multiple_of(meta_ref[nc + c], 8)
-    din = pltpu.make_async_copy(
-        acc_out_hbm.at[pl.ds(base8, w_part), :], accw, sem_in)
-    din.start()
-    din.wait()
+    act = (meta_ref[2 * nc + 2 * nc * nsub + c] if gated
+           else jnp.int32(1))
 
-    for s in range(nsub):
-        st = meta_ref[2 * nc + c * nsub + s]
-        span = meta_ref[2 * nc + nc * nsub + c * nsub + s]
-        qt = [q[s, :].reshape(SUB_ROWS, 1) for q in qs]
-        relt = sp_ref[s, :].reshape(SUB_ROWS, 1) - st
-        wt = (w_ref[s, :].reshape(SUB_ROWS, 1).astype(jnp.float32)
-              if weighted else None)
+    @pl.when(act == 1)
+    def _chunk():
+        baseb = meta_ref[c] * w_part
+        base8 = pl.multiple_of(meta_ref[nc + c], 8)
+        din = pltpu.make_async_copy(
+            acc_out_hbm.at[pl.ds(base8, w_part), :], accw, sem_in)
+        din.start()
+        din.wait()
 
-        def tally(eq, t, arow, _relt=relt, _wt=wt):
-            if weighted:
-                maskv = jnp.where(_relt == t, _wt, 0.0).reshape(
-                    1, SUB_ROWS)
-            else:
-                maskv = (_relt == t).astype(jnp.float32).reshape(
-                    1, SUB_ROWS)
-            cnt = jax.lax.dot_general(
-                maskv, eq.astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            accw[pl.ds(arow, 1), :] += cnt.astype(jnp.int32)
+        for s in range(nsub):
+            st = meta_ref[2 * nc + c * nsub + s]
+            span = meta_ref[2 * nc + nc * nsub + c * nsub + s]
 
-        @pl.when(st - baseb + span <= w_part)
-        def _fast(qt=qt, st=st, span=span):
-            def body(t, _):
-                row = st - baseb + t
-                eq = qt[0] == lo[0][pl.ds(row, 1), :]
-                for j in range(1, w):
-                    eq &= qt[j] == lo[j][pl.ds(row, 1), :]
-                tally(eq, t, st - base8 + t)
-                return 0
-            jax.lax.fori_loop(0, span, body, 0)
+            @pl.when(span > 0)
+            def _sub(s=s, st=st, span=span):
+                qt = [q[s, :].reshape(SUB_ROWS, 1) for q in qs]
+                relt = sp_ref[s, :].reshape(SUB_ROWS, 1) - st
+                wt = (w_ref[s, :].reshape(SUB_ROWS, 1).astype(
+                    jnp.float32) if weighted else None)
 
-        @pl.when(st - baseb + span > w_part)
-        def _straddle(qt=qt, st=st, span=span):
-            def body(t, _):
-                row = st - baseb + t
-                rlo = jnp.minimum(row, w_part - 1)
-                rhi = jnp.maximum(row - w_part, 0)
-                in_lo = row < w_part
-                eq = None
-                for j in range(w):
-                    v = jnp.where(in_lo, lo[j][pl.ds(rlo, 1), :],
-                                  hi[j][pl.ds(rhi, 1), :])
-                    e = qt[j] == v
-                    eq = e if eq is None else (eq & e)
-                tally(eq, t, st - base8 + t)
-                return 0
-            jax.lax.fori_loop(0, span, body, 0)
+                def tally(eq, t, arow, _relt=relt, _wt=wt):
+                    if weighted:
+                        maskv = jnp.where(_relt == t, _wt,
+                                          0.0).reshape(1, SUB_ROWS)
+                    else:
+                        maskv = (_relt == t).astype(
+                            jnp.float32).reshape(1, SUB_ROWS)
+                    cnt = jax.lax.dot_general(
+                        maskv, eq.astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    arow = jnp.minimum(arow, w_part - 1)
+                    accw[pl.ds(arow, 1), :] += cnt.astype(jnp.int32)
 
-    dout = pltpu.make_async_copy(
-        accw, acc_out_hbm.at[pl.ds(base8, w_part), :], sem_out)
-    dout.start()
-    dout.wait()
+                @pl.when(st - baseb + span <= w_part)
+                def _fast(qt=qt, st=st, span=span):
+                    def body(t, _):
+                        row = st - baseb + t
+                        eq = qt[0] == lo[0][pl.ds(row, 1), :]
+                        for j in range(1, w):
+                            eq &= qt[j] == lo[j][pl.ds(row, 1), :]
+                        tally(eq, t, st - base8 + t)
+                        return 0
+                    jax.lax.fori_loop(0, span, body, 0)
+
+                @pl.when(st - baseb + span > w_part)
+                def _straddle(qt=qt, st=st, span=span):
+                    def body(t, _):
+                        row = st - baseb + t
+                        rlo = jnp.minimum(row, w_part - 1)
+                        rhi = jnp.minimum(
+                            jnp.maximum(row - w_part, 0), w_part - 1)
+                        in_lo = row < w_part
+                        eq = None
+                        for j in range(w):
+                            v = jnp.where(in_lo,
+                                          lo[j][pl.ds(rlo, 1), :],
+                                          hi[j][pl.ds(rhi, 1), :])
+                            e = qt[j] == v
+                            eq = e if eq is None else (eq & e)
+                        tally(eq, t, st - base8 + t)
+                        return 0
+                    jax.lax.fori_loop(0, span, body, 0)
+
+        dout = pltpu.make_async_copy(
+            accw, acc_out_hbm.at[pl.ds(base8, w_part), :], sem_out)
+        dout.start()
+        dout.wait()
 
 
 def _member_kernel_wide(meta_ref, *refs, w, w_part):
@@ -1788,7 +1836,7 @@ def _member_kernel_wide(meta_ref, *refs, w, w_part):
         relt = sp_ref[s, :].reshape(SUB_ROWS, 1) - st
 
         def body(t, fnd, qt=qt, relt=relt, st=st):
-            row = st - base + t
+            row = jnp.minimum(st - base + t, w_part - 1)
             eq = qt[0] == scratch[0][pl.ds(row, 1), :]
             for j in range(1, w):
                 eq &= qt[j] == scratch[j][pl.ds(row, 1), :]
@@ -1855,10 +1903,11 @@ def _route_wide(flat, p, chunk, nsub, with_idx):
 
 
 def _tally_call_wide(meta, planes, qplanes, spr, acc, w, w_part,
-                     interpret, wgt=None, nsub=NSUB_T):
+                     interpret, wgt=None, nsub=NSUB_T, gated=False):
     """Invoke the wide tally kernel on routed queries + metadata.
     With *wgt* (an (n/128, 128) int32 plane), runs the weighted
-    (dedup) variant."""
+    (dedup) variant; *gated* skips all-sentinel chunks (the meta must
+    then carry the trailing active flags)."""
     nc = spr.shape[0] // nsub
     weighted = wgt is not None
     nq = w + 1 + (1 if weighted else 0)
@@ -1885,7 +1934,7 @@ def _tally_call_wide(meta, planes, qplanes, spr, acc, w, w_part,
     extra = (wgt,) if weighted else ()
     return pl.pallas_call(
         functools.partial(_tally_kernel_wide, w=w, w_part=w_part,
-                          nsub=nsub, weighted=weighted),
+                          nsub=nsub, weighted=weighted, gated=gated),
         out_shape=jax.ShapeDtypeStruct(acc.shape, jnp.int32),
         grid_spec=grid_spec,
         input_output_aliases={2 * w + nq + 1: 0},
