@@ -77,12 +77,16 @@ def bench_small(jnp, dev, enc, rng, genome):
                for _ in range(N_BATCHES)]
     # Warm-up (compile + first run); device→host transfer forces a
     # real sync (block_until_ready does not, through the axon relay).
-    acc = dev.small_tally_step(table, acc, batches[0], lengths, K, W,
-                               chunk)
+    # Throughput is measured on the scan-folded multi-batch step (one
+    # dispatch per N_BATCHES — the engine's small-table feed path).
+    codes_nb = jnp.stack(batches)
+    lens_nb = jnp.broadcast_to(lengths, (N_BATCHES, BATCH_READS))
+    acc = dev.small_tally_steps(table, acc, codes_nb, lens_nb, K, W,
+                                chunk)
     np.asarray(acc[:1])
     start = time.perf_counter()
-    for b in batches:
-        acc = dev.small_tally_step(table, acc, b, lengths, K, W, chunk)
+    acc = dev.small_tally_steps(table, acc, codes_nb, lens_nb, K, W,
+                                chunk)
     np.asarray(acc[:1])
     elapsed = time.perf_counter() - start
     return BATCH_READS * N_BATCHES / elapsed

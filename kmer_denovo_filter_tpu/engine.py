@@ -760,15 +760,21 @@ class FilteredCounter:
         self._sb_buf = []
         self._resolve_pending()
         acc_before = self.acc
-        if len(buf) == 1:
-            codes_j, lens_j = buf[0]
-            acc, ovf_s, ovf_u = pj.join_tally_step_dedup(
-                t0, t1, acc_before, codes_j, lens_j, idx.k, p,
-                self._dd_w_part, self._dd_u_chunk,
-                interpret=_pallas_interpret())
-            self.acc = acc
-            self._pending = ("pallas_dd", codes_j, lens_j, acc_before,
-                             ovf_s | ovf_u, (ovf_s, ovf_u))
+        if len(buf) < self._sb_join:
+            # partial group (shape change / end of stream): replay
+            # through the single-batch path — every group size would
+            # otherwise compile its own scan graph
+            for codes_j, lens_j in buf:
+                self._resolve_pending()
+                acc_before = self.acc
+                acc, ovf_s, ovf_u = pj.join_tally_step_dedup(
+                    t0, t1, acc_before, codes_j, lens_j, idx.k, p,
+                    self._dd_w_part, self._dd_u_chunk,
+                    interpret=_pallas_interpret())
+                self.acc = acc
+                self._pending = ("pallas_dd", codes_j, lens_j,
+                                 acc_before, ovf_s | ovf_u,
+                                 (ovf_s, ovf_u))
             return
         codes_nb = jnp.stack([c for c, _ in buf])
         lens_nb = jnp.stack([l for _, l in buf])
@@ -862,6 +868,23 @@ class FilteredCounter:
         lens_j = jnp.asarray(lens_p)
         idx = self.index
         if idx.small:
+            # scan-folded dispatch: buffer same-shape batches and fold
+            # them through one jit call (the sweep has no overflow
+            # cases, so this is pure dispatch amortisation)
+            if not hasattr(self, "_small_buf"):
+                sbj = os.environ.get("KDF_SB_JOIN")
+                from kmer_denovo_filter_tpu.ops import pallas_join as pj
+                self._small_join = (int(sbj) if sbj is not None
+                                    else pj.NB_JOIN)
+                self._small_buf = []
+            if self._small_join > 1:
+                if self._small_buf and (
+                        self._small_buf[0][0].shape != codes_j.shape):
+                    self._flush_small()
+                self._small_buf.append((codes_j, lens_j))
+                if len(self._small_buf) >= self._small_join:
+                    self._flush_small()
+                return
             self.acc = dev.small_tally_step(
                 idx.table, self.acc, codes_j, lens_j, idx.k, idx.w,
                 idx.small_chunk)
@@ -894,6 +917,29 @@ class FilteredCounter:
         self._pending = ("bucketed", codes_j, lens_j, acc_before,
                          overflow, 1 << (n_windows - 1).bit_length())
 
+    def _flush_small(self):
+        """Fold the buffered small-table batches in one dispatch.
+
+        Partial groups replay per batch so only the full-group scan
+        shape is ever compiled.
+        """
+        idx = self.index
+        buf = self._small_buf
+        self._small_buf = []
+        if not buf:
+            return
+        if len(buf) < self._small_join:
+            for codes_j, lens_j in buf:
+                self.acc = dev.small_tally_step(
+                    idx.table, self.acc, codes_j, lens_j, idx.k,
+                    idx.w, idx.small_chunk)
+            return
+        codes_nb = jnp.stack([c for c, _ in buf])
+        lens_nb = jnp.stack([l for _, l in buf])
+        self.acc = dev.small_tally_steps(
+            idx.table, self.acc, codes_nb, lens_nb, idx.k, idx.w,
+            idx.small_chunk)
+
     def result(self):
         """int64 counts aligned with the index's sorted keys."""
         idx = self.index
@@ -901,6 +947,8 @@ class FilteredCounter:
             self._flush_wide()  # join any buffered partial super-batch
         if self.pallas and getattr(self, "_sb_buf", None):
             self._flush_superbatch()
+        if getattr(self, "_small_buf", None):
+            self._flush_small()
         self._resolve_pending()
         if self.pallas or self.pallas_wide:
             if self.pallas:
@@ -1095,8 +1143,15 @@ def scan_reads_for_hits_many(index, batches):
     def fallback():
         return [scan_reads_for_hits(index, c, l) for c, l in batches]
 
-    if (len(batches) <= 1 or index.small or index.w != 2
-            or not _use_pallas_join()
+    try:
+        group_n = max(1, int(os.environ.get("KDF_SB_JOIN", "8")))
+    except ValueError:
+        group_n = 8
+    # partial groups (stream tails, shape changes) replay per batch:
+    # every distinct NB would otherwise compile its own super-batch
+    # graph
+    if (len(batches) != group_n or group_n <= 1 or index.small
+            or index.w != 2 or not _use_pallas_join()
             or os.environ.get("KDF_DEDUP_JOIN") == "0"
             or not getattr(index, "_member_dedup_ok", True)):
         return fallback()

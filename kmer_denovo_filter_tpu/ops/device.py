@@ -346,6 +346,24 @@ def small_tally_step(table_small, acc, codes, lengths, k, w,
     return acc + small_table_tally(table_small, flat, w, chunk)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "w", "chunk"))
+def small_tally_steps(table_small, acc, codes_nb, lengths_nb, k, w,
+                      chunk=8192):
+    """Fold NB same-shape batches through the small-table step in ONE
+    dispatch (``codes_nb`` is (NB, B, L)) — the per-batch host
+    dispatch is pure overhead on any transport (multi-ms through a
+    relay-attached chip).  The small sweep has no overflow cases, so
+    the scan needs no retry plumbing."""
+    def body(acc, xs):
+        codes, lengths = xs
+        return small_tally_step(table_small, acc, codes, lengths, k,
+                                w, chunk), None
+
+    acc, _ = jax.lax.scan(body, acc, (codes_nb, lengths_nb))
+    return acc
+
+
 @functools.partial(jax.jit, static_argnames=("k", "w", "chunk"))
 def small_scan_hits_step(table_small, codes, lengths, k, w,
                          chunk=8192):

@@ -576,6 +576,7 @@ class TestOverflowRetries:
         per-batch scan_reads_for_hits, including ragged lengths."""
         index, _keys, codes, lengths, _batch = self._pallas_counter(
             monkeypatch, seed=47)
+        monkeypatch.setenv("KDF_SB_JOIN", "3")  # full group of 3
         # same row count as the first batch (50) so the group is
         # super-batch eligible; shorter reads exercise the L padding
         b2 = random_reads(50, 56, seed=48)
