@@ -65,6 +65,7 @@ def synth_reads(rng, genome, n_reads, read_len):
 
 
 def bench_small(jnp, dev, enc, rng, genome):
+    from kmer_denovo_filter_tpu.ops import pallas_join as pj
     t = rng.integers(0, 2 ** 32, (TABLE_M, W), dtype=np.uint32)
     t[:, 1] &= 0xFFFFFFFC
     t = t[enc.lexsort_keys(t)]
@@ -78,15 +79,29 @@ def bench_small(jnp, dev, enc, rng, genome):
     # Warm-up (compile + first run); device→host transfer forces a
     # real sync (block_until_ready does not, through the axon relay).
     # Throughput is measured on the scan-folded multi-batch step (one
-    # dispatch per N_BATCHES — the engine's small-table feed path).
+    # dispatch per N_BATCHES — the engine's small-table feed path),
+    # dedup-first (round 5): extract+mix → segmented local dedup →
+    # weighted all-pairs sweep in mixed space, ~2× the plain sweep.
     codes_nb = jnp.stack(batches)
     lens_nb = jnp.broadcast_to(lengths, (N_BATCHES, BATCH_READS))
-    acc = dev.small_tally_steps(table, acc, codes_nb, lens_nb, K, W,
-                                chunk)
+    th, tl = pj._mix_keys(table[:, 0], table[:, 1])
+    a_dd, ovf = pj.small_tally_steps_dedup(
+        th, tl, acc, codes_nb, lens_nb, K, chunk=8192)
+    np.asarray(a_dd[:1])
+    if not bool(ovf):
+        def step(a):
+            return pj.small_tally_steps_dedup(
+                th, tl, a, codes_nb, lens_nb, K, chunk=8192)[0]
+    else:
+        # stream defeats the dedup capacity — plain sweep (the
+        # engine's own fallback)
+        def step(a):
+            return dev.small_tally_steps(table, a, codes_nb,
+                                         lens_nb, K, W, chunk)
+    acc = step(acc)
     np.asarray(acc[:1])
     start = time.perf_counter()
-    acc = dev.small_tally_steps(table, acc, codes_nb, lens_nb, K, W,
-                                chunk)
+    acc = step(acc)
     np.asarray(acc[:1])
     elapsed = time.perf_counter() - start
     return BATCH_READS * N_BATCHES / elapsed

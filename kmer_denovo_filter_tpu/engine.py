@@ -131,6 +131,16 @@ class KmerIndex:
         self._tile_parts = None
         self._tile_parts_wide = None
 
+    def small_mixed(self):
+        """Lazily mix the padded small table into route space
+        (W == 2): equality in mixed space ≡ equality in key space, so
+        the dedup-first small sweep compares mixed words directly."""
+        if getattr(self, "_small_mixed", None) is None:
+            from kmer_denovo_filter_tpu.ops import pallas_join as pj
+            self._small_mixed = pj._mix_keys(self.table[:, 0],
+                                             self.table[:, 1])
+        return self._small_mixed
+
     def hash_partitions(self):
         """Lazily build (tblocks, perm, p_bits) for the partitioned sweep."""
         if self._hash_parts is None:
@@ -533,6 +543,39 @@ class FilteredCounter:
             return
         idx = self.index
         try_current = False  # set on dedup fallthrough (see below)
+        if kind == "small_dd":
+            from kmer_denovo_filter_tpu.ops import pallas_join as pj
+            th, tl = idx.small_mixed()
+            grouped = codes_j.ndim == 3
+            while True:
+                if self._sm_u_chunk * 2 > pj.LCHUNK_DD // 2:
+                    # stream doesn't dedup — the local sort stops
+                    # paying; replay plain and stay there
+                    self._small_dedup = False
+                    break
+                self._sm_u_chunk *= 2
+                if grouped:
+                    acc, ovf = pj.small_tally_steps_dedup(
+                        th, tl, acc_before, codes_j, lens_j, idx.k,
+                        self._sm_u_chunk, idx.small_chunk,
+                        interpret=_pallas_interpret())
+                else:
+                    acc, ovf = pj.small_tally_step_dedup(
+                        th, tl, acc_before, codes_j, lens_j, idx.k,
+                        self._sm_u_chunk, idx.small_chunk,
+                        interpret=_pallas_interpret())
+                if not bool(ovf):
+                    self.acc = acc
+                    return
+            if grouped:
+                self.acc = dev.small_tally_steps(
+                    idx.table, acc_before, codes_j, lens_j, idx.k,
+                    idx.w, idx.small_chunk)
+            else:
+                self.acc = dev.small_tally_step(
+                    idx.table, acc_before, codes_j, lens_j, idx.k,
+                    idx.w, idx.small_chunk)
+            return
         if kind == "pallas_sb":
             from kmer_denovo_filter_tpu.ops import pallas_join as pj
             t0, t1, _perm, p = idx.tile_partitions()
@@ -877,6 +920,13 @@ class FilteredCounter:
                 self._small_join = (int(sbj) if sbj is not None
                                     else pj.NB_JOIN)
                 self._small_buf = []
+                # dedup-first sweep: the same machinery as the big
+                # tile-join's front half cuts the sweep's compare
+                # volume to the compacted-capacity fraction (~22%)
+                self._small_dedup = (
+                    idx.w == 2 and _use_pallas_join()
+                    and os.environ.get("KDF_SMALL_DEDUP") != "0")
+                self._sm_u_chunk = pj.U_CHUNK_DD
             if self._small_join > 1:
                 if self._small_buf and (
                         self._small_buf[0][0].shape != codes_j.shape):
@@ -884,6 +934,19 @@ class FilteredCounter:
                 self._small_buf.append((codes_j, lens_j))
                 if len(self._small_buf) >= self._small_join:
                     self._flush_small()
+                return
+            if self._small_dedup:
+                from kmer_denovo_filter_tpu.ops import pallas_join as pj
+                th, tl = idx.small_mixed()
+                self._resolve_pending()
+                acc_before = self.acc
+                acc, ovf = pj.small_tally_step_dedup(
+                    th, tl, acc_before, codes_j, lens_j, idx.k,
+                    self._sm_u_chunk, idx.small_chunk,
+                    interpret=_pallas_interpret())
+                self.acc = acc
+                self._pending = ("small_dd", codes_j, lens_j,
+                                 acc_before, ovf, None)
                 return
             self.acc = dev.small_tally_step(
                 idx.table, self.acc, codes_j, lens_j, idx.k, idx.w,
@@ -930,12 +993,39 @@ class FilteredCounter:
             return
         if len(buf) < self._small_join:
             for codes_j, lens_j in buf:
-                self.acc = dev.small_tally_step(
-                    idx.table, self.acc, codes_j, lens_j, idx.k,
-                    idx.w, idx.small_chunk)
+                if self._small_dedup:
+                    from kmer_denovo_filter_tpu.ops import \
+                        pallas_join as pj
+                    th, tl = idx.small_mixed()
+                    self._resolve_pending()
+                    acc_before = self.acc
+                    acc, ovf = pj.small_tally_step_dedup(
+                        th, tl, acc_before, codes_j, lens_j, idx.k,
+                        self._sm_u_chunk, idx.small_chunk,
+                        interpret=_pallas_interpret())
+                    self.acc = acc
+                    self._pending = ("small_dd", codes_j, lens_j,
+                                     acc_before, ovf, None)
+                else:
+                    self.acc = dev.small_tally_step(
+                        idx.table, self.acc, codes_j, lens_j, idx.k,
+                        idx.w, idx.small_chunk)
             return
         codes_nb = jnp.stack([c for c, _ in buf])
         lens_nb = jnp.stack([l for _, l in buf])
+        if self._small_dedup:
+            from kmer_denovo_filter_tpu.ops import pallas_join as pj
+            th, tl = idx.small_mixed()
+            self._resolve_pending()
+            acc_before = self.acc
+            acc, ovf = pj.small_tally_steps_dedup(
+                th, tl, acc_before, codes_nb, lens_nb, idx.k,
+                self._sm_u_chunk, idx.small_chunk,
+                interpret=_pallas_interpret())
+            self.acc = acc
+            self._pending = ("small_dd", codes_nb, lens_nb,
+                             acc_before, ovf, None)
+            return
         self.acc = dev.small_tally_steps(
             idx.table, self.acc, codes_nb, lens_nb, idx.k, idx.w,
             idx.small_chunk)

@@ -991,6 +991,97 @@ def join_member_steps_dedup(t0, t1, codes_nb, lengths_nb, k, p,
     return found, jnp.any(oss), jnp.any(ous)
 
 
+# ── Dedup-first small-table sweep (round 5) ─────────────────────────
+# The all-pairs VPU sweep (ops/device.py:small_table_tally) is
+# compare-bound at ~16 ms/batch for M=4k tables — but its compare
+# volume is proportional to the RAW window count.  Coverage-local
+# batches dedup ~4.5× in 8192-window chunks (the round-4 machinery),
+# so running the same sweep over the compacted WEIGHTED stream cuts
+# the volume to the compacted capacity fraction (u_chunk/LCHUNK_DD ≈
+# 22%) for ~3 ms of extract+dedup.  Equality in mixed space ≡
+# equality in key space (the pair mix is bijective), so the table is
+# mixed once at index build and the sweep compares mixed words
+# directly.  Replaces the reference's per-window Aho-Corasick /
+# jellyfish query loop economics (core/kmer_utils.py) the same way
+# the tile-join does for big tables.
+
+def small_weighted_tally(th, tl, hq, lq, wq, chunk=8192):
+    """Weighted all-pairs sweep: per-table-key sums of query weights.
+
+    *th*, *tl*: (M,) mixed table key words (sentinel-padded rows can
+    only match a weight-0 junk row — see the sentinel-safety note
+    above :func:`build_tile_partitions`).  *hq*, *lq*, *wq*: the
+    compacted mixed query stream with run weights (junk rows carry
+    weight 0).  Exact: int32 per-key sums of int32 weights.
+    """
+    m = th.shape[0]
+    n = hq.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        hq = jnp.concatenate([hq, jnp.full(pad, SENTINEL)])
+        lq = jnp.concatenate([lq, jnp.full(pad, SENTINEL)])
+        wq = jnp.concatenate([wq, jnp.zeros(pad, jnp.int32)])
+    hb = hq.reshape(-1, chunk)
+    lb = lq.reshape(-1, chunk)
+    wb = wq.reshape(-1, chunk)
+
+    def body(carry, xs):
+        h, l, w_ = xs
+        eq = (h[:, None] == th[None, :]) & (l[:, None] == tl[None, :])
+        return carry + jnp.where(eq, w_[:, None], 0).sum(
+            axis=0, dtype=jnp.int32), 0.0
+
+    counts, _ = jax.lax.scan(body, jnp.zeros(m, jnp.int32),
+                             (hb, lb, wb))
+    return counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "u_chunk", "chunk", "interpret"))
+def small_tally_step_dedup(th, tl, acc, codes, lengths, k,
+                           u_chunk=U_CHUNK_DD, chunk=8192,
+                           interpret=False):
+    """Fused dedup-first small-table tally step (W == 2).
+
+    extract+mix → segmented local dedup → weighted sweep against the
+    mixed table.  Returns ``(acc', ovf_u)``; on *ovf_u* (a chunk had
+    more than *u_chunk* distinct keys) the caller must replay the
+    batch — doubled capacity or the plain sweep, both exact.
+    """
+    from kmer_denovo_filter_tpu.ops.pallas_extract import extract_mixed
+    hi2, lo2 = extract_mixed(codes, lengths, k, interpret=interpret)
+    hi = hi2.reshape(-1)
+    lo = lo2.reshape(-1)
+    pad = (-hi.shape[0]) % LCHUNK_DD
+    if pad:
+        hi = jnp.concatenate([hi, jnp.full(pad, SENTINEL)])
+        lo = jnp.concatenate([lo, jnp.full(pad, SENTINEL)])
+    hc, lc, wc, ovf_u = _dedup_compact(hi, lo, u_chunk)
+    sentq = (hc == SENTINEL) & (lc == SENTINEL)
+    wq = jnp.where(sentq, 0, wc)
+    counts = small_weighted_tally(th, tl, hc, lc, wq, chunk)
+    return acc + counts, ovf_u
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "u_chunk", "chunk", "interpret"))
+def small_tally_steps_dedup(th, tl, acc, codes_nb, lengths_nb, k,
+                            u_chunk=U_CHUNK_DD, chunk=8192,
+                            interpret=False):
+    """Fold NB same-shape batches through the dedup small sweep in
+    ONE dispatch.  Returns ``(acc', ovf_u_any)``; on overflow the
+    caller replays the whole group from its pre-scan accumulator
+    (exact — same contract as :func:`join_tally_steps_dedup`)."""
+    def body(acc, xs):
+        codes, lengths = xs
+        acc2, ovf = small_tally_step_dedup(
+            th, tl, acc, codes, lengths, k, u_chunk, chunk, interpret)
+        return acc2, ovf
+
+    acc, ovfs = jax.lax.scan(body, acc, (codes_nb, lengths_nb))
+    return acc, jnp.any(ovfs)
+
+
 # Member window over the compacted stream: ~4× fewer rows per
 # partition than the raw stream means ~4× wider chunk spans (measured
 # max ~450 at p≈27k for 4096-row chunks), and the member kernel has a

@@ -521,6 +521,66 @@ class TestOverflowRetries:
         assert np.array_equal(got, expected)
 
 
+    def test_small_dedup_feeds_match_oracle(self, monkeypatch):
+        """The small-table dedup-first sweep (mixed-space weighted
+        all-pairs, pj.small_tally_step_dedup) must stay bit-exact
+        through grouped, partial, and single-batch flushes."""
+        monkeypatch.setenv("KDF_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("KDF_SB_JOIN", "2")
+        index, keys, codes, lengths, batch = self._index_and_batch(
+            seed=61)
+        assert index.small
+        fc = eng.FilteredCounter(index)
+        fc.feed(codes, lengths)
+        assert fc._small_dedup
+        fc.feed(codes, lengths)     # flushes a 2-batch group
+        fc.feed(codes, lengths)     # partial buffer at result()
+        got = fc.result()
+        expected = _expected_tally(batch, keys, index.k)
+        assert np.array_equal(got, expected * 3)
+
+    def test_small_dedup_overflow_replays_exactly(self, monkeypatch):
+        """A too-small unique capacity must ladder (or drop to the
+        plain sweep) and replay from the saved accumulator."""
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        monkeypatch.setenv("KDF_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("KDF_SB_JOIN", "1")
+        index, keys, codes, lengths, batch = self._index_and_batch(
+            seed=63)
+        assert index.small
+        fc = eng.FilteredCounter(index)
+        fc.feed(codes, lengths)
+        fc._sm_u_chunk = 128  # force the next feed to overflow
+        fc.feed(codes, lengths)
+        got = fc.result()
+        assert fc._sm_u_chunk > 128 or not fc._small_dedup
+        expected = _expected_tally(batch, keys, index.k)
+        assert np.array_equal(got, expected * 2)
+
+    def test_small_dedup_ladder_exhaustion_goes_plain(
+            self, monkeypatch):
+        """When u_chunk can no longer double, the counter drops to
+        the plain sweep permanently — exactly."""
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        monkeypatch.setenv("KDF_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("KDF_SB_JOIN", "1")
+        # dense distinct stream: long reads defeat chunk-local dedup
+        reads = random_reads(96, 152, with_n=False, seed=65)
+        kmers = sorted({km for s in reads
+                        for km in oracle_counts([s], 31)})
+        keys = enc.kmers_to_keys(kmers[: len(kmers) // 2], 31)
+        index = eng.KmerIndex(keys, 31)
+        assert index.small
+        codes, lengths = pack_reads(reads)
+        fc = eng.FilteredCounter(index)
+        fc.feed(codes, lengths)
+        fc._sm_u_chunk = pj.LCHUNK_DD // 2
+        fc.feed(codes, lengths)
+        got = fc.result()
+        assert not fc._small_dedup  # the ladder gave up
+        expected = _expected_tally(reads, keys, 31)
+        assert np.array_equal(got, expected * 2)
+
     def test_superbatch_feeds_match_oracle(self, monkeypatch):
         """Buffered same-shape feeds join as ONE super-batch stream
         (pj.join_tally_superbatch_dedup) and must stay bit-exact,
