@@ -104,7 +104,27 @@ def bench_small(jnp, dev, enc, rng, genome):
     acc = step(acc)
     np.asarray(acc[:1])
     elapsed = time.perf_counter() - start
-    return BATCH_READS * N_BATCHES / elapsed
+    tally_rate = BATCH_READS * N_BATCHES / elapsed
+
+    # small-table anchoring member scan (same dedup-first machinery;
+    # order-free sweep over the compacted stream + bit fan-out)
+    _f, ovf_m = pj.small_member_steps_dedup(
+        th, tl, codes_nb, lens_nb, K, chunk=8192)
+    np.asarray(_f[:1, :1, :1])
+    if not bool(ovf_m):
+        def mstep():
+            return pj.small_member_steps_dedup(
+                th, tl, codes_nb, lens_nb, K, chunk=8192)[0]
+        f = mstep()
+        np.asarray(f[:1, :1, :1])
+        start = time.perf_counter()
+        f = mstep()
+        np.asarray(f[:1, :1, :1])
+        member_rate = BATCH_READS * N_BATCHES / (
+            time.perf_counter() - start)
+    else:
+        member_rate = None
+    return tally_rate, member_rate
 
 
 def bench_wgs(jnp, pj, rng, genome):
@@ -195,7 +215,7 @@ def bench_wgs(jnp, pj, rng, genome):
         t0j, t1j, batches[0], lengths, K, p)
     np.asarray(found[:1, :1])
     if not (bool(ovf_s) or bool(ovf_u)):
-        nbj = pj.NB_JOIN
+        nbj = pj.NB_JOIN_MEMBER  # fan-out unsorts favor smaller nb
         mgroups = codes_nb.reshape(N_BATCHES_WGS // nbj, nbj,
                                    BATCH_READS, READ_LEN)
         mlgroups = lens_nb.reshape(N_BATCHES_WGS // nbj, nbj,
@@ -466,8 +486,10 @@ def main():
     rng = np.random.default_rng(0)
     genome = rng.integers(0, 4, GENOME_MB << 20, dtype=np.uint8)
 
-    headline = bench_small(jnp, dev, enc, rng, genome)
+    headline, small_member = bench_small(jnp, dev, enc, rng, genome)
     details = {}
+    if small_member is not None:
+        details["small_member_reads_per_s"] = round(small_member, 1)
     try:
         wgs, wgs_member = bench_wgs(jnp, pj, rng, genome)
         details["wgs_scale_reads_per_s"] = round(wgs, 1)

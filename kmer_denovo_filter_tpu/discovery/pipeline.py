@@ -519,11 +519,15 @@ def _scan_child_reads(child_source, proband_index, kmer_size,
 
 def _scan_group_size():
     """Batches per grouped anchoring scan (the member super-batch
-    window; KDF_SB_JOIN overrides, 0/1 disables grouping)."""
+    window; KDF_SB_JOIN overrides, 0/1 disables grouping).  The
+    member default is smaller than the tally's (pj.NB_JOIN_MEMBER):
+    the fan-out unsorts grow superlinearly with the joined stream."""
+    from kmer_denovo_filter_tpu.ops import pallas_join as pj
     try:
-        return max(1, int(os.environ.get("KDF_SB_JOIN", "8")))
+        return max(1, int(os.environ.get("KDF_SB_JOIN",
+                                         str(pj.NB_JOIN_MEMBER))))
     except ValueError:
-        return 8
+        return pj.NB_JOIN_MEMBER
 
 
 def _drain_scan_group(group, scanner_many, kmer_size,

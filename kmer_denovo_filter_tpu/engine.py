@@ -1078,6 +1078,30 @@ def scan_reads_for_hits(index, codes, lengths):
     codes_j = jnp.asarray(codes_p)
     lens_j = jnp.asarray(lens_p)
     if index.small:
+        if (index.w == 2 and _use_pallas_join()
+                and os.environ.get("KDF_SMALL_DEDUP") != "0"
+                and getattr(index, "_small_member_dedup_ok", True)):
+            # dedup-first sweep: the order-free all-pairs member runs
+            # over the compacted stream (~22% of the raw rows); bits
+            # fan back out via the segmented expansion/unsort.
+            from kmer_denovo_filter_tpu.ops import pallas_join as pj
+            th, tl = index.small_mixed()
+            u_chunk = getattr(index, "_small_member_u",
+                              pj.U_CHUNK_DD)
+            while True:
+                found, ovf_u = pj.small_member_step_dedup(
+                    th, tl, codes_j, lens_j, index.k, u_chunk,
+                    index.small_chunk, interpret=_pallas_interpret())
+                if not bool(ovf_u):
+                    index._small_member_u = u_chunk
+                    found = np.asarray(found)
+                    return found[:codes.shape[0],
+                                 :codes.shape[1] - index.k + 1]
+                if u_chunk * 2 > pj.LCHUNK_DD // 2:
+                    # stream doesn't dedup — plain sweep from now on
+                    index._small_member_dedup_ok = False
+                    break
+                u_chunk *= 2
         found = np.asarray(dev.small_scan_hits_step(
             index.table, codes_j, lens_j, index.k, index.w,
             index.small_chunk))
@@ -1234,16 +1258,21 @@ def scan_reads_for_hits_many(index, batches):
         return [scan_reads_for_hits(index, c, l) for c, l in batches]
 
     try:
-        group_n = max(1, int(os.environ.get("KDF_SB_JOIN", "8")))
+        group_n = max(1, int(os.environ.get(
+            "KDF_SB_JOIN", str(pj.NB_JOIN_MEMBER))))
     except ValueError:
-        group_n = 8
+        group_n = pj.NB_JOIN_MEMBER
     # partial groups (stream tails, shape changes) replay per batch:
     # every distinct NB would otherwise compile its own super-batch
     # graph
-    if (len(batches) != group_n or group_n <= 1 or index.small
+    if (len(batches) != group_n or group_n <= 1
             or index.w != 2 or not _use_pallas_join()
             or os.environ.get("KDF_DEDUP_JOIN") == "0"
-            or not getattr(index, "_member_dedup_ok", True)):
+            or not getattr(index, "_member_dedup_ok", True)
+            or (index.small
+                and (os.environ.get("KDF_SMALL_DEDUP") == "0"
+                     or not getattr(index, "_small_member_dedup_ok",
+                                    True)))):
         return fallback()
     padded = [pad_read_batch(c, l) for c, l in batches]
     if len({cp.shape[0] for cp, _ in padded}) != 1:
@@ -1256,6 +1285,25 @@ def scan_reads_for_hits_many(index, batches):
                constant_values=4)
         for cp, _ in padded]))
     lens_nb = jnp.asarray(np.stack([lp for _, lp in padded]))
+    if index.small:
+        # grouped dedup-first small sweep: one dispatch per group,
+        # order-free all-pairs member over each compacted stream
+        th, tl = index.small_mixed()
+        u_chunk = getattr(index, "_small_member_u", pj.U_CHUNK_DD)
+        while True:
+            found_nb, ovf_u = pj.small_member_steps_dedup(
+                th, tl, codes_nb, lens_nb, index.k, u_chunk,
+                index.small_chunk, interpret=_pallas_interpret())
+            if not bool(ovf_u):
+                index._small_member_u = u_chunk
+                found_nb = np.asarray(found_nb)
+                return [found_nb[i][:c.shape[0],
+                                    :c.shape[1] - index.k + 1]
+                        for i, (c, _l) in enumerate(batches)]
+            if u_chunk * 2 > pj.LCHUNK_DD // 2:
+                index._small_member_dedup_ok = False
+                return fallback()
+            u_chunk *= 2
     t0, t1, _perm, p = index.tile_partitions()
     w_part, u_chunk = getattr(
         index, "_member_sb_cfg",

@@ -895,7 +895,15 @@ def join_tally_steps_dedup(t0, t1, acc, codes_nb, lengths_nb, k, p,
 # denser spans) is far smaller.  Replaces the reference's per-chunk
 # jellyfish merge economics (core/jellyfish_wrappers.py:244–251) with
 # on-device stream concatenation.
-NB_JOIN = 8
+#
+# Measured (round 5, 16.8M-key WGS config): tally nb=8 10.85 → nb=16
+# 10.55 ms/batch; nb=32 does not compile (the scalar-prefetch meta
+# array exceeds Mosaic's 1 MB SMEM budget at ~3,400 chunks), so 16 is
+# the ceiling.  The member fan-out's unsorts grow superlinearly with
+# the joined stream, so the member keeps its own smaller window
+# (nb=8 13.53 vs nb=16 14.21 ms/batch).
+NB_JOIN = 16
+NB_JOIN_MEMBER = 8
 W_PART_SB = 64             # super-batch streams are partition-dense
 CHUNK_SB = 8192            # join chunk rows (halves per-chunk DMA and
 NSUB_SB = CHUNK_SB // SUB_ROWS   # fixed cost vs CHUNK_DD)
@@ -1080,6 +1088,96 @@ def small_tally_steps_dedup(th, tl, acc, codes_nb, lengths_nb, k,
 
     acc, ovfs = jax.lax.scan(body, acc, (codes_nb, lengths_nb))
     return acc, jnp.any(ovfs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "u_chunk", "chunk", "interpret"))
+def small_member_step_dedup(th, tl, codes, lengths, k,
+                            u_chunk=U_CHUNK_DD, chunk=8192,
+                            interpret=False):
+    """Dedup-first small-table anchoring step (W == 2).
+
+    Membership depends only on the key, so the all-pairs sweep runs
+    over the compacted stream (~22% of the raw rows) and the bits fan
+    back out.  Unlike :func:`join_member_step_dedup` there is no
+    global route sort: an all-pairs sweep is order-free, so the
+    compacted chunk-local stream feeds it directly and only the
+    segmented expansion/unsort remains:
+
+      sweep over (hc, lc) → :func:`_expand_by_rank` → packed
+      segmented unsort of the local sort.
+
+    Returns ``(found (B, S) bool, ovf_u)``.
+    """
+    from kmer_denovo_filter_tpu.ops.pallas_extract import extract_mixed
+    b, length = codes.shape
+    s = length - k + 1
+    hi2, lo2 = extract_mixed(codes, lengths, k, interpret=interpret)
+    s_pad = hi2.shape[1]
+    valid = ~((hi2 == SENTINEL) & (lo2 == SENTINEL))
+    hi = hi2.reshape(-1)
+    lo = lo2.reshape(-1)
+    n_orig = hi.shape[0]
+    pad = (-n_orig) % LCHUNK_DD
+    if pad:
+        hi = jnp.concatenate([hi, jnp.full(pad, SENTINEL)])
+        lo = jnp.concatenate([lo, jnp.full(pad, SENTINEL)])
+    n = hi.shape[0]
+    nloc = n // LCHUNK_DD
+    h2 = hi.reshape(nloc, LCHUNK_DD)
+    l2 = lo.reshape(nloc, LCHUNK_DD)
+    lidx = jnp.tile(
+        jnp.arange(LCHUNK_DD, dtype=jnp.int32)[None, :], (nloc, 1))
+    hs, ls, sl = jax.lax.sort((h2, l2, lidx), dimension=1, num_keys=1)
+    flags = _dedup_flags(hs, ls)
+    d = flags[2]
+    hc, lc, _wgt, ovf_u = _dedup_compact_sorted(hs, ls, u_chunk,
+                                                flags=flags)
+    # order-free all-pairs membership over the compacted rows (junk
+    # rows are the sentinel pair, which no real mixed table key can
+    # equal — see the sentinel-safety note above build_tile_partitions)
+    n2 = hc.shape[0]
+    padq = (-n2) % chunk
+    hq = jnp.concatenate([hc, jnp.full(padq, SENTINEL)]) if padq \
+        else hc
+    lq = jnp.concatenate([lc, jnp.full(padq, SENTINEL)]) if padq \
+        else lc
+
+    def body(carry, xs):
+        h, l = xs
+        eq = (h[:, None] == th[None, :]) & (l[:, None] == tl[None, :])
+        return carry, eq.any(axis=1)
+
+    _, fnd = jax.lax.scan(
+        body, 0, (hq.reshape(-1, chunk), lq.reshape(-1, chunk)))
+    found_comp = fnd.reshape(-1)[:n2].reshape(nloc, u_chunk)
+    found_comp = jnp.pad(
+        found_comp.astype(jnp.int32),
+        ((0, 0), (0, LCHUNK_DD - u_chunk)))
+    found_ls = _expand_by_rank(found_comp, d)
+    pk = (sl << 1) | found_ls
+    ordered2 = jax.lax.sort(pk, dimension=1)
+    found_flat = ((ordered2 & 1) > 0).reshape(-1)[:n_orig]
+    found = (found_flat.reshape(b, s_pad)[:, :s] & valid[:, :s])
+    return found, ovf_u
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "u_chunk", "chunk", "interpret"))
+def small_member_steps_dedup(th, tl, codes_nb, lengths_nb, k,
+                             u_chunk=U_CHUNK_DD, chunk=8192,
+                             interpret=False):
+    """Fold NB same-shape batches through the dedup small member
+    sweep in ONE dispatch.  Returns ``(found (NB, B, S), ovf_any)``."""
+    def body(carry, xs):
+        codes, lengths = xs
+        found, ovf = small_member_step_dedup(
+            th, tl, codes, lengths, k, u_chunk, chunk, interpret)
+        return carry, (found, ovf)
+
+    _, (found, ovfs) = jax.lax.scan(
+        body, 0, (codes_nb, lengths_nb))
+    return found, jnp.any(ovfs)
 
 
 # Member window over the compacted stream: ~4× fewer rows per

@@ -252,6 +252,176 @@ def run_small(rng, genome):
                acc, per=NB)
 
 
+def run_meta2(rng, genome):
+    """Counted span metadata: 2-key global sort makes junk strictly
+    trailing, so per-sub min/max are two strided slices of spart and
+    ONE dynamic scalar fixes the single real/junk boundary sub."""
+    from kmer_denovo_filter_tpu.ops.pallas_extract import extract_mixed
+    t0j, t1j, perm, p = build_wgs(rng, genome)
+    acc = jnp.zeros(t0j.shape, jnp.int32)
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+    NB = 16
+    batches = [jnp.asarray(synth_reads(rng, genome, BATCH_READS,
+                                       READ_LEN))
+               for _ in range(NB)]
+    codes_nb = jnp.stack(batches)
+    lens_nb = jnp.broadcast_to(lengths, (NB, BATCH_READS))
+    u_chunk = pj.U_CHUNK_DD
+    LC = pj.LCHUNK_DD
+    CHUNK_SB = pj.CHUNK_SB
+    NSUB_SB = pj.NSUB_SB
+    w_part = pj.W_PART_SB
+    SENT = jnp.uint32(0xFFFFFFFF)
+    SUB_ROWS = pj.SUB_ROWS
+
+    def front_scan(codes_nb, lens_nb):
+        def front(_, xs):
+            codes, lengths = xs
+            hi2, lo2 = extract_mixed(codes, lengths, K)
+            hi = hi2.reshape(-1)
+            lo = lo2.reshape(-1)
+            pad = (-hi.shape[0]) % LC
+            if pad:
+                hi = jnp.concatenate([hi, jnp.full(pad, SENT)])
+                lo = jnp.concatenate([lo, jnp.full(pad, SENT)])
+            hc, lc, wc, ovf_u = pj._dedup_compact(hi, lo, u_chunk)
+            return 0, (hc, lc, wc, ovf_u)
+
+        _, (hcs, lcs, wcs, _o) = jax.lax.scan(
+            front, 0, (codes_nb, lens_nb))
+        return hcs.reshape(-1), lcs.reshape(-1), wcs.reshape(-1)
+
+    def counted_meta(spart, r_real, n2, p):
+        """(spr, meta, ovf) from a strictly partition-monotone spart
+        whose rows >= r_real are all junk."""
+        nc = n2 // CHUNK_SB
+        nsub = NSUB_SB
+        sp2 = spart.reshape(nc * nsub, SUB_ROWS)
+        mn = sp2[:, 0]
+        mx = sp2[:, -1]
+        sidx = jnp.arange(nc * nsub, dtype=jnp.int32)
+        last_real_sub = (r_real - 1) // SUB_ROWS
+        # the boundary sub's real max is spart[r_real - 1]
+        bmax = spart[jnp.maximum(r_real - 1, 0)]
+        mx = jnp.where(sidx == last_real_sub, bmax, mx)
+        real_sub = (sidx <= last_real_sub) & (r_real > 0)
+        sub_start = jnp.where(real_sub, mn, 0).astype(jnp.int32)
+        sub_span = jnp.where(real_sub, mx - mn + 1, 0).astype(
+            jnp.int32)
+        cidx = jnp.arange(nc, dtype=jnp.int32)
+        last_real_chunk = (r_real - 1) // CHUNK_SB
+        active = ((cidx <= last_real_chunk) & (r_real > 0)).astype(
+            jnp.int32)
+        cfirst = jnp.where(active == 1, sp2[::nsub, 0], 0)
+        cmx = jnp.max(sub_span.reshape(nc, nsub)
+                      + sub_start.reshape(nc, nsub) - 1, axis=1)
+        cmx = jnp.where(active == 1, cmx, -1)
+        base8 = ((cfirst // 8) * 8).astype(jnp.int32)
+        blk = (cfirst // w_part).astype(jnp.int32)
+        last = jnp.maximum(cmx, cfirst)
+        ovf = ((jnp.max(last - blk * w_part + 1) > 2 * w_part)
+               | (jnp.max(last - base8 + 1) > w_part))
+        spr = spart.reshape(n2 // 128, 128)
+        meta = jnp.concatenate([blk, base8, sub_start, sub_span,
+                                active])
+        return spr, meta, ovf
+
+    @jax.jit
+    def full_counted(acc, codes_nb, lens_nb):
+        hc, lc, wc = front_scan(codes_nb, lens_nb)
+        sent = (hc == SENT) & (lc == SENT)
+        r_real = jnp.sum(~sent).astype(jnp.int32)
+        s0, s1, sw = jax.lax.sort((hc, lc, wc), num_keys=2)
+        n2 = s0.shape[0]
+        pad2 = (-n2) % CHUNK_SB
+        if pad2:
+            s0 = jnp.concatenate([s0, jnp.full(pad2, SENT)])
+            s1 = jnp.concatenate([s1, jnp.full(pad2, SENT)])
+            sw = jnp.concatenate([sw, jnp.zeros(pad2, jnp.int32)])
+            n2 += pad2
+        spart = pj._part_from_hi(s0, p)
+        spr, meta, ovf = counted_meta(spart, r_real, n2, p)
+        s0r = s0.reshape(n2 // 128, 128)
+        s1r = s1.reshape(n2 // 128, 128)
+        swr = sw.reshape(n2 // 128, 128)
+        acc_out = pj._tally_call_w(meta, t0j, t1j, s0r, s1r, spr,
+                                   swr, acc, w_part, False,
+                                   nsub=NSUB_SB)
+        return acc_out, ovf
+
+    @jax.jit
+    def p1b(codes_nb, lens_nb):
+        hc, lc, wc = front_scan(codes_nb, lens_nb)
+        sent = (hc == SENT) & (lc == SENT)
+        r_real = jnp.sum(~sent).astype(jnp.int32)
+        s0, s1, sw = jax.lax.sort((hc, lc, wc), num_keys=2)
+        return s0[:1], r_real
+
+    a_ref, os_, ou_ = pj.join_tally_superbatch_dedup(
+        t0j, t1j, acc, codes_nb, lens_nb, K, p)
+    a_new, ovf = full_counted(acc, codes_nb, lens_nb)
+    real = perm >= 0
+
+    def real_tally(a):
+        return np.asarray(a)[:perm.shape[0]][real]
+
+    print(f"counted meta: ovf={bool(ovf)} parity="
+          f"{np.array_equal(real_tally(a_ref), real_tally(a_new))}",
+          flush=True)
+    timeit("p1b 2-key sort + count", p1b, codes_nb, lens_nb, per=16)
+    timeit("p3b full counted-meta superbatch",
+           lambda a, c, l: full_counted(a, c, l)[0],
+           acc, codes_nb, lens_nb, per=16)
+    timeit("p3 full superbatch (current)",
+           lambda a, c, l: pj.join_tally_superbatch_dedup(
+               t0j, t1j, a, c, l, K, p)[0],
+           acc, codes_nb, lens_nb, per=16)
+
+
+def run_smallmem(rng, genome):
+    """Dedup-first small member sweep vs the plain all-pairs member."""
+    from kmer_denovo_filter_tpu.ops import encode as enc
+    from kmer_denovo_filter_tpu.ops import device as _d
+    TABLE_M = 4096
+    t = rng.integers(0, 2 ** 32, (TABLE_M, 2), dtype=np.uint32)
+    t[:, 1] &= 0xFFFFFFFC
+    t = t[enc.lexsort_keys(t)]
+    table = jnp.asarray(t)
+    th, tl = pj._mix_keys(table[:, 0], table[:, 1])
+    chunk = 16384
+    NB = 16
+    lengths = jnp.full(BATCH_READS, READ_LEN, dtype=jnp.int32)
+    batches = [jnp.asarray(synth_reads(rng, genome, BATCH_READS,
+                                       READ_LEN))
+               for _ in range(NB)]
+    codes_nb = jnp.stack(batches)
+    lens_nb = jnp.broadcast_to(lengths, (NB, BATCH_READS))
+
+    ref = _d.small_scan_hits_step(table, batches[0], lengths, K, 2,
+                                  chunk)
+    got, ovf = pj.small_member_step_dedup(
+        th, tl, batches[0], lengths, K, chunk=8192)
+    print(f"small member dedup: ovf={bool(ovf)} parity="
+          f"{np.array_equal(np.asarray(ref), np.asarray(got))}",
+          flush=True)
+
+    @jax.jit
+    def plain_many(codes_nb, lens_nb):
+        def body(c, xs):
+            codes, lengths = xs
+            return c, _d.small_scan_hits_step(table, codes, lengths,
+                                              K, 2, chunk)
+        _, f = jax.lax.scan(body, 0, (codes_nb, lens_nb))
+        return f
+
+    timeit("small member plain steps x16",
+           lambda: plain_many(codes_nb, lens_nb), per=NB)
+    timeit("small member dedup steps x16",
+           lambda: pj.small_member_steps_dedup(
+               th, tl, codes_nb, lens_nb, K, chunk=8192)[0],
+           per=NB)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("devices:", jax.devices(), flush=True)
@@ -259,6 +429,10 @@ def main():
     genome = rng.integers(0, 4, 4 << 20, dtype=np.uint8)
     if which in ("small", "all"):
         run_small(rng, genome)
+    if which in ("smallmem", "all"):
+        run_smallmem(rng, genome)
+    if which in ("meta2",):
+        run_meta2(rng, genome)
     if which in ("nbsweep", "all"):
         run_nbsweep(rng, genome)
     if which in ("profsb", "all"):

@@ -651,6 +651,52 @@ class TestOverflowRetries:
             assert np.array_equal(got, ref)
 
 
+    def test_small_member_dedup_matches_plain(self, monkeypatch):
+        """The dedup-first small member sweep (order-free all-pairs
+        over the compacted stream + bit fan-out) must equal the plain
+        small sweep, single and grouped."""
+        monkeypatch.setenv("KDF_PALLAS_INTERPRET", "1")
+        index, _keys, codes, lengths, _batch = self._index_and_batch(
+            seed=67)
+        assert index.small
+        monkeypatch.setenv("KDF_SMALL_DEDUP", "0")
+        ref = eng.scan_reads_for_hits(index, codes, lengths)
+        monkeypatch.delenv("KDF_SMALL_DEDUP")
+        got = eng.scan_reads_for_hits(index, codes, lengths)
+        assert index._small_member_u  # the dedup path actually ran
+        assert np.array_equal(got, ref)
+        # grouped path with ragged lengths
+        monkeypatch.setenv("KDF_SB_JOIN", "3")
+        b2 = random_reads(40, 56, seed=68)
+        codes2, lengths2 = pack_reads(b2)
+        batches = [(codes, lengths), (codes2, lengths2),
+                   (codes, lengths)]
+        refs = [eng.scan_reads_for_hits(index, c, l)
+                for c, l in batches]
+        outs = eng.scan_reads_for_hits_many(index, batches)
+        for g, r in zip(outs, refs):
+            assert np.array_equal(g, r)
+
+    def test_small_member_dedup_ladder_exhaustion(self, monkeypatch):
+        """An undedupable stream must drop to the plain sweep and
+        cache the give-up on the index."""
+        from kmer_denovo_filter_tpu.ops import pallas_join as pj
+        monkeypatch.setenv("KDF_PALLAS_INTERPRET", "1")
+        reads = random_reads(96, 152, with_n=False, seed=69)
+        kmers = sorted({km for s in reads
+                        for km in oracle_counts([s], 31)})
+        keys = enc.kmers_to_keys(kmers[: len(kmers) // 2], 31)
+        index = eng.KmerIndex(keys, 31)
+        assert index.small
+        codes, lengths = pack_reads(reads)
+        index._small_member_u = pj.LCHUNK_DD // 2
+        got = eng.scan_reads_for_hits(index, codes, lengths)
+        assert not index._small_member_dedup_ok
+        monkeypatch.setenv("KDF_SMALL_DEDUP", "0")
+        ref = eng.scan_reads_for_hits(index, codes, lengths)
+        assert np.array_equal(got, ref)
+
+
 def _expected_tally(reads, keys, k):
     from collections import Counter
     counts = Counter()
